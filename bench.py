@@ -1,0 +1,107 @@
+"""Benchmark: MAG-BERT MOSI fine-tune training throughput (examples/sec/chip).
+
+Runs the full jitted training step (forward + MSE + backward + AdamW) on the
+flagship config — bert-base geometry, MOSI modality dims (47/74), seq 50 —
+in bfloat16 on whatever accelerator JAX exposes, and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "examples/sec/chip",
+     "vs_baseline": N}
+
+``vs_baseline`` compares against the measured PyTorch-reference-equivalent
+throughput stored in BASELINE_measured.json (produced by
+tools/measure_reference_baseline.py; the reference repo publishes no
+numbers — BASELINE.md). Falls back to null if absent.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bert_multimodal_transformer_tpu.config import (
+        BertConfig,
+        MeshConfig,
+        MultimodalConfig,
+    )
+    from bert_multimodal_transformer_tpu.models.bert import (
+        MagBertForSequenceClassification,
+    )
+    from bert_multimodal_transformer_tpu.parallel.mesh import make_mesh
+    from bert_multimodal_transformer_tpu.training.optim import make_optimizer
+    from bert_multimodal_transformer_tpu.training.trainer import Trainer
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    seq = 50
+    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    warmup = 5
+
+    cfg = BertConfig.bert_base_uncased()
+    mm = MultimodalConfig(
+        beta_shift=1.0, dropout_prob=0.5,
+        use_fused_kernel=os.environ.get("BENCH_FUSED_MAG", "0") == "1")
+    model = MagBertForSequenceClassification(
+        cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(MeshConfig(data_parallel=n_dev))
+    tx = make_optimizer(learning_rate=1e-5, num_train_steps=10000)
+    trainer = Trainer(model=model, tx=tx, mesh=mesh, donate=True)
+
+    rng = np.random.RandomState(0)
+    host_batch = (
+        rng.randint(0, cfg.vocab_size, (batch, seq)).astype(np.int32),
+        rng.randn(batch, seq, 47).astype(np.float32),
+        rng.randn(batch, seq, 74).astype(np.float32),
+        np.ones((batch, seq), np.int32),
+        np.zeros((batch, seq), np.int32),
+        rng.uniform(-3, 3, (batch,)).astype(np.float32),
+    )
+
+    state = trainer.init_state(jax.random.PRNGKey(0), host_batch)
+    dev_batch = trainer._put_batch(host_batch)
+
+    for _ in range(warmup):
+        state, loss = trainer._train_step(state, dev_batch)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = trainer._train_step(state, dev_batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    examples_per_sec = batch * n_steps / dt
+    per_chip = examples_per_sec / n_dev
+
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_measured.json")
+    if os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as f:
+                base = json.load(f)
+            ref = base.get("examples_per_sec_per_chip")
+            if ref:
+                vs_baseline = per_chip / ref
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": "MOSI MAG-BERT fine-tune train-step throughput "
+                  f"(bert-base, batch {batch}, seq {seq}, bf16, "
+                  f"{n_dev} chip(s))",
+        "value": round(per_chip, 2),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

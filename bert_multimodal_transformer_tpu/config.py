@@ -1,0 +1,219 @@
+"""Typed configuration layer.
+
+Replaces the reference's two-tier config system — module-global constants in
+``global_configs.py`` (modality dims at :10-17, device pin at :4-7, XLNet
+injection index at :19) plus the argparse flag block
+(``multimodal_driver.py:35-57``) — with unified, serializable dataclasses.
+Dataset presets carry their modality dims so the "edit global_configs.py by
+hand when switching datasets" footgun (reference README.md:30-56) is gone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    """Modality dimensions and identity of one dataset.
+
+    Mirrors global_configs.py:10-17 of the reference (MOSI: acoustic 74,
+    visual 47, text 768; MOSEI: visual 35).
+    """
+
+    name: str
+    acoustic_dim: int
+    visual_dim: int
+    text_dim: int = 768
+    # Split sizes as recorded by the reference's examine.ipynb (cell-3 output);
+    # informational only.
+    split_sizes: Tuple[int, int, int] = (0, 0, 0)
+
+    @staticmethod
+    def mosi() -> "DatasetConfig":
+        return DatasetConfig(
+            name="mosi", acoustic_dim=74, visual_dim=47, text_dim=768,
+            split_sizes=(1281, 229, 685),
+        )
+
+    @staticmethod
+    def mosei() -> "DatasetConfig":
+        return DatasetConfig(
+            name="mosei", acoustic_dim=74, visual_dim=35, text_dim=768,
+            split_sizes=(16265, 1869, 4643),
+        )
+
+    @staticmethod
+    def from_name(name: str) -> "DatasetConfig":
+        presets = {"mosi": DatasetConfig.mosi, "mosei": DatasetConfig.mosei}
+        if name not in presets:
+            raise ValueError(
+                f"Unknown dataset {name!r}; expected one of {sorted(presets)}"
+            )
+        return presets[name]()
+
+
+@dataclasses.dataclass(frozen=True)
+class MultimodalConfig:
+    """MAG gate hyperparameters (reference MultimodalConfig,
+    multimodal_driver.py:76-79, consumed at modeling.py:7-23)."""
+
+    beta_shift: float = 1.0
+    dropout_prob: float = 0.5
+    # Which encoder layer the gate is injected before. For BERT the reference
+    # applies the gate to the embedding output, i.e. before layer 0
+    # (bert.py:219); for XLNet before layer 1 (global_configs.py:19,
+    # xlnet.py:371-372).
+    injection_index: int = 0
+    # Use the fused Pallas kernel for the gate when True; plain-JAX otherwise.
+    use_fused_kernel: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    """BERT encoder hyperparameters, matching HF transformers==3.0.2 defaults
+    for bert-base-uncased (imported by the reference at bert.py:13-17)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    initializer_range: float = 0.02
+    layer_norm_eps: float = 1e-12
+    num_labels: int = 1
+
+    @staticmethod
+    def bert_base_uncased() -> "BertConfig":
+        return BertConfig()
+
+    @staticmethod
+    def bert_large_uncased() -> "BertConfig":
+        return BertConfig(
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096,
+        )
+
+    @staticmethod
+    def tiny(vocab_size: int = 128) -> "BertConfig":
+        """Small config for tests."""
+        return BertConfig(
+            vocab_size=vocab_size, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class XLNetConfig:
+    """XLNet hyperparameters, matching HF transformers==3.0.2 defaults for
+    xlnet-base-cased (imported by the reference at xlnet.py:8-12)."""
+
+    vocab_size: int = 32000
+    d_model: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    d_inner: int = 3072
+    ff_activation: str = "gelu"
+    dropout: float = 0.1
+    mem_len: Optional[int] = None
+    reuse_len: Optional[int] = None
+    attn_type: str = "bi"
+    same_length: bool = False
+    bi_data: bool = False
+    clamp_len: int = -1
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    # SequenceSummary settings (HF XLNetConfig: summary_type="last",
+    # summary_use_proj=True, summary_activation="tanh",
+    # summary_last_dropout=0.1).
+    summary_last_dropout: float = 0.1
+    num_labels: int = 1
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_head
+
+    @staticmethod
+    def xlnet_base_cased() -> "XLNetConfig":
+        return XLNetConfig()
+
+    @staticmethod
+    def tiny(vocab_size: int = 128) -> "XLNetConfig":
+        return XLNetConfig(
+            vocab_size=vocab_size, d_model=32, n_layer=2, n_head=2, d_inner=64,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout for SPMD execution.
+
+    The reference is single-device (global_configs.py:4-7); here data
+    parallelism is first-class (SURVEY §2d) with hooks for a model axis.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 means "all available devices" on that axis.
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainingConfig:
+    """Trainer flags; defaults mirror the reference argparse block
+    (multimodal_driver.py:35-57)."""
+
+    dataset: str = "mosi"
+    max_seq_length: int = 50
+    train_batch_size: int = 48
+    dev_batch_size: int = 128
+    test_batch_size: int = 128
+    n_epochs: int = 40
+    beta_shift: float = 1.0
+    dropout_prob: float = 0.5
+    model: str = "bert-base-uncased"
+    learning_rate: float = 1e-5
+    gradient_accumulation_step: int = 1
+    warmup_proportion: float = 0.1
+    seed: int = 42
+    weight_decay: float = 0.01
+    # TPU-native knobs (no reference counterpart):
+    compute_dtype: str = "float32"  # "bfloat16" on real TPU runs
+    use_fused_mag: bool = False
+    checkpoint_dir: Optional[str] = None
+
+    @property
+    def dataset_config(self) -> DatasetConfig:
+        return DatasetConfig.from_name(self.dataset)
+
+    @property
+    def multimodal_config(self) -> MultimodalConfig:
+        injection = 1 if self.model.startswith("xlnet") else 0
+        return MultimodalConfig(
+            beta_shift=self.beta_shift,
+            dropout_prob=self.dropout_prob,
+            injection_index=injection,
+            use_fused_kernel=self.use_fused_mag,
+        )
+
+    @property
+    def jnp_compute_dtype(self):
+        return {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+        }[self.compute_dtype]
+
+
+def dtype_from_str(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+            "float16": jnp.float16}[name]

@@ -1,0 +1,218 @@
+"""CLI driver.
+
+Mirror of the reference's ``multimodal_driver.py`` entry point
+(:35-57 argparse, :526-552 main): same flags and defaults, plus TPU-native
+extras (--compute_dtype, --use_fused_mag, --checkpoint_dir, --data_pickle,
+--vocab, --synthetic for offline runs).
+
+Usage:
+    python -m bert_multimodal_transformer_tpu.driver \
+        --model bert-base-uncased --dataset mosi --synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from bert_multimodal_transformer_tpu.utils.seeding import parse_seed
+
+    p = argparse.ArgumentParser(description=__doc__)
+    # Reference flags (multimodal_driver.py:35-57):
+    p.add_argument("--dataset", type=str, choices=["mosi", "mosei"],
+                   default="mosi")
+    p.add_argument("--max_seq_length", type=int, default=50)
+    p.add_argument("--train_batch_size", type=int, default=48)
+    p.add_argument("--dev_batch_size", type=int, default=128)
+    p.add_argument("--test_batch_size", type=int, default=128)
+    p.add_argument("--n_epochs", type=int, default=40)
+    p.add_argument("--beta_shift", type=float, default=1.0)
+    p.add_argument("--dropout_prob", type=float, default=0.5)
+    p.add_argument("--model", type=str,
+                   choices=["bert-base-uncased", "bert-large-uncased",
+                            "xlnet-base-cased"],
+                   default="bert-base-uncased")
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--gradient_accumulation_step", type=int, default=1)
+    p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--seed", type=parse_seed, default="random")
+    # TPU-native extras:
+    p.add_argument("--data_pickle", type=str, default=None,
+                   help="Path to {mosi,mosei}.pkl in the documented format")
+    p.add_argument("--vocab", type=str, default=None,
+                   help="Local vocab.txt (BERT) or spiece.model (XLNet)")
+    p.add_argument("--pretrained_checkpoint", type=str, default=None,
+                   help="Local HF pytorch_model.bin (or dir) to warm-start")
+    p.add_argument("--synthetic", action="store_true",
+                   help="Generate synthetic data (offline smoke/dev mode)")
+    p.add_argument("--synthetic_sizes", type=int, nargs=3,
+                   default=[256, 64, 64], metavar=("TRAIN", "DEV", "TEST"))
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--use_fused_mag", action="store_true")
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="Tiny model geometry (smoke tests)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from bert_multimodal_transformer_tpu.config import (
+        BertConfig,
+        DatasetConfig,
+        MultimodalConfig,
+        XLNetConfig,
+    )
+    from bert_multimodal_transformer_tpu.data import synthetic
+    from bert_multimodal_transformer_tpu.data.pipeline import (
+        set_up_data_loaders,
+    )
+    from bert_multimodal_transformer_tpu.data.tokenization import (
+        SimpleUnigramTokenizer,
+        WordPieceTokenizer,
+        get_tokenizer,
+    )
+    from bert_multimodal_transformer_tpu.parallel.mesh import make_mesh
+    from bert_multimodal_transformer_tpu.training.optim import make_optimizer
+    from bert_multimodal_transformer_tpu.training.trainer import Trainer
+    from bert_multimodal_transformer_tpu.utils.logging import MetricLogger
+    from bert_multimodal_transformer_tpu.utils.seeding import set_random_seed
+
+    ds = DatasetConfig.from_name(args.dataset)
+    is_xlnet = args.model.startswith("xlnet")
+    family = "xlnet" if is_xlnet else "bert"
+
+    rng = set_random_seed(args.seed)
+    print(f"Seed: {args.seed}")
+
+    # ---- data -----------------------------------------------------------
+    if args.synthetic:
+        data = synthetic.make_dataset(
+            visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
+            n_train=args.synthetic_sizes[0], n_dev=args.synthetic_sizes[1],
+            n_test=args.synthetic_sizes[2], seed=args.seed)
+        pickle_path = os.path.join(tempfile.mkdtemp(), f"{args.dataset}.pkl")
+        synthetic.write_pickle(pickle_path, data)
+        if is_xlnet:
+            tokenizer = SimpleUnigramTokenizer.from_wordlist(
+                synthetic.vocabulary())
+        else:
+            tokenizer = WordPieceTokenizer.from_wordlist(
+                synthetic.vocabulary())
+    else:
+        if args.data_pickle is None:
+            print("error: provide --data_pickle or --synthetic",
+                  file=sys.stderr)
+            return 2
+        pickle_path = args.data_pickle
+        tokenizer = get_tokenizer(args.model, args.vocab)
+
+    train_it, dev_it, test_it, num_steps = set_up_data_loaders(
+        pickle_path, tokenizer, model_family=family,
+        max_seq_length=args.max_seq_length,
+        train_batch_size=args.train_batch_size,
+        dev_batch_size=args.dev_batch_size,
+        test_batch_size=args.test_batch_size,
+        n_epochs=args.n_epochs,
+        gradient_accumulation_step=args.gradient_accumulation_step,
+        seed=args.seed)
+
+    # ---- model ----------------------------------------------------------
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    mm = MultimodalConfig(
+        beta_shift=args.beta_shift, dropout_prob=args.dropout_prob,
+        injection_index=1 if is_xlnet else 0,
+        use_fused_kernel=args.use_fused_mag)
+
+    vocab_size = getattr(tokenizer, "vocab_size", 30522)
+    if is_xlnet:
+        from bert_multimodal_transformer_tpu.models.xlnet import (
+            MagXLNetForSequenceClassification,
+        )
+
+        cfg = (XLNetConfig.tiny(vocab_size) if args.tiny
+               else XLNetConfig.xlnet_base_cased())
+        if args.synthetic and not args.tiny:
+            cfg = XLNetConfig(vocab_size=max(vocab_size, 128))
+        model = MagXLNetForSequenceClassification(
+            cfg, mm, visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
+            dtype=dtype)
+    else:
+        cfg = (BertConfig.tiny(vocab_size) if args.tiny else
+               (BertConfig.bert_large_uncased()
+                if args.model == "bert-large-uncased"
+                else BertConfig.bert_base_uncased()))
+        if args.synthetic and not args.tiny:
+            cfg = BertConfig(vocab_size=max(vocab_size, 128))
+        from bert_multimodal_transformer_tpu.models.bert import (
+            MagBertForSequenceClassification,
+        )
+
+        model = MagBertForSequenceClassification(
+            cfg, mm, visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
+            dtype=dtype)
+
+    # ---- training -------------------------------------------------------
+    tx = make_optimizer(
+        learning_rate=args.learning_rate, num_train_steps=max(num_steps, 1),
+        warmup_proportion=args.warmup_proportion)
+    trainer = Trainer(model=model, tx=tx, mesh=make_mesh(),
+                      grad_accum=args.gradient_accumulation_step)
+
+    sample = next(iter(train_it))[0]
+    state = trainer.init_state(rng, sample)
+
+    if args.pretrained_checkpoint:
+        from bert_multimodal_transformer_tpu.utils.convert import (
+            load_pretrained_into_params,
+        )
+
+        params = load_pretrained_into_params(
+            state.params, args.pretrained_checkpoint, family=family)
+        state = state.replace(params=jax.device_put(params, trainer._rep))
+
+    ckpt = None
+    if args.checkpoint_dir:
+        from bert_multimodal_transformer_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        if args.resume:
+            state = ckpt.restore_latest(state) or state
+
+    logger = MetricLogger(project="MAG", config=vars(args),
+                          jsonl_path=(os.path.join(args.checkpoint_dir,
+                                                   "metrics.jsonl")
+                                      if args.checkpoint_dir else None))
+    for epoch in range(args.n_epochs):
+        state, train_loss = trainer.train_epoch(state, train_it)
+        valid_loss = trainer.eval_epoch(state, dev_it)
+        scores = trainer.test_score_model(state, test_it)
+        logger.log({
+            "epoch": epoch, "train_loss": train_loss,
+            "valid_loss": valid_loss, "test_acc": scores["acc"],
+            "test_mae": scores["mae"], "test_corr": scores["corr"],
+            "test_f_score": scores["f_score"],
+        })
+        if ckpt is not None:
+            ckpt.save(state, step=int(state.step))
+    logger.finish()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,484 @@
+"""MAG-XLNet: XLNet with the Multimodal Adaptation Gate.
+
+TPU-native re-derivation of the reference's ``MAG_XLNetModel`` /
+``MAG_XLNetForSequenceClassification`` (xlnet.py:15-527), which re-owns the
+full HF XLNetModel forward — masks, mems, relative positions, segment
+matrix — and injects MAG before layer XLNET_INJECTION_INDEX (=1)
+(xlnet.py:371-372, global_configs.py:19).
+
+Design departures for TPU:
+  * Everything is batch-first [B, T, ...]. The torch original transposes to
+    time-first [T, B] at entry and back at exit (xlnet.py:206-239, 396-399)
+    because the 2019 kernels preferred it; on TPU batch-first keeps the
+    lane dimension contiguous and XLA happy. The math is identical — the
+    relative-shift trick operates on the position axis either way.
+  * Relative position encodings are computed once per forward as [P, D]
+    (P = klen + qlen for bi attention) and broadcast, not tiled per batch.
+  * mems are an explicit carried tuple (functional state), not detached
+    tensors mutated in place (xlnet.py:81-91).
+  * Two-stream attention (query stream, target_mapping, perm_mask) is fully
+    supported for capability parity even though the fine-tuning driver path
+    only exercises the content stream.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bert_multimodal_transformer_tpu.config import (
+    MultimodalConfig,
+    XLNetConfig,
+)
+from bert_multimodal_transformer_tpu.models.bert import LayerNorm
+from bert_multimodal_transformer_tpu.models.mag import MAG
+from bert_multimodal_transformer_tpu.ops.activations import ACT2FN
+
+Dtype = Any
+MASK_VERY_NEG = 1e30  # HF uses score - 1e30·mask in fp32
+
+
+def rel_shift(x: jax.Array, klen: int) -> jax.Array:
+    """Relative-shift: [B, H, Q, P] scores indexed by absolute position
+    distance → [B, H, Q, klen] aligned scores (HF XLNetRelativeAttention
+    rel_shift, reimplemented on the trailing axes for batch-first layout)."""
+    b, h, q, p = x.shape
+    x = x.reshape(b, h, p, q)
+    x = x[:, :, 1:, :]
+    x = x.reshape(b, h, q, p - 1)
+    return x[:, :, :, :klen]
+
+
+def relative_positional_encoding(
+    qlen: int,
+    klen: int,
+    d_model: int,
+    attn_type: str = "bi",
+    clamp_len: int = -1,
+    bi_data: bool = False,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Sinusoidal relative position embeddings [P, D]
+    (reference xlnet.py:93-146). For "bi": positions klen…-qlen+1 descending
+    (P = klen+qlen); for "uni": klen…0 descending."""
+    freq_seq = jnp.arange(0, d_model, 2.0, dtype=jnp.float32)
+    inv_freq = 1.0 / (10000.0 ** (freq_seq / d_model))
+
+    if attn_type == "bi":
+        beg, end = klen, -qlen
+    elif attn_type == "uni":
+        beg, end = klen, -1
+    else:
+        raise ValueError(f"Unknown attn_type {attn_type!r}")
+
+    def sinusoid(pos_seq):
+        inp = jnp.einsum("i,d->id", pos_seq, inv_freq)
+        return jnp.concatenate([jnp.sin(inp), jnp.cos(inp)], axis=-1)
+
+    fwd_pos_seq = jnp.arange(beg, end, -1.0, dtype=jnp.float32)
+    if clamp_len > 0:
+        fwd_pos_seq = jnp.clip(fwd_pos_seq, -clamp_len, clamp_len)
+    pos_emb = sinusoid(fwd_pos_seq)
+    if bi_data:
+        bwd_pos_seq = jnp.arange(-beg, -end, 1.0, dtype=jnp.float32)
+        if clamp_len > 0:
+            bwd_pos_seq = jnp.clip(bwd_pos_seq, -clamp_len, clamp_len)
+        # bi_data stacks fwd/bwd along batch; callers split it. (Training
+        # never uses it — xlnet-base-cased config has bi_data=False.)
+        pos_emb = jnp.stack([pos_emb, sinusoid(bwd_pos_seq)], axis=0)
+    return pos_emb.astype(dtype)
+
+
+def causal_attn_mask(qlen: int, mlen: int,
+                     same_length: bool = False) -> jax.Array:
+    """Float mask [Q, K], 1=masked (reference create_mask, xlnet.py:51-79)."""
+    attn_mask = jnp.ones((qlen, qlen), jnp.float32)
+    mask_up = jnp.triu(attn_mask, k=1)
+    ret = jnp.concatenate([jnp.zeros((qlen, mlen), jnp.float32), mask_up],
+                          axis=1)
+    if same_length:
+        mask_lo = jnp.tril(attn_mask, k=-1)
+        ret = jnp.concatenate(
+            [ret[:, :qlen] + mask_lo, ret[:, qlen:]], axis=1)
+    return ret
+
+
+class XLNetRelativeAttention(nn.Module):
+    """Two-stream relative multi-head attention (the HF XLNetLayer core the
+    reference imports at xlnet.py:9-12), batch-first."""
+
+    config: XLNetConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        d, h, dh = cfg.d_model, cfg.n_head, cfg.d_head
+        init = nn.initializers.normal(stddev=cfg.initializer_range)
+        # einsum-layout params, same shapes as HF ([D, H, Dh] heads,
+        # [H, Dh] biases, [2, H, Dh] segment embedding).
+        self.q = self.param("q", init, (d, h, dh), jnp.float32)
+        self.k = self.param("k", init, (d, h, dh), jnp.float32)
+        self.v = self.param("v", init, (d, h, dh), jnp.float32)
+        self.o = self.param("o", init, (d, h, dh), jnp.float32)
+        self.r = self.param("r", init, (d, h, dh), jnp.float32)
+        self.r_w_bias = self.param("r_w_bias", init, (h, dh), jnp.float32)
+        self.r_r_bias = self.param("r_r_bias", init, (h, dh), jnp.float32)
+        self.r_s_bias = self.param("r_s_bias", init, (h, dh), jnp.float32)
+        self.seg_embed = self.param("seg_embed", init, (2, h, dh),
+                                    jnp.float32)
+        self.layer_norm = LayerNorm(epsilon=self.config.layer_norm_eps,
+                                    name="layer_norm")
+        self.attn_dropout = nn.Dropout(rate=cfg.dropout)
+        self.out_dropout = nn.Dropout(rate=cfg.dropout)
+
+    def _rel_attn_core(self, q_head, k_head, v_head, k_head_r, seg_mat,
+                       attn_mask, deterministic):
+        """q_head [B,Q,H,Dh]; k/v_head [B,K,H,Dh]; k_head_r [P,H,Dh];
+        seg_mat [B,Q,K,2] or None; attn_mask [B,1,Q,K] float 1=masked."""
+        cfg = self.config
+        scale = 1.0 / (cfg.d_head ** 0.5)
+        klen = k_head.shape[1]
+        f32 = jnp.float32
+
+        rw = (q_head + self.r_w_bias).astype(self.dtype)
+        ac = jnp.einsum("bqhf,bkhf->bhqk", rw, k_head,
+                        preferred_element_type=f32)
+        rr = (q_head + self.r_r_bias).astype(self.dtype)
+        bd = jnp.einsum("bqhf,phf->bhqp", rr,
+                        k_head_r.astype(self.dtype),
+                        preferred_element_type=f32)
+        bd = rel_shift(bd, klen)
+        if seg_mat is None:
+            ef = 0.0
+        else:
+            rs = (q_head + self.r_s_bias).astype(self.dtype)
+            ef_raw = jnp.einsum("bqhf,shf->bhqs", rs,
+                                self.seg_embed.astype(self.dtype),
+                                preferred_element_type=f32)
+            ef = jnp.einsum("bqks,bhqs->bhqk", seg_mat.astype(f32), ef_raw)
+
+        score = (ac + bd + ef) * scale
+        if attn_mask is not None:
+            score = score - MASK_VERY_NEG * attn_mask.astype(f32)
+        probs = jax.nn.softmax(score, axis=-1)
+        probs = self.attn_dropout(probs, deterministic=deterministic)
+        probs = probs.astype(self.dtype)
+        attn_vec = jnp.einsum("bhqk,bkhf->bqhf", probs, v_head)
+        return attn_vec
+
+    def _post_attention(self, h, attn_vec, deterministic):
+        out = jnp.einsum("bqhf,dhf->bqd", attn_vec,
+                         self.o.astype(self.dtype))
+        out = self.out_dropout(out, deterministic=deterministic)
+        return self.layer_norm(out + h)
+
+    def __call__(
+        self,
+        h: jax.Array,                      # [B, Q, D] content stream
+        g: Optional[jax.Array],            # [B, M, D] query stream or None
+        attn_mask_h: Optional[jax.Array],  # [B, 1, Q, K]
+        attn_mask_g: Optional[jax.Array],
+        r: jax.Array,                      # [P, D] pos emb
+        seg_mat: Optional[jax.Array],      # [B, Q, K, 2]
+        mems: Optional[jax.Array] = None,  # [B, mlen, D]
+        target_mapping: Optional[jax.Array] = None,  # [B, M, Q]
+        *,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        dt = self.dtype
+        cat = h if mems is None else jnp.concatenate(
+            [mems.astype(dt), h], axis=1)
+
+        q_head_h = jnp.einsum("bqd,dhf->bqhf", h, self.q.astype(dt))
+        k_head = jnp.einsum("bkd,dhf->bkhf", cat, self.k.astype(dt))
+        v_head = jnp.einsum("bkd,dhf->bkhf", cat, self.v.astype(dt))
+        k_head_r = jnp.einsum("pd,dhf->phf", r.astype(dt),
+                              self.r.astype(dt))
+
+        attn_vec_h = self._rel_attn_core(
+            q_head_h, k_head, v_head, k_head_r, seg_mat, attn_mask_h,
+            deterministic)
+        out_h = self._post_attention(h, attn_vec_h, deterministic)
+
+        out_g = None
+        if g is not None:
+            q_head_g = jnp.einsum("bmd,dhf->bmhf", g, self.q.astype(dt))
+            if target_mapping is not None:
+                # project query positions onto content positions
+                q_head_g = jnp.einsum("bmhf,bmq->bqhf", q_head_g,
+                                      target_mapping.astype(dt))
+                attn_vec_g = self._rel_attn_core(
+                    q_head_g, k_head, v_head, k_head_r, seg_mat,
+                    attn_mask_g, deterministic)
+                attn_vec_g = jnp.einsum("bqhf,bmq->bmhf", attn_vec_g,
+                                        target_mapping.astype(dt))
+            else:
+                attn_vec_g = self._rel_attn_core(
+                    q_head_g, k_head, v_head, k_head_r, seg_mat,
+                    attn_mask_g, deterministic)
+            out_g = self._post_attention(g, attn_vec_g, deterministic)
+
+        return out_h, out_g
+
+
+class XLNetFeedForward(nn.Module):
+    """position-wise FFN with post-LN residual (HF XLNetFeedForward)."""
+
+    config: XLNetConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True):
+        cfg = self.config
+        init = nn.initializers.normal(stddev=cfg.initializer_range)
+        out = nn.Dense(cfg.d_inner, dtype=self.dtype, kernel_init=init,
+                       name="layer_1")(x)
+        out = ACT2FN[cfg.ff_activation](out)
+        out = nn.Dropout(rate=cfg.dropout)(out, deterministic=deterministic)
+        out = nn.Dense(cfg.d_model, dtype=self.dtype, kernel_init=init,
+                       name="layer_2")(out)
+        out = nn.Dropout(rate=cfg.dropout)(out, deterministic=deterministic)
+        return LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(
+            out + x)
+
+
+class XLNetLayer(nn.Module):
+    config: XLNetConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, g, attn_mask_h, attn_mask_g, r, seg_mat,
+                 mems=None, target_mapping=None, *, deterministic=True):
+        out_h, out_g = XLNetRelativeAttention(
+            self.config, self.dtype, name="rel_attn")(
+            h, g, attn_mask_h, attn_mask_g, r, seg_mat, mems,
+            target_mapping, deterministic=deterministic)
+        ff = XLNetFeedForward(self.config, self.dtype, name="ff")
+        out_h = ff(out_h, deterministic=deterministic)
+        if out_g is not None:
+            out_g = ff(out_g, deterministic=deterministic)
+        return out_h, out_g
+
+
+class MagXLNetModel(nn.Module):
+    """XLNet backbone with MAG injected before layer ``injection_index``
+    (reference MAG_XLNetModel, xlnet.py:15-429)."""
+
+    config: XLNetConfig
+    multimodal_config: MultimodalConfig
+    visual_dim: int
+    acoustic_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,                      # [B, Q]
+        visual: jax.Array,                         # [B, Q, Dv]
+        acoustic: jax.Array,                       # [B, Q, Da]
+        attention_mask: Optional[jax.Array] = None,  # [B, Q], 1=keep
+        mems: Optional[Sequence[jax.Array]] = None,  # n_layer × [B, M, D]
+        perm_mask: Optional[jax.Array] = None,       # [B, Q, Q], 1=cannot see
+        target_mapping: Optional[jax.Array] = None,  # [B, M, Q]
+        token_type_ids: Optional[jax.Array] = None,  # [B, Q]
+        input_mask: Optional[jax.Array] = None,      # [B, Q], 1=padding
+        use_cache: bool = False,
+        *,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        mm_cfg = self.multimodal_config
+        b, qlen = input_ids.shape
+        mlen = 0
+        if mems is not None and mems[0] is not None:
+            mlen = mems[0].shape[1]
+        klen = mlen + qlen
+        f32 = jnp.float32
+
+        # ---- attention-mask algebra (reference xlnet.py:247-298),
+        # batch-first: masks are [B, 1, Q, K] floats with 1 = masked. ----
+        if cfg.attn_type == "uni":
+            attn_mask = causal_attn_mask(qlen, mlen, cfg.same_length)
+            attn_mask = attn_mask[None, None]  # [1,1,Q,K]
+        elif cfg.attn_type == "bi":
+            attn_mask = None
+        else:
+            raise ValueError(f"Unsupported attention type {cfg.attn_type}")
+
+        assert input_mask is None or attention_mask is None, (
+            "use only one of input_mask (1=pad) or attention_mask (0=pad)")
+        if input_mask is None and attention_mask is not None:
+            input_mask = 1.0 - attention_mask.astype(f32)
+        data_mask = None
+        if input_mask is not None:
+            data_mask = input_mask.astype(f32)[:, None, :]  # [B, 1(Q), Q]
+        if perm_mask is not None:
+            pm = perm_mask.astype(f32)  # [B, Q, Q]
+            data_mask = pm if data_mask is None else data_mask + pm
+        if data_mask is not None:
+            if mlen > 0:
+                mems_mask = jnp.zeros((b, data_mask.shape[1], mlen), f32)
+                data_mask = jnp.concatenate([mems_mask, data_mask], axis=2)
+            dm = data_mask[:, None]  # [B, 1(H), Q?, K]
+            attn_mask = dm if attn_mask is None else attn_mask + dm
+        if attn_mask is not None:
+            attn_mask = (attn_mask > 0).astype(f32)
+            # content stream may always see itself (−eye trick,
+            # xlnet.py:288-295)
+            eye = jnp.eye(qlen, dtype=f32)
+            if mlen > 0:
+                eye = jnp.concatenate(
+                    [jnp.zeros((qlen, mlen), f32), eye], axis=1)
+            non_tgt_mask = ((attn_mask - eye[None, None]) > 0).astype(f32)
+        else:
+            non_tgt_mask = None
+
+        # ---- embeddings & streams (xlnet.py:300-313) ----
+        embed = nn.Embed(cfg.vocab_size, cfg.d_model,
+                         embedding_init=nn.initializers.normal(
+                             stddev=cfg.initializer_range),
+                         dtype=self.dtype, name="word_embedding")
+        word_emb_k = embed(input_ids)
+        dropout = nn.Dropout(rate=cfg.dropout)
+        output_h = dropout(word_emb_k, deterministic=deterministic)
+        output_g = None
+        if target_mapping is not None:
+            mask_emb = self.param(
+                "mask_emb", nn.initializers.normal(cfg.initializer_range),
+                (1, 1, cfg.d_model), jnp.float32)
+            m = target_mapping.shape[1]
+            word_emb_q = jnp.broadcast_to(
+                mask_emb.astype(self.dtype), (b, m, cfg.d_model))
+            output_g = dropout(word_emb_q, deterministic=deterministic)
+
+        # ---- segment matrix (xlnet.py:315-329) ----
+        seg_mat = None
+        if token_type_ids is not None:
+            if mlen > 0:
+                mem_pad = jnp.zeros((b, mlen), token_type_ids.dtype)
+                cat_ids = jnp.concatenate([mem_pad, token_type_ids], axis=1)
+            else:
+                cat_ids = token_type_ids
+            diff = (token_type_ids[:, :, None] != cat_ids[:, None, :])
+            seg_mat = jax.nn.one_hot(diff.astype(jnp.int32), 2, dtype=f32)
+
+        # ---- relative positions (xlnet.py:331-333) ----
+        pos_emb = relative_positional_encoding(
+            qlen, klen, cfg.d_model, cfg.attn_type, cfg.clamp_len,
+            bi_data=False, dtype=self.dtype)
+        pos_emb = dropout(pos_emb, deterministic=deterministic)
+
+        # ---- MAG + layer stack (xlnet.py:362-388) ----
+        mag = MAG(hidden_size=cfg.d_model, visual_dim=self.visual_dim,
+                  acoustic_dim=self.acoustic_dim,
+                  beta_shift=mm_cfg.beta_shift,
+                  dropout_prob=mm_cfg.dropout_prob,
+                  use_fused_kernel=mm_cfg.use_fused_kernel, name="MAG")
+
+        if mems is None:
+            mems = [None] * cfg.n_layer
+        new_mems = []
+        keep_mems = (cfg.mem_len is not None and cfg.mem_len > 0
+                     and use_cache)
+
+        for i in range(cfg.n_layer):
+            if keep_mems:
+                new_mems.append(self._cache_mem(output_h, mems[i]))
+            if i == mm_cfg.injection_index:
+                output_h = mag(output_h, visual.astype(self.dtype),
+                               acoustic.astype(self.dtype),
+                               deterministic=deterministic)
+            output_h, output_g = XLNetLayer(
+                cfg, self.dtype, name=f"layer_{i}")(
+                output_h, output_g, non_tgt_mask, attn_mask, pos_emb,
+                seg_mat, mems[i], target_mapping,
+                deterministic=deterministic)
+
+        output = dropout(output_g if output_g is not None else output_h,
+                         deterministic=deterministic)
+        if keep_mems:
+            return output, tuple(new_mems)
+        return output, None
+
+    def _cache_mem(self, curr_out: jax.Array,
+                   prev_mem: Optional[jax.Array]) -> jax.Array:
+        """Functional mems update (reference cache_mem, xlnet.py:81-91):
+        truncate current output to reuse_len, append to memory, keep the
+        last mem_len steps; gradients stopped."""
+        cfg = self.config
+        if cfg.reuse_len is not None and cfg.reuse_len > 0:
+            curr_out = curr_out[:, :cfg.reuse_len]
+        if prev_mem is None:
+            new_mem = curr_out[:, -cfg.mem_len:]
+        else:
+            new_mem = jnp.concatenate([prev_mem, curr_out],
+                                      axis=1)[:, -cfg.mem_len:]
+        return jax.lax.stop_gradient(new_mem)
+
+
+class SequenceSummary(nn.Module):
+    """HF SequenceSummary with XLNet config: take the LAST token (XLNet
+    packs [CLS] last with left-padding — multimodal_driver.py:182-201),
+    Linear proj, tanh, dropout (reference xlnet.py:438,508)."""
+
+    config: XLNetConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden: jax.Array, *, deterministic: bool = True):
+        cfg = self.config
+        out = hidden[:, -1]
+        out = nn.Dense(cfg.d_model, dtype=self.dtype,
+                       kernel_init=nn.initializers.normal(
+                           stddev=cfg.initializer_range),
+                       name="summary")(out)
+        out = jnp.tanh(out)
+        out = nn.Dropout(rate=cfg.summary_last_dropout)(
+            out, deterministic=deterministic)
+        return out
+
+
+class MagXLNetForSequenceClassification(nn.Module):
+    """SequenceSummary + logits projection over MagXLNetModel (reference
+    MAG_XLNetForSequenceClassification, xlnet.py:432-527)."""
+
+    config: XLNetConfig
+    multimodal_config: MultimodalConfig
+    visual_dim: int
+    acoustic_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        visual: jax.Array,
+        acoustic: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        token_type_ids: Optional[jax.Array] = None,
+        mems: Optional[Sequence[jax.Array]] = None,
+        perm_mask: Optional[jax.Array] = None,
+        target_mapping: Optional[jax.Array] = None,
+        input_mask: Optional[jax.Array] = None,
+        use_cache: bool = False,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        output, _new_mems = MagXLNetModel(
+            cfg, self.multimodal_config, self.visual_dim, self.acoustic_dim,
+            self.dtype, name="transformer")(
+            input_ids, visual, acoustic, attention_mask=attention_mask,
+            mems=mems, perm_mask=perm_mask, target_mapping=target_mapping,
+            token_type_ids=token_type_ids, input_mask=input_mask,
+            use_cache=use_cache, deterministic=deterministic)
+        summary = SequenceSummary(cfg, self.dtype, name="sequence_summary")(
+            output, deterministic=deterministic)
+        logits = nn.Dense(cfg.num_labels, dtype=self.dtype,
+                          kernel_init=nn.initializers.normal(
+                              stddev=cfg.initializer_range),
+                          name="logits_proj")(summary)
+        return logits.astype(jnp.float32)

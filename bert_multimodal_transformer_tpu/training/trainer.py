@@ -1,0 +1,268 @@
+"""Training / evaluation engine.
+
+Re-derivation of the reference's training stack
+(multimodal_driver.py:289-523) as jit-compiled SPMD functions:
+
+  * one jitted ``train_step`` — forward (MSE on logits, computed outside the
+    model exactly as the reference does at multimodal_driver.py:371-373),
+    backward, AdamW update; gradient accumulation is a ``lax.scan`` over
+    micro-batches *inside* the step (reference: Python micro-batch loop,
+    :375-386);
+  * batch sharded over the ``data`` mesh axis, parameters replicated — XLA
+    emits the gradient all-reduce over ICI;
+  * jitted eval/predict steps with validity masks so padded eval batches
+    score every example exactly once;
+  * epoch drivers (train_epoch / eval_epoch / test_epoch / test_score_model /
+    train) mirroring multimodal_driver.py:354-523.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bert_multimodal_transformer_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+from bert_multimodal_transformer_tpu.training import metrics as metrics_lib
+from bert_multimodal_transformer_tpu.training.optim import make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, *, apply_fn, params, tx, rng):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), rng=rng, apply_fn=apply_fn,
+                   tx=tx)
+
+
+def mse_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """MSELoss(logits.view(-1), labels.view(-1)) — multimodal_driver.py:372."""
+    return jnp.mean(jnp.square(logits.reshape(-1) - labels.reshape(-1)))
+
+
+def _forward(apply_fn, params, batch, rng, deterministic: bool):
+    input_ids, visual, acoustic, input_mask, segment_ids, label_ids = batch
+    kwargs = {}
+    if not deterministic:
+        kwargs = {"rngs": {"dropout": rng}}
+    logits = apply_fn(
+        {"params": params}, input_ids, visual, acoustic,
+        attention_mask=input_mask, token_type_ids=segment_ids,
+        deterministic=deterministic, **kwargs)
+    return logits, label_ids
+
+
+def make_train_step(grad_accum: int = 1):
+    """Builds the jitted train step.
+
+    With grad_accum > 1 the batch's leading dim is split into
+    [grad_accum, B/grad_accum, ...] and scanned; gradients are averaged —
+    matching the reference's loss/accum scaling (multimodal_driver.py:375-386)
+    where each micro-loss is divided by the accumulation count.
+    """
+
+    def loss_fn(params, apply_fn, micro, rng):
+        logits, labels = _forward(apply_fn, params, micro, rng,
+                                  deterministic=False)
+        return mse_loss(logits, labels)
+
+    def train_step(state: TrainState, batch: Tuple):
+        rng, new_rng = jax.random.split(state.rng)
+        if grad_accum == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, state.apply_fn, batch, rng)
+        else:
+            micro_batches = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
+                                    + x.shape[1:]),
+                batch)
+            micro_rngs = jax.random.split(rng, grad_accum)
+
+            def scan_body(carry, inp):
+                acc_grads, acc_loss = carry
+                micro, mrng = inp
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, state.apply_fn, micro, mrng)
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                return (acc_grads, acc_loss + loss), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss_sum), _ = jax.lax.scan(
+                scan_body, (zero_grads, jnp.zeros(())),
+                (micro_batches, micro_rngs))
+            grads = jax.tree_util.tree_map(
+                lambda g: g / grad_accum, grads)
+            loss = loss_sum / grad_accum
+
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt_state, rng=new_rng)
+        return new_state, loss
+
+    return train_step
+
+
+def eval_step(state: TrainState, batch: Tuple, valid: jax.Array):
+    """Masked dev-set MSE: returns (sum_sq_err, n_valid) so ragged final
+    batches contribute exactly their real examples."""
+    logits, labels = _forward(state.apply_fn, state.params, batch,
+                              rng=None, deterministic=True)
+    err = jnp.square(logits.reshape(-1) - labels.reshape(-1))
+    v = valid.astype(jnp.float32)
+    return jnp.sum(err * v), jnp.sum(v)
+
+
+def predict_step(state: TrainState, batch: Tuple):
+    logits, labels = _forward(state.apply_fn, state.params, batch,
+                              rng=None, deterministic=True)
+    return logits.reshape(-1), labels.reshape(-1)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Epoch-level driver. Owns the mesh, the compiled steps and the state.
+
+    ``model`` is any Flax module with the MAG-classifier call signature
+    (input_ids, visual, acoustic, attention_mask=, token_type_ids=,
+    deterministic=) → logits — both MagBertForSequenceClassification and
+    MagXLNetForSequenceClassification satisfy it.
+    """
+
+    model: Any
+    tx: optax.GradientTransformation
+    mesh: Optional[Mesh] = None
+    grad_accum: int = 1
+    donate: bool = True
+
+    def __post_init__(self):
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        self._bsh = batch_sharding(self.mesh)
+        self._rep = replicated(self.mesh)
+
+        train_step = make_train_step(self.grad_accum)
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(self._rep, self._bsh),
+            out_shardings=(self._rep, self._rep),
+            donate_argnums=(0,) if self.donate else (),
+        )
+        self._eval_step = jax.jit(
+            eval_step,
+            in_shardings=(self._rep, self._bsh, self._bsh),
+            out_shardings=(self._rep, self._rep),
+        )
+        self._predict_step = jax.jit(
+            predict_step,
+            in_shardings=(self._rep, self._bsh),
+            out_shardings=(self._bsh, self._bsh),
+        )
+
+    def init_state(self, rng: jax.Array, sample_batch: Tuple) -> TrainState:
+        input_ids, visual, acoustic, input_mask, segment_ids, _ = sample_batch
+        params = self.model.init(
+            rng, jnp.asarray(input_ids), jnp.asarray(visual),
+            jnp.asarray(acoustic), jnp.asarray(input_mask),
+            jnp.asarray(segment_ids))["params"]
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=params, tx=self.tx,
+            rng=jax.random.fold_in(rng, 1))
+        return jax.device_put(state, self._rep)
+
+    def create_state_from_params(self, params, rng: jax.Array) -> TrainState:
+        state = TrainState.create(apply_fn=self.model.apply, params=params,
+                                  tx=self.tx, rng=rng)
+        return jax.device_put(state, self._rep)
+
+    def _put_batch(self, batch):
+        return tuple(jax.device_put(np.asarray(a), self._bsh) for a in batch)
+
+    def train_epoch(self, state: TrainState, loader) -> Tuple[TrainState, float]:
+        """Mirrors train_epoch (multimodal_driver.py:354-388): mean loss."""
+        losses = []
+        for batch, _valid in loader:
+            state, loss = self._train_step(state, self._put_batch(batch))
+            losses.append(loss)
+        return state, float(np.mean([jax.device_get(l) for l in losses]))
+
+    def eval_epoch(self, state: TrainState, loader) -> float:
+        """Mirrors eval_epoch (multimodal_driver.py:391-421): mean dev MSE
+        (exact per-example mean; the reference averages per-batch means)."""
+        tot, cnt = 0.0, 0.0
+        for batch, valid in loader:
+            s, c = self._eval_step(state, self._put_batch(batch),
+                                   jax.device_put(valid, self._bsh))
+            tot += float(jax.device_get(s))
+            cnt += float(jax.device_get(c))
+        return tot / max(cnt, 1.0)
+
+    def test_epoch(self, state: TrainState, loader):
+        """Mirrors test_epoch (multimodal_driver.py:424-459)."""
+        preds, labels = [], []
+        for batch, valid in loader:
+            p, l = self._predict_step(state, self._put_batch(batch))
+            p = np.asarray(jax.device_get(p))[valid]
+            l = np.asarray(jax.device_get(l))[valid]
+            preds.append(p)
+            labels.append(l)
+        return np.concatenate(preds), np.concatenate(labels)
+
+    def test_score_model(self, state: TrainState, loader,
+                         use_zero: bool = False) -> Dict[str, float]:
+        preds, labels = self.test_epoch(state, loader)
+        return metrics_lib.score_regression(preds, labels, use_zero=use_zero)
+
+    def train(self, state: TrainState, train_loader, dev_loader, test_loader,
+              n_epochs: int, logger=None) -> Tuple[TrainState, Dict]:
+        """Epoch driver mirroring train() (multimodal_driver.py:483-523),
+        with the same per-epoch metric dict."""
+        valid_losses, test_accs = [], []
+        history = []
+        for epoch_i in range(int(n_epochs)):
+            t0 = time.monotonic()
+            state, train_loss = self.train_epoch(state, train_loader)
+            valid_loss = self.eval_epoch(state, dev_loader)
+            scores = self.test_score_model(state, test_loader)
+            dt = time.monotonic() - t0
+            valid_losses.append(valid_loss)
+            test_accs.append(scores["acc"])
+            record = {
+                "epoch": epoch_i,
+                "train_loss": train_loss,
+                "valid_loss": valid_loss,
+                "test_acc": scores["acc"],
+                "test_mae": scores["mae"],
+                "test_corr": scores["corr"],
+                "test_f_score": scores["f_score"],
+                "best_valid_loss": min(valid_losses),
+                "best_test_acc": max(test_accs),
+                "epoch_seconds": dt,
+            }
+            history.append(record)
+            if logger is not None:
+                logger.log(record)
+        return state, {"history": history,
+                       "best_valid_loss": min(valid_losses) if valid_losses
+                       else float("inf"),
+                       "best_test_acc": max(test_accs) if test_accs else 0.0}

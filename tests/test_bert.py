@@ -1,0 +1,128 @@
+"""Shape/semantics tests for the Flax MAG-BERT stack."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bert_multimodal_transformer_tpu.config import BertConfig, MultimodalConfig
+from bert_multimodal_transformer_tpu.models.bert import (
+    BertEmbeddings,
+    MagBertForSequenceClassification,
+    MagBertModel,
+)
+from bert_multimodal_transformer_tpu.ops.attention import (
+    extended_attention_mask,
+)
+
+CFG = BertConfig.tiny()
+MM = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1)
+DV, DA = 5, 7
+B, S = 2, 10
+
+
+def make_inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(0, CFG.vocab_size, (B, S)).astype(np.int32)
+    visual = rng.randn(B, S, DV).astype(np.float32)
+    acoustic = rng.randn(B, S, DA).astype(np.float32)
+    mask = np.ones((B, S), np.int32)
+    mask[:, 7:] = 0
+    return ids, visual, acoustic, mask
+
+
+def test_extended_attention_mask_values():
+    mask = jnp.array([[1, 1, 0]])
+    got = np.asarray(extended_attention_mask(mask))
+    assert got.shape == (1, 1, 1, 3)
+    np.testing.assert_allclose(got[0, 0, 0], [0.0, 0.0, -10000.0])
+
+
+def test_embeddings_shape():
+    ids, *_ = make_inputs()
+    mod = BertEmbeddings(CFG)
+    vars_ = mod.init(jax.random.PRNGKey(0), jnp.array(ids),
+                     jnp.zeros_like(ids))
+    out = mod.apply(vars_, jnp.array(ids), jnp.zeros_like(ids))
+    assert out.shape == (B, S, CFG.hidden_size)
+
+
+def test_mag_bert_model_outputs():
+    ids, visual, acoustic, mask = make_inputs()
+    model = MagBertModel(CFG, MM, visual_dim=DV, acoustic_dim=DA)
+    vars_ = model.init(jax.random.PRNGKey(0), ids, visual, acoustic, mask)
+    seq, pooled = model.apply(vars_, ids, visual, acoustic, mask)
+    assert seq.shape == (B, S, CFG.hidden_size)
+    assert pooled.shape == (B, CFG.hidden_size)
+    assert np.isfinite(np.asarray(seq)).all()
+    # pooler is tanh-bounded
+    assert np.abs(np.asarray(pooled)).max() <= 1.0
+
+
+def test_classifier_logits_and_padding_invariance():
+    """Padded positions must not influence the pooled logits: changing token
+    ids under mask=0 leaves logits unchanged (extended-mask semantics,
+    reference bert.py:180-182)."""
+    ids, visual, acoustic, mask = make_inputs()
+    model = MagBertForSequenceClassification(
+        CFG, MM, visual_dim=DV, acoustic_dim=DA)
+    vars_ = model.init(jax.random.PRNGKey(0), ids, visual, acoustic, mask)
+    logits1 = model.apply(vars_, ids, visual, acoustic, mask)
+    assert logits1.shape == (B, CFG.num_labels)
+
+    ids2 = ids.copy()
+    ids2[:, 7:] = (ids2[:, 7:] + 13) % CFG.vocab_size
+    logits2 = model.apply(vars_, ids2, visual, acoustic, mask)
+    # Note: padded *modality* rows are zeros in the real pipeline; MAG mixes
+    # them positionwise only, so padded-position changes stay masked out of
+    # attention. Token-id change under mask affects only the padded rows'
+    # own hidden states, never attended-to content or the [CLS] pool.
+    np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_train_mode_is_stochastic():
+    ids, visual, acoustic, mask = make_inputs()
+    model = MagBertForSequenceClassification(
+        CFG, MM, visual_dim=DV, acoustic_dim=DA)
+    vars_ = model.init(jax.random.PRNGKey(0), ids, visual, acoustic, mask)
+    l1 = model.apply(vars_, ids, visual, acoustic, mask,
+                     deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    l2 = model.apply(vars_, ids, visual, acoustic, mask,
+                     deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+def test_grads_flow_to_all_params():
+    ids, visual, acoustic, mask = make_inputs()
+    model = MagBertForSequenceClassification(
+        CFG, MM, visual_dim=DV, acoustic_dim=DA)
+    vars_ = model.init(jax.random.PRNGKey(0), ids, visual, acoustic, mask)
+
+    def loss_fn(params):
+        logits = model.apply({"params": params}, ids, visual, acoustic, mask)
+        return jnp.mean(logits ** 2)
+
+    grads = jax.grad(loss_fn)(vars_["params"])
+    leaves = jax.tree_util.tree_leaves_with_path(grads)
+    n_nonzero = 0
+    for path, g in leaves:
+        assert np.isfinite(np.asarray(g)).all(), path
+        if np.abs(np.asarray(g)).sum() > 0:
+            n_nonzero += 1
+    # Nearly every parameter should receive gradient (word embeddings for
+    # unused ids are legitimately zero-row).
+    assert n_nonzero >= len(leaves) - 1
+
+
+def test_bf16_forward_matches_fp32_loosely():
+    ids, visual, acoustic, mask = make_inputs()
+    m32 = MagBertForSequenceClassification(
+        CFG, MM, visual_dim=DV, acoustic_dim=DA, dtype=jnp.float32)
+    m16 = MagBertForSequenceClassification(
+        CFG, MM, visual_dim=DV, acoustic_dim=DA, dtype=jnp.bfloat16)
+    vars_ = m32.init(jax.random.PRNGKey(0), ids, visual, acoustic, mask)
+    l32 = np.asarray(m32.apply(vars_, ids, visual, acoustic, mask))
+    l16 = np.asarray(m16.apply(vars_, ids, visual, acoustic, mask))
+    np.testing.assert_allclose(l16, l32, rtol=0.1, atol=0.1)

@@ -1,0 +1,150 @@
+"""Tests for tokenization, alignment, packing and batching."""
+
+import numpy as np
+import pytest
+
+from bert_multimodal_transformer_tpu.data import synthetic
+from bert_multimodal_transformer_tpu.data.pipeline import (
+    BatchIterator,
+    align_modalities,
+    convert_to_features,
+    prepare_bert_input,
+    prepare_xlnet_input,
+)
+from bert_multimodal_transformer_tpu.data.tokenization import (
+    SimpleUnigramTokenizer,
+    WordPieceTokenizer,
+)
+
+S = 12
+DV, DA = 3, 4
+
+
+@pytest.fixture
+def bert_tok():
+    return WordPieceTokenizer.from_wordlist(synthetic.vocabulary())
+
+
+@pytest.fixture
+def xlnet_tok():
+    return SimpleUnigramTokenizer.from_wordlist(synthetic.vocabulary())
+
+
+def test_wordpiece_splits_known_and_unknown(bert_tok):
+    assert bert_tok.tokenize("good") == ["good"]
+    # "goodly" is not a whole word in the vocab → wordpiece split
+    pieces = bert_tok.tokenize("goodly")
+    assert len(pieces) >= 2
+    assert pieces[0] in bert_tok.vocab
+    assert all(p.startswith("##") for p in pieces[1:])
+    ids = bert_tok.convert_tokens_to_ids(pieces)
+    assert all(isinstance(i, int) for i in ids)
+
+
+def test_wordpiece_basic_tokenizer_punct_and_case(bert_tok):
+    assert bert_tok.basic.tokenize("Hello, world!") == \
+        ["hello", ",", "world", "!"]
+
+
+def test_alignment_replicates_modalities(bert_tok):
+    words = ["good", "goodly"]
+    visual = np.arange(2 * DV, dtype=np.float32).reshape(2, DV)
+    acoustic = np.arange(2 * DA, dtype=np.float32).reshape(2, DA)
+    tokens, v, a = align_modalities(words, visual, acoustic, bert_tok)
+    n_pieces_word2 = len(bert_tok.tokenize("goodly"))
+    assert len(tokens) == 1 + n_pieces_word2
+    # every subword of word 2 carries word 2's feature row
+    for i in range(1, len(tokens)):
+        np.testing.assert_array_equal(v[i], visual[1])
+        np.testing.assert_array_equal(a[i], acoustic[1])
+
+
+def test_bert_packing_right_pad(bert_tok):
+    tokens = ["good", "bad"]
+    visual = np.ones((2, DV), np.float32)
+    acoustic = np.ones((2, DA), np.float32)
+    ids, v, a, mask, seg = prepare_bert_input(
+        tokens, visual, acoustic, bert_tok, S)
+    assert len(ids) == S and len(mask) == S and len(seg) == S
+    assert ids[0] == bert_tok.vocab["[CLS]"]
+    assert ids[3] == bert_tok.vocab["[SEP]"]
+    assert mask == [1] * 4 + [0] * (S - 4)
+    assert seg == [0] * S
+    # zero modality rows for CLS/SEP and padding
+    assert v.shape == (S, DV)
+    np.testing.assert_array_equal(v[0], 0)
+    np.testing.assert_array_equal(v[3:], 0)
+    np.testing.assert_array_equal(v[1:3], 1)
+
+
+def test_xlnet_packing_left_pad(xlnet_tok):
+    tokens = xlnet_tok.tokenize("good bad")
+    n = len(tokens)
+    visual = np.ones((n, DV), np.float32)
+    acoustic = np.ones((n, DA), np.float32)
+    ids, v, a, mask, seg = prepare_xlnet_input(
+        tokens, visual, acoustic, xlnet_tok, S)
+    pad = S - (n + 2)
+    assert ids[:pad] == [xlnet_tok.pad_token_id] * pad
+    assert mask[:pad] == [0] * pad
+    assert seg[:pad] == [3] * pad
+    # CLS is LAST with segment id 2
+    assert ids[-1] == xlnet_tok.vocab["<cls>"]
+    assert ids[-2] == xlnet_tok.vocab["<sep>"]
+    assert seg[-1] == 2
+    assert seg[pad:-1] == [0] * (n + 1)
+    np.testing.assert_array_equal(v[:pad], 0)
+    np.testing.assert_array_equal(v[pad:pad + n], 1)
+    np.testing.assert_array_equal(v[-2:], 0)
+
+
+def test_convert_to_features_shapes(bert_tok):
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=8, n_dev=2, n_test=2, seed=0)
+    split = convert_to_features(data["train"], S, bert_tok, "bert")
+    assert split.input_ids.shape == (8, S)
+    assert split.visual.shape == (8, S, DV)
+    assert split.acoustic.shape == (8, S, DA)
+    assert split.label_ids.shape == (8,)
+    assert split.input_ids.dtype == np.int32
+    assert split.visual.dtype == np.float32
+
+
+def test_convert_truncates_long_examples(bert_tok):
+    words = ["good"] * 40
+    visual = np.random.randn(40, DV).astype(np.float32)
+    acoustic = np.random.randn(40, DA).astype(np.float32)
+    ex = [((words, visual, acoustic), np.array([[1.0]]), "seg")]
+    split = convert_to_features(ex, S, bert_tok, "bert")
+    assert split.input_ids.shape == (1, S)
+    assert split.input_mask[0].sum() == S  # fully used after truncation
+
+
+def test_batch_iterator_train_drops_remainder(bert_tok):
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=10, n_dev=2, n_test=2)
+    split = convert_to_features(data["train"], S, bert_tok, "bert")
+    it = BatchIterator(split, 4, shuffle=True, drop_remainder=True, seed=0)
+    batches = list(it)
+    assert len(batches) == 2
+    for batch, valid in batches:
+        assert batch[0].shape[0] == 4
+        assert valid.all()
+    # different epochs see different orders
+    first = list(it)[0][0][0]
+    second = list(it)[0][0][0]
+    assert not np.array_equal(first, second)
+
+
+def test_batch_iterator_eval_pads_remainder(bert_tok):
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=2, n_dev=10, n_test=2)
+    split = convert_to_features(data["dev"], S, bert_tok, "bert")
+    it = BatchIterator(split, 4, shuffle=False, drop_remainder=False)
+    batches = list(it)
+    assert len(batches) == 3
+    last_batch, last_valid = batches[-1]
+    assert last_batch[0].shape[0] == 4
+    assert last_valid.sum() == 2
+    total_valid = sum(v.sum() for _, v in batches)
+    assert total_valid == 10

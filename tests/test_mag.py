@@ -1,0 +1,139 @@
+"""Golden-value tests for the MAG gate.
+
+The golden reference is an independent numpy transcription of the published
+MAG equations (reference modeling.py:25-51): gates, displacement H_m, the
+‖text‖/‖H_m‖·β clamp with its two guards (hm_norm==0 → 1, α ≤ 1), LayerNorm
+(torch-default eps 1e-5), no dropout (eval mode).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bert_multimodal_transformer_tpu.ops.mag import (
+    init_mag_params,
+    mag_gate,
+)
+from bert_multimodal_transformer_tpu.models.mag import MAG
+
+D, DV, DA = 16, 5, 7
+
+
+def numpy_mag(params, text, visual, acoustic, beta_shift=1.0):
+    """Independent numpy golden implementation of modeling.py:25-51."""
+    p = {k: np.asarray(v, np.float64) for k, v in params.items()}
+    t = text.astype(np.float64)
+    v = visual.astype(np.float64)
+    a = acoustic.astype(np.float64)
+
+    gate_v = np.maximum(v @ p["w_hv_v"] + t @ p["w_hv_t"] + p["b_hv"], 0.0)
+    gate_a = np.maximum(a @ p["w_ha_a"] + t @ p["w_ha_t"] + p["b_ha"], 0.0)
+    h_m = gate_v * (v @ p["w_v"] + p["b_v"]) + gate_a * (a @ p["w_a"] + p["b_a"])
+
+    em_norm = np.linalg.norm(t, axis=-1)
+    hm_norm = np.linalg.norm(h_m, axis=-1)
+    hm_norm = np.where(hm_norm == 0.0, 1.0, hm_norm)
+    thresh = (em_norm / (hm_norm + 1e-6)) * beta_shift
+    alpha = np.minimum(thresh, 1.0)[..., None]
+
+    fused = alpha * h_m + t
+    mean = fused.mean(-1, keepdims=True)
+    var = ((fused - mean) ** 2).mean(-1, keepdims=True)
+    y = (fused - mean) / np.sqrt(var + 1e-5) * p["ln_gamma"] + p["ln_beta"]
+    return y
+
+
+@pytest.fixture
+def params():
+    return jax.device_get(
+        init_mag_params(jax.random.PRNGKey(0), D, DV, DA))
+
+
+@pytest.fixture
+def inputs():
+    rng = np.random.RandomState(1)
+    text = rng.randn(4, 9, D).astype(np.float32)
+    visual = rng.randn(4, 9, DV).astype(np.float32)
+    acoustic = rng.randn(4, 9, DA).astype(np.float32)
+    return text, visual, acoustic
+
+
+def test_mag_matches_numpy_golden(params, inputs):
+    text, visual, acoustic = inputs
+    got = np.asarray(mag_gate(params, text, visual, acoustic, beta_shift=1.0))
+    want = numpy_mag(params, text, visual, acoustic, beta_shift=1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_mag_beta_shift_scales_alpha(params, inputs):
+    text, visual, acoustic = inputs
+    tiny = np.asarray(mag_gate(params, text, visual, acoustic,
+                               beta_shift=1e-3))
+    want = numpy_mag(params, text, visual, acoustic, beta_shift=1e-3)
+    np.testing.assert_allclose(tiny, want, rtol=1e-4, atol=1e-5)
+
+
+def test_mag_zero_hm_guard(params):
+    """If both modalities are zero and biases make H_m exactly 0, output must
+    be LayerNorm(text) — exercising the hm_norm==0 → 1 guard
+    (modeling.py:35-36)."""
+    p = dict(params)
+    # Zero the displacement projections entirely so h_m == 0 regardless.
+    for k in ["w_v", "b_v", "w_a", "b_a"]:
+        p[k] = np.zeros_like(p[k])
+    rng = np.random.RandomState(2)
+    text = rng.randn(2, 3, D).astype(np.float32)
+    visual = rng.randn(2, 3, DV).astype(np.float32)
+    acoustic = rng.randn(2, 3, DA).astype(np.float32)
+    got = np.asarray(mag_gate(p, text, visual, acoustic))
+    want = numpy_mag(p, text, visual, acoustic)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_mag_alpha_clamped_at_one(params, inputs):
+    """With a huge beta_shift the clamp must saturate: output equals
+    LayerNorm(h_m + text) exactly (α==1)."""
+    text, visual, acoustic = inputs
+    big = np.asarray(mag_gate(params, text, visual, acoustic,
+                              beta_shift=1e9))
+    want = numpy_mag(params, text, visual, acoustic, beta_shift=1e9)
+    np.testing.assert_allclose(big, want, rtol=1e-5, atol=1e-5)
+
+
+def test_mag_flax_module_matches_functional(inputs):
+    text, visual, acoustic = inputs
+    mod = MAG(hidden_size=D, visual_dim=DV, acoustic_dim=DA, beta_shift=1.0,
+              dropout_prob=0.5)
+    variables = mod.init(jax.random.PRNGKey(0), text, visual, acoustic)
+    out = mod.apply(variables, text, visual, acoustic, deterministic=True)
+    flat = variables["params"]
+    want = numpy_mag({k: np.asarray(v) for k, v in flat.items()},
+                     text, visual, acoustic)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
+
+
+def test_mag_dropout_active_in_training_mode(inputs):
+    text, visual, acoustic = inputs
+    mod = MAG(hidden_size=D, visual_dim=DV, acoustic_dim=DA,
+              dropout_prob=0.5)
+    variables = mod.init(jax.random.PRNGKey(0), text, visual, acoustic)
+    out1 = mod.apply(variables, text, visual, acoustic, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    out2 = mod.apply(variables, text, visual, acoustic, deterministic=True)
+    # ~half the entries should be zeroed in training mode.
+    frac_zero = float(np.mean(np.asarray(out1) == 0.0))
+    assert 0.3 < frac_zero < 0.7
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_mag_grads_finite(params, inputs):
+    text, visual, acoustic = inputs
+
+    def loss(p):
+        return jnp.sum(mag_gate(p, text, visual, acoustic) ** 2)
+
+    grads = jax.grad(loss)(params)
+    for k, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), k

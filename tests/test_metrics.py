@@ -1,0 +1,67 @@
+"""Metric-function tests, cross-checked against sklearn."""
+
+import numpy as np
+from sklearn.metrics import accuracy_score, f1_score
+
+from bert_multimodal_transformer_tpu.training.metrics import (
+    binary_weighted_f1,
+    score_regression,
+)
+
+
+def sklearn_reference(preds, labels, use_zero=False):
+    """Direct transcription of the reference scoring recipe
+    (multimodal_driver.py:462-480) using sklearn, as the golden."""
+    preds = np.asarray(preds, np.float64)
+    labels = np.asarray(labels, np.float64)
+    non_zeros = np.array(
+        [i for i, e in enumerate(labels) if e != 0 or use_zero])
+    preds = preds[non_zeros]
+    labels = labels[non_zeros]
+    mae = np.mean(np.absolute(preds - labels))
+    corr = np.corrcoef(preds, labels)[0][1]
+    bp = preds >= 0
+    bl = labels >= 0
+    return {
+        "acc": accuracy_score(bl, bp),
+        "mae": mae,
+        "corr": corr,
+        "f_score": f1_score(bl, bp, average="weighted"),
+    }
+
+
+def test_score_matches_sklearn_reference():
+    rng = np.random.RandomState(0)
+    labels = rng.uniform(-3, 3, 200)
+    labels[::17] = 0.0  # some exact zeros to exercise exclusion
+    preds = labels + rng.randn(200) * 0.8
+    got = score_regression(preds, labels)
+    want = sklearn_reference(preds, labels)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-9, err_msg=k)
+
+
+def test_zero_exclusion_toggle():
+    labels = np.array([0.0, 0.0, 1.0, -1.0])
+    preds = np.array([5.0, 5.0, 1.0, -1.0])
+    excl = score_regression(preds, labels, use_zero=False)
+    incl = score_regression(preds, labels, use_zero=True)
+    assert excl["mae"] == 0.0
+    assert incl["mae"] == 2.5
+    assert excl["acc"] == 1.0
+
+
+def test_weighted_f1_imbalanced():
+    rng = np.random.RandomState(1)
+    y_true = rng.rand(500) < 0.9
+    y_pred = y_true ^ (rng.rand(500) < 0.2)
+    got = binary_weighted_f1(y_true, y_pred)
+    want = f1_score(y_true, y_pred, average="weighted")
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_weighted_f1_single_class():
+    y = np.ones(10, bool)
+    got = binary_weighted_f1(y, y)
+    want = f1_score(y, y, average="weighted")
+    np.testing.assert_allclose(got, want)
