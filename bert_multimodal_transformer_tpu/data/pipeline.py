@@ -77,15 +77,24 @@ def align_modalities(
     return tokens, visual, acoustic
 
 
+def _to_ids(tokens, tokenizer) -> List[int]:
+    """tokens may be subword strings or already-converted ids (native
+    tokenizer fast path)."""
+    if tokens and isinstance(tokens[0], (int, np.integer)):
+        return [int(t) for t in tokens]
+    return tokenizer.convert_tokens_to_ids(list(tokens))
+
+
 def prepare_bert_input(tokens, visual, acoustic, tokenizer, max_seq_length):
     """[CLS] tokens [SEP], zero modality rows for specials, right-pad with
     zeros (reference multimodal_driver.py:143-173)."""
     dv, da = visual.shape[-1], acoustic.shape[-1]
-    toks = [tokenizer.cls_token] + list(tokens) + [tokenizer.sep_token]
     visual = np.concatenate([np.zeros((1, dv)), visual, np.zeros((1, dv))])
     acoustic = np.concatenate([np.zeros((1, da)), acoustic,
                                np.zeros((1, da))])
-    input_ids = tokenizer.convert_tokens_to_ids(toks)
+    cls_id, sep_id = tokenizer.convert_tokens_to_ids(
+        [tokenizer.cls_token, tokenizer.sep_token])
+    input_ids = [cls_id] + _to_ids(tokens, tokenizer) + [sep_id]
     n = len(input_ids)
     pad = max_seq_length - n
     input_ids = input_ids + [0] * pad
@@ -101,10 +110,11 @@ def prepare_xlnet_input(tokens, visual, acoustic, tokenizer, max_seq_length):
     pad_token_id, mask 0, segments 3, leading zero modality rows
     (reference multimodal_driver.py:176-205)."""
     dv, da = visual.shape[-1], acoustic.shape[-1]
-    toks = list(tokens) + [tokenizer.sep_token, tokenizer.cls_token]
     visual = np.concatenate([visual, np.zeros((2, dv))])
     acoustic = np.concatenate([acoustic, np.zeros((2, da))])
-    input_ids = tokenizer.convert_tokens_to_ids(toks)
+    sep_id, cls_id = tokenizer.convert_tokens_to_ids(
+        [tokenizer.sep_token, tokenizer.cls_token])
+    input_ids = _to_ids(tokens, tokenizer) + [sep_id, cls_id]
     n = len(input_ids)
     segment_ids = [0] * (n - 1) + [2]
     pad = max_seq_length - n
@@ -132,11 +142,21 @@ def convert_to_features(
     PackedSplit. Mirrors convert_to_features (multimodal_driver.py:82-140),
     including truncation to max_seq_length−2 before the two specials."""
     packer = _PACKERS[model_family]
+    # Native (C++) tokenize/align fast path when the tokenizer provides it.
+    native = hasattr(tokenizer, "tokenize_words_to_ids")
     ids_l, vis_l, ac_l, mask_l, seg_l, lab_l = [], [], [], [], [], []
     for example in examples:
         (words, visual, acoustic), label_id, _segment = example
-        tokens, visual, acoustic = align_modalities(
-            words, visual, acoustic, tokenizer)
+        if native:
+            token_ids, inversions = tokenizer.tokenize_words_to_ids(
+                list(words))
+            tokens = token_ids
+            inv = np.asarray(inversions, np.int64)
+            visual = np.asarray(visual)[inv]
+            acoustic = np.asarray(acoustic)[inv]
+        else:
+            tokens, visual, acoustic = align_modalities(
+                words, visual, acoustic, tokenizer)
         if len(tokens) > max_seq_length - 2:
             tokens = tokens[: max_seq_length - 2]
             visual = visual[: max_seq_length - 2]

@@ -1,0 +1,170 @@
+"""Tests: native C++ tokenizer parity, dataset validator, checkpoint
+round-trip, converter fallback behavior, seeding/logging utilities."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bert_multimodal_transformer_tpu.data import native, synthetic
+from bert_multimodal_transformer_tpu.data.pipeline import (
+    convert_to_features,
+)
+from bert_multimodal_transformer_tpu.data.tokenization import (
+    WordPieceTokenizer,
+)
+from bert_multimodal_transformer_tpu.data.validate import (
+    ValidationError,
+    validate,
+)
+from bert_multimodal_transformer_tpu.utils.seeding import (
+    parse_seed,
+    str2bool,
+)
+
+DV, DA, S = 3, 4, 12
+
+
+@pytest.fixture(scope="module")
+def py_tok():
+    return WordPieceTokenizer.from_wordlist(synthetic.vocabulary())
+
+
+# ---------------------------------------------------------------- native --
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="g++ build unavailable")
+
+
+@needs_native
+def test_native_tokenizer_matches_python(py_tok):
+    nat = native.NativeWordPieceTokenizer(py_tok)
+    cases = [
+        ["good", "bad", "goodly"],
+        ["Hello,", "WORLD!"],
+        ["unsplittable-token", "movie"],
+        ["a"],
+        [""],
+        ["great", "zzzqqq"],  # zz... has single chars in vocab via chars
+    ]
+    for words in cases:
+        ids_n, inv_n = nat.tokenize_words_to_ids(words)
+        # python reference
+        ids_p, inv_p = [], []
+        for i, w in enumerate(words):
+            pieces = py_tok.tokenize(w)
+            ids_p.extend(py_tok.convert_tokens_to_ids(pieces))
+            inv_p.extend([i] * len(pieces))
+        assert ids_n == ids_p, words
+        assert inv_n == inv_p, words
+
+
+@needs_native
+def test_native_pipeline_matches_python_pipeline(py_tok):
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=16, n_dev=2, n_test=2, seed=7)
+    nat = native.NativeWordPieceTokenizer(py_tok)
+    split_py = convert_to_features(data["train"], S, py_tok, "bert")
+    split_nat = convert_to_features(data["train"], S, nat, "bert")
+    np.testing.assert_array_equal(split_py.input_ids, split_nat.input_ids)
+    np.testing.assert_array_equal(split_py.input_mask, split_nat.input_mask)
+    np.testing.assert_allclose(split_py.visual, split_nat.visual)
+    np.testing.assert_allclose(split_py.acoustic, split_nat.acoustic)
+
+
+# ------------------------------------------------------------- validator --
+
+def test_validate_accepts_synthetic():
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=4, n_dev=2, n_test=2)
+    sizes = validate(data, visual_dim=DV, acoustic_dim=DA)
+    assert sizes == {"train": 4, "dev": 2, "test": 2}
+
+
+def test_validate_rejects_misalignment():
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=2, n_dev=1, n_test=1)
+    (words, visual, acoustic), label, seg = data["train"][0]
+    data["train"][0] = ((words, visual[:-1], acoustic), label, seg)
+    with pytest.raises(ValidationError, match="misaligned"):
+        validate(data)
+
+
+def test_validate_rejects_wrong_dim():
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=2, n_dev=1, n_test=1)
+    with pytest.raises(ValidationError, match="visual dim"):
+        validate(data, visual_dim=DV + 1, acoustic_dim=DA)
+
+
+# ------------------------------------------------------------ checkpoint --
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bert_multimodal_transformer_tpu.training.trainer import TrainState
+    from bert_multimodal_transformer_tpu.utils.checkpoint import (
+        CheckpointManager,
+    )
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)}
+    tx = optax.adam(1e-3)
+    state = TrainState.create(apply_fn=lambda *a, **k: None, params=params,
+                              tx=tx, rng=jax.random.PRNGKey(7))
+    state = state.replace(step=jnp.asarray(5, jnp.int32))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, step=5, wait=True)
+    assert mgr.latest_step() == 5
+
+    fresh = TrainState.create(apply_fn=lambda *a, **k: None,
+                              params=jax.tree_util.tree_map(
+                                  jnp.zeros_like, params),
+                              tx=tx, rng=jax.random.PRNGKey(0))
+    restored = mgr.restore_latest(fresh)
+    assert int(restored.step) == 5
+    np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                               np.arange(6.0).reshape(2, 3))
+    np.testing.assert_allclose(np.asarray(restored.rng),
+                               np.asarray(jax.random.PRNGKey(7)))
+    mgr.close()
+
+
+# --------------------------------------------------------------- seeding --
+
+def test_parse_seed():
+    assert parse_seed(7) == 7
+    assert parse_seed("123") == 123
+    assert 0 <= parse_seed("random") <= 9999
+    with pytest.raises(ValueError):
+        parse_seed("10000")
+
+
+def test_str2bool():
+    assert str2bool("yes") and str2bool("True") and str2bool("1")
+    assert not str2bool("no") and not str2bool("F")
+    with pytest.raises(ValueError):
+        str2bool("maybe")
+
+
+def test_metric_logger_jsonl(tmp_path):
+    import io
+    import json
+
+    from bert_multimodal_transformer_tpu.utils.logging import MetricLogger
+
+    os.environ["WANDB_MODE"] = "disabled"
+    stream = io.StringIO()
+    path = tmp_path / "m.jsonl"
+    logger = MetricLogger(use_wandb=False, jsonl_path=str(path),
+                          stream=stream)
+    logger.log({"epoch": 0, "train_loss": 1.0, "valid_loss": 2.0,
+                "test_acc": 0.5})
+    logger.finish()
+    lines = path.read_text().strip().splitlines()
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["epoch"] == 0 and rec["test_acc"] == 0.5
+    assert "epoch:0" in stream.getvalue()
