@@ -120,6 +120,13 @@ def main(argv=None) -> int:
         pickle_path = args.data_pickle
         tokenizer = get_tokenizer(args.model, args.vocab)
 
+    if isinstance(tokenizer, WordPieceTokenizer):
+        # Native C++ tokenize/align fast path when the toolchain allows.
+        from bert_multimodal_transformer_tpu.data import native
+
+        if native.available():
+            tokenizer = native.NativeWordPieceTokenizer(tokenizer)
+
     train_it, dev_it, test_it, num_steps = set_up_data_loaders(
         pickle_path, tokenizer, model_family=family,
         max_seq_length=args.max_seq_length,

@@ -60,8 +60,10 @@ class BertEmbeddings(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array, token_type_ids: jax.Array,
+    def __call__(self, input_ids: Optional[jax.Array],
+                 token_type_ids: jax.Array,
                  position_ids: Optional[jax.Array] = None,
+                 inputs_embeds: Optional[jax.Array] = None,
                  *, deterministic: bool = True) -> jax.Array:
         cfg = self.config
         init = nn.initializers.normal(stddev=cfg.initializer_range)
@@ -72,10 +74,13 @@ class BertEmbeddings(nn.Module):
                          jnp.float32)
         typ = self.param("token_type_embeddings", init,
                          (cfg.type_vocab_size, cfg.hidden_size), jnp.float32)
-        seq_len = input_ids.shape[-1]
+        seq_len = (input_ids.shape[-1] if input_ids is not None
+                   else inputs_embeds.shape[-2])
         if position_ids is None:
             position_ids = jnp.arange(seq_len)[None, :]
-        x = (jnp.take(word, input_ids, axis=0)
+        word_emb = (jnp.take(word, input_ids, axis=0)
+                    if inputs_embeds is None else inputs_embeds)
+        x = (word_emb
              + jnp.take(pos, position_ids, axis=0)
              + jnp.take(typ, token_type_ids, axis=0)).astype(self.dtype)
         x = LayerNorm(epsilon=cfg.layer_norm_eps, name="LayerNorm")(x)
@@ -92,6 +97,7 @@ class BertSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden: jax.Array, attn_bias: Optional[jax.Array],
+                 head_mask: Optional[jax.Array] = None,
                  *, deterministic: bool = True) -> jax.Array:
         cfg = self.config
         d = cfg.hidden_size
@@ -114,6 +120,7 @@ class BertSelfAttention(nn.Module):
             dropout_rate=cfg.attention_probs_dropout_prob,
             dropout_rng=dropout_rng,
             deterministic=deterministic,
+            head_mask=head_mask,
         )
         ctx = jnp.moveaxis(ctx, 1, 2).reshape(b, s, d)
 
@@ -135,11 +142,12 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, hidden: jax.Array, attn_bias: Optional[jax.Array],
+                 head_mask: Optional[jax.Array] = None,
                  *, deterministic: bool = True) -> jax.Array:
         cfg = self.config
         init = nn.initializers.normal(stddev=cfg.initializer_range)
         attn_out = BertSelfAttention(cfg, self.dtype, name="attention")(
-            hidden, attn_bias, deterministic=deterministic)
+            hidden, attn_bias, head_mask, deterministic=deterministic)
         x = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                      kernel_init=init, name="intermediate_dense")(attn_out)
         x = ACT2FN[cfg.hidden_act](x)
@@ -159,13 +167,19 @@ class BertEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, hidden: jax.Array, attn_bias: Optional[jax.Array],
+                 head_mask: Optional[jax.Array] = None,
                  *, deterministic: bool = True) -> jax.Array:
         layer_cls = BertLayer
         if self.remat:
             layer_cls = nn.remat(BertLayer, static_argnums=())
         for i in range(self.config.num_hidden_layers):
+            # head_mask: [L, H] per-layer rows or [H] shared (HF
+            # get_head_mask contract, reference bert.py:208-209).
+            hm = None
+            if head_mask is not None:
+                hm = head_mask[i] if head_mask.ndim == 2 else head_mask
             hidden = layer_cls(self.config, self.dtype, name=f"layer_{i}")(
-                hidden, attn_bias, deterministic=deterministic)
+                hidden, attn_bias, hm, deterministic=deterministic)
         return hidden
 
 
@@ -204,20 +218,27 @@ class MagBertModel(nn.Module):
         attention_mask: Optional[jax.Array] = None,
         token_type_ids: Optional[jax.Array] = None,
         position_ids: Optional[jax.Array] = None,
+        head_mask: Optional[jax.Array] = None,
+        inputs_embeds: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
+        if (input_ids is None) == (inputs_embeds is None):
+            raise ValueError(
+                "specify exactly one of input_ids or inputs_embeds")
+        input_shape = (input_ids.shape if input_ids is not None
+                       else inputs_embeds.shape[:-1])
         if attention_mask is None:
-            attention_mask = jnp.ones_like(input_ids)
+            attention_mask = jnp.ones(input_shape, jnp.int32)
         if token_type_ids is None:
-            token_type_ids = jnp.zeros_like(input_ids)
+            token_type_ids = jnp.zeros(input_shape, jnp.int32)
 
         attn_bias = extended_attention_mask(attention_mask, jnp.float32)
 
         emb = BertEmbeddings(cfg, self.dtype, name="embeddings")(
             input_ids, token_type_ids, position_ids,
-            deterministic=deterministic)
+            inputs_embeds=inputs_embeds, deterministic=deterministic)
 
         mm = self.multimodal_config
         fused = MAG(
@@ -233,7 +254,7 @@ class MagBertModel(nn.Module):
 
         seq_out = BertEncoder(cfg, self.dtype, remat=self.remat,
                               name="encoder")(
-            fused, attn_bias, deterministic=deterministic)
+            fused, attn_bias, head_mask, deterministic=deterministic)
         pooled = BertPooler(cfg, self.dtype, name="pooler")(seq_out)
         return seq_out, pooled
 
@@ -258,6 +279,8 @@ class MagBertForSequenceClassification(nn.Module):
         attention_mask: Optional[jax.Array] = None,
         token_type_ids: Optional[jax.Array] = None,
         position_ids: Optional[jax.Array] = None,
+        head_mask: Optional[jax.Array] = None,
+        inputs_embeds: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
     ) -> jax.Array:
@@ -266,7 +289,8 @@ class MagBertForSequenceClassification(nn.Module):
             cfg, self.multimodal_config, self.visual_dim, self.acoustic_dim,
             self.dtype, self.remat, name="bert")(
             input_ids, visual, acoustic, attention_mask, token_type_ids,
-            position_ids, deterministic=deterministic)
+            position_ids, head_mask, inputs_embeds,
+            deterministic=deterministic)
         pooled = nn.Dropout(rate=cfg.hidden_dropout_prob)(
             pooled, deterministic=deterministic)
         init = nn.initializers.normal(stddev=cfg.initializer_range)

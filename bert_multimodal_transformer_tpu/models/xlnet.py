@@ -135,7 +135,7 @@ class XLNetRelativeAttention(nn.Module):
         self.out_dropout = nn.Dropout(rate=cfg.dropout)
 
     def _rel_attn_core(self, q_head, k_head, v_head, k_head_r, seg_mat,
-                       attn_mask, deterministic):
+                       attn_mask, deterministic, head_mask=None):
         """q_head [B,Q,H,Dh]; k/v_head [B,K,H,Dh]; k_head_r [P,H,Dh];
         seg_mat [B,Q,K,2] or None; attn_mask [B,1,Q,K] float 1=masked."""
         cfg = self.config
@@ -165,6 +165,9 @@ class XLNetRelativeAttention(nn.Module):
             score = score - MASK_VERY_NEG * attn_mask.astype(f32)
         probs = jax.nn.softmax(score, axis=-1)
         probs = self.attn_dropout(probs, deterministic=deterministic)
+        if head_mask is not None:
+            # HF applies the head mask after attention dropout.
+            probs = probs * head_mask.astype(probs.dtype).reshape(1, -1, 1, 1)
         probs = probs.astype(self.dtype)
         attn_vec = jnp.einsum("bhqk,bkhf->bqhf", probs, v_head)
         return attn_vec
@@ -185,6 +188,7 @@ class XLNetRelativeAttention(nn.Module):
         seg_mat: Optional[jax.Array],      # [B, Q, K, 2]
         mems: Optional[jax.Array] = None,  # [B, mlen, D]
         target_mapping: Optional[jax.Array] = None,  # [B, M, Q]
+        head_mask: Optional[jax.Array] = None,       # [H], 1=keep
         *,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
@@ -200,7 +204,7 @@ class XLNetRelativeAttention(nn.Module):
 
         attn_vec_h = self._rel_attn_core(
             q_head_h, k_head, v_head, k_head_r, seg_mat, attn_mask_h,
-            deterministic)
+            deterministic, head_mask)
         out_h = self._post_attention(h, attn_vec_h, deterministic)
 
         out_g = None
@@ -212,13 +216,13 @@ class XLNetRelativeAttention(nn.Module):
                                       target_mapping.astype(dt))
                 attn_vec_g = self._rel_attn_core(
                     q_head_g, k_head, v_head, k_head_r, seg_mat,
-                    attn_mask_g, deterministic)
+                    attn_mask_g, deterministic, head_mask)
                 attn_vec_g = jnp.einsum("bqhf,bmq->bmhf", attn_vec_g,
                                         target_mapping.astype(dt))
             else:
                 attn_vec_g = self._rel_attn_core(
                     q_head_g, k_head, v_head, k_head_r, seg_mat,
-                    attn_mask_g, deterministic)
+                    attn_mask_g, deterministic, head_mask)
             out_g = self._post_attention(g, attn_vec_g, deterministic)
 
         return out_h, out_g
@@ -251,11 +255,12 @@ class XLNetLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h, g, attn_mask_h, attn_mask_g, r, seg_mat,
-                 mems=None, target_mapping=None, *, deterministic=True):
+                 mems=None, target_mapping=None, head_mask=None,
+                 *, deterministic=True):
         out_h, out_g = XLNetRelativeAttention(
             self.config, self.dtype, name="rel_attn")(
             h, g, attn_mask_h, attn_mask_g, r, seg_mat, mems,
-            target_mapping, deterministic=deterministic)
+            target_mapping, head_mask, deterministic=deterministic)
         ff = XLNetFeedForward(self.config, self.dtype, name="ff")
         out_h = ff(out_h, deterministic=deterministic)
         if out_g is not None:
@@ -285,6 +290,7 @@ class MagXLNetModel(nn.Module):
         target_mapping: Optional[jax.Array] = None,  # [B, M, Q]
         token_type_ids: Optional[jax.Array] = None,  # [B, Q]
         input_mask: Optional[jax.Array] = None,      # [B, Q], 1=padding
+        head_mask: Optional[jax.Array] = None,       # [L, H] or [H], 1=keep
         use_cache: bool = False,
         *,
         deterministic: bool = True,
@@ -391,10 +397,13 @@ class MagXLNetModel(nn.Module):
                 output_h = mag(output_h, visual.astype(self.dtype),
                                acoustic.astype(self.dtype),
                                deterministic=deterministic)
+            hm = None
+            if head_mask is not None:
+                hm = head_mask[i] if head_mask.ndim == 2 else head_mask
             output_h, output_g = XLNetLayer(
                 cfg, self.dtype, name=f"layer_{i}")(
                 output_h, output_g, non_tgt_mask, attn_mask, pos_emb,
-                seg_mat, mems[i], target_mapping,
+                seg_mat, mems[i], target_mapping, hm,
                 deterministic=deterministic)
 
         output = dropout(output_g if output_g is not None else output_h,

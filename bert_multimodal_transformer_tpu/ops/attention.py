@@ -26,12 +26,14 @@ def dot_product_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    head_mask: Optional[jax.Array] = None,  # [H] or broadcastable, 1=keep
 ) -> jax.Array:
     """Masked scaled-dot-product attention with fp32 softmax.
 
     Matches HF BertSelfAttention semantics: scores = QKᵀ·scale + bias
     (bias is the additive −10000-style extended mask), softmax, dropout on
-    the probabilities, then context = probs·V.
+    the probabilities, optional multiplicative head_mask (HF get_head_mask
+    contract, reference bert.py:208-209), then context = probs·V.
     """
     dtype = q.dtype
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -44,6 +46,8 @@ def dot_product_attention(
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    if head_mask is not None:
+        probs = probs * head_mask.astype(probs.dtype).reshape(1, -1, 1, 1)
     probs = probs.astype(dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 

@@ -126,3 +126,31 @@ def test_bf16_forward_matches_fp32_loosely():
     l32 = np.asarray(m32.apply(vars_, ids, visual, acoustic, mask))
     l16 = np.asarray(m16.apply(vars_, ids, visual, acoustic, mask))
     np.testing.assert_allclose(l16, l32, rtol=0.1, atol=0.1)
+
+
+def test_head_mask_and_inputs_embeds():
+    """HF-parity API surface: head_mask zeroes heads; inputs_embeds replaces
+    input_ids (reference bert.py:114-115,208-209)."""
+    ids, visual, acoustic, mask = make_inputs()
+    model = MagBertForSequenceClassification(
+        CFG, MM, visual_dim=DV, acoustic_dim=DA)
+    vars_ = model.init(jax.random.PRNGKey(0), ids, visual, acoustic, mask)
+
+    base = model.apply(vars_, ids, visual, acoustic, mask)
+    hm = np.ones((CFG.num_hidden_layers, CFG.num_attention_heads),
+                 np.float32)
+    same = model.apply(vars_, ids, visual, acoustic, mask, head_mask=hm)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same),
+                               rtol=1e-6)
+    hm0 = np.zeros_like(hm)
+    ablated = model.apply(vars_, ids, visual, acoustic, mask, head_mask=hm0)
+    assert not np.allclose(np.asarray(base), np.asarray(ablated))
+
+    # inputs_embeds path: feeding the word embeddings directly must match
+    word = np.asarray(vars_["params"]["bert"]["embeddings"]
+                      ["word_embeddings"])
+    embeds = word[ids]
+    via_embeds = model.apply(vars_, None, visual, acoustic, mask,
+                             inputs_embeds=jnp.asarray(embeds))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(via_embeds),
+                               rtol=1e-5, atol=1e-6)
