@@ -69,12 +69,16 @@ def main():
 
     for _ in range(warmup):
         state, loss = trainer._train_step(state, dev_batch)
-    jax.block_until_ready(loss)
+    float(jax.device_get(loss))
 
+    # NOTE: synchronize by fetching the final loss VALUE. On the tunneled
+    # TPU backend, block_until_ready returns before remote execution
+    # completes, inflating throughput ~50x; device_get of the last loss
+    # forces the whole step chain (each step consumes the previous params).
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, loss = trainer._train_step(state, dev_batch)
-    jax.block_until_ready(loss)
+    float(jax.device_get(loss))
     dt = time.perf_counter() - t0
 
     examples_per_sec = batch * n_steps / dt

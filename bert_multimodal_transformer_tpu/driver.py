@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="Tiny model geometry (smoke tests)")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize encoder layers (bert-large memory)")
     return p
 
 
@@ -153,7 +155,9 @@ def main(argv=None) -> int:
         cfg = (XLNetConfig.tiny(vocab_size) if args.tiny
                else XLNetConfig.xlnet_base_cased())
         if args.synthetic and not args.tiny:
-            cfg = XLNetConfig(vocab_size=max(vocab_size, 128))
+            # shrink vocab to the synthetic tokenizer's, keep geometry
+            import dataclasses
+            cfg = dataclasses.replace(cfg, vocab_size=max(vocab_size, 128))
         model = MagXLNetForSequenceClassification(
             cfg, mm, visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
             dtype=dtype)
@@ -163,14 +167,15 @@ def main(argv=None) -> int:
                 if args.model == "bert-large-uncased"
                 else BertConfig.bert_base_uncased()))
         if args.synthetic and not args.tiny:
-            cfg = BertConfig(vocab_size=max(vocab_size, 128))
+            import dataclasses
+            cfg = dataclasses.replace(cfg, vocab_size=max(vocab_size, 128))
         from bert_multimodal_transformer_tpu.models.bert import (
             MagBertForSequenceClassification,
         )
 
         model = MagBertForSequenceClassification(
             cfg, mm, visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
-            dtype=dtype)
+            dtype=dtype, remat=args.remat)
 
     # ---- training -------------------------------------------------------
     tx = make_optimizer(

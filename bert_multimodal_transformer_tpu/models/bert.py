@@ -143,7 +143,9 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden: jax.Array, attn_bias: Optional[jax.Array],
                  head_mask: Optional[jax.Array] = None,
-                 *, deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True) -> jax.Array:
+        # NOTE: deterministic is positional (not kw-only) so nn.remat can
+        # mark it static (static_argnums) for the rematerialized stack.
         cfg = self.config
         init = nn.initializers.normal(stddev=cfg.initializer_range)
         attn_out = BertSelfAttention(cfg, self.dtype, name="attention")(
@@ -171,7 +173,9 @@ class BertEncoder(nn.Module):
                  *, deterministic: bool = True) -> jax.Array:
         layer_cls = BertLayer
         if self.remat:
-            layer_cls = nn.remat(BertLayer, static_argnums=())
+            # deterministic must be static; flax remat counts the module
+            # itself as args[0], so it is args[4].
+            layer_cls = nn.remat(BertLayer, static_argnums=(4,))
         for i in range(self.config.num_hidden_layers):
             # head_mask: [L, H] per-layer rows or [H] shared (HF
             # get_head_mask contract, reference bert.py:208-209).
@@ -179,7 +183,7 @@ class BertEncoder(nn.Module):
             if head_mask is not None:
                 hm = head_mask[i] if head_mask.ndim == 2 else head_mask
             hidden = layer_cls(self.config, self.dtype, name=f"layer_{i}")(
-                hidden, attn_bias, hm, deterministic=deterministic)
+                hidden, attn_bias, hm, deterministic)
         return hidden
 
 

@@ -154,3 +154,26 @@ def test_head_mask_and_inputs_embeds():
                              inputs_embeds=jnp.asarray(embeds))
     np.testing.assert_allclose(np.asarray(base), np.asarray(via_embeds),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_remat_forward_matches():
+    """remat=True must be numerically identical to remat=False."""
+    ids, visual, acoustic, mask = make_inputs()
+    m0 = MagBertForSequenceClassification(
+        CFG, MM, visual_dim=DV, acoustic_dim=DA, remat=False)
+    m1 = MagBertForSequenceClassification(
+        CFG, MM, visual_dim=DV, acoustic_dim=DA, remat=True)
+    vars_ = m0.init(jax.random.PRNGKey(0), ids, visual, acoustic, mask)
+    l0 = m0.apply(vars_, ids, visual, acoustic, mask)
+    l1 = m1.apply(vars_, ids, visual, acoustic, mask)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-6)
+
+    def loss(p, m):
+        return jnp.mean(m.apply({"params": p}, ids, visual, acoustic,
+                                mask) ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, m0))(vars_["params"])
+    g1 = jax.grad(lambda p: loss(p, m1))(vars_["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7), g0, g1)
