@@ -291,13 +291,18 @@ class MagXLNetModel(nn.Module):
         token_type_ids: Optional[jax.Array] = None,  # [B, Q]
         input_mask: Optional[jax.Array] = None,      # [B, Q], 1=padding
         head_mask: Optional[jax.Array] = None,       # [L, H] or [H], 1=keep
+        inputs_embeds: Optional[jax.Array] = None,   # [B, Q, D]
         use_cache: bool = False,
         *,
         deterministic: bool = True,
     ):
         cfg = self.config
         mm_cfg = self.multimodal_config
-        b, qlen = input_ids.shape
+        if (input_ids is None) == (inputs_embeds is None):
+            raise ValueError(
+                "specify exactly one of input_ids or inputs_embeds")
+        b, qlen = (input_ids.shape if input_ids is not None
+                   else inputs_embeds.shape[:2])
         mlen = 0
         if mems is not None and mems[0] is not None:
             mlen = mems[0].shape[1]
@@ -347,7 +352,11 @@ class MagXLNetModel(nn.Module):
                          embedding_init=nn.initializers.normal(
                              stddev=cfg.initializer_range),
                          dtype=self.dtype, name="word_embedding")
-        word_emb_k = embed(input_ids)
+        if inputs_embeds is not None:
+            word_emb_k = inputs_embeds.astype(self.dtype)
+            embed(jnp.zeros((1, 1), jnp.int32))  # materialize params
+        else:
+            word_emb_k = embed(input_ids)
         dropout = nn.Dropout(rate=cfg.dropout)
         output_h = dropout(word_emb_k, deterministic=deterministic)
         output_g = None
@@ -472,6 +481,8 @@ class MagXLNetForSequenceClassification(nn.Module):
         perm_mask: Optional[jax.Array] = None,
         target_mapping: Optional[jax.Array] = None,
         input_mask: Optional[jax.Array] = None,
+        head_mask: Optional[jax.Array] = None,
+        inputs_embeds: Optional[jax.Array] = None,
         use_cache: bool = False,
         *,
         deterministic: bool = True,
@@ -483,6 +494,7 @@ class MagXLNetForSequenceClassification(nn.Module):
             input_ids, visual, acoustic, attention_mask=attention_mask,
             mems=mems, perm_mask=perm_mask, target_mapping=target_mapping,
             token_type_ids=token_type_ids, input_mask=input_mask,
+            head_mask=head_mask, inputs_embeds=inputs_embeds,
             use_cache=use_cache, deterministic=deterministic)
         summary = SequenceSummary(cfg, self.dtype, name="sequence_summary")(
             output, deterministic=deterministic)

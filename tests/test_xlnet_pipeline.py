@@ -67,3 +67,46 @@ def test_xlnet_end_to_end_training_improves():
     s1 = trainer_dp.init_state(jax.random.PRNGKey(0), batch)
     _, l_dp = trainer_dp._train_step(s1, trainer_dp._put_batch(batch))
     assert np.isfinite(float(l_dp))
+
+
+def test_xlnet_inputs_embeds_and_head_mask():
+    """API parity: inputs_embeds path equals input_ids path; head_mask of
+    ones is a no-op, zeros changes the output."""
+    import jax.numpy as jnp
+    from bert_multimodal_transformer_tpu.models.xlnet import MagXLNetModel
+
+    tok = SimpleUnigramTokenizer.from_wordlist(synthetic.vocabulary())
+    cfg = XLNetConfig.tiny(vocab_size=tok.vocab_size)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0,
+                          injection_index=1)
+    model = MagXLNetModel(cfg, mm, visual_dim=DV, acoustic_dim=DA)
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, tok.vocab_size, (2, 9)).astype(np.int32)
+    vis = rng.randn(2, 9, DV).astype(np.float32)
+    ac = rng.randn(2, 9, DA).astype(np.float32)
+    mask = np.ones((2, 9), np.int32)
+    segs = np.zeros((2, 9), np.int32)
+
+    vars_ = model.init(jax.random.PRNGKey(0), ids, vis, ac, mask,
+                       token_type_ids=segs)
+    base, _ = model.apply(vars_, ids, vis, ac, attention_mask=mask,
+                          token_type_ids=segs)
+
+    word = np.asarray(
+        vars_["params"]["word_embedding"]["embedding"])
+    via_embeds, _ = model.apply(vars_, None, vis, ac, attention_mask=mask,
+                                token_type_ids=segs,
+                                inputs_embeds=jnp.asarray(word[ids]))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(via_embeds),
+                               rtol=1e-5, atol=1e-6)
+
+    hm1 = np.ones((cfg.n_layer, cfg.n_head), np.float32)
+    same, _ = model.apply(vars_, ids, vis, ac, attention_mask=mask,
+                          token_type_ids=segs, head_mask=hm1)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same),
+                               rtol=1e-6)
+    hm0 = np.zeros_like(hm1)
+    ablated, _ = model.apply(vars_, ids, vis, ac, attention_mask=mask,
+                             token_type_ids=segs, head_mask=hm0)
+    assert not np.allclose(np.asarray(base), np.asarray(ablated))
