@@ -137,3 +137,21 @@ def test_mag_grads_finite(params, inputs):
     grads = jax.grad(loss)(params)
     for k, g in grads.items():
         assert np.isfinite(np.asarray(g)).all(), k
+
+
+def test_mag_mosei_dims():
+    """MOSEI preset dims (visual 35, acoustic 74 — global_configs.py:14-17)
+    flow through the gate; odd (non-lane-aligned) dims must work."""
+    from bert_multimodal_transformer_tpu.config import DatasetConfig
+
+    ds = DatasetConfig.mosei()
+    assert (ds.visual_dim, ds.acoustic_dim, ds.text_dim) == (35, 74, 768)
+    params = jax.device_get(init_mag_params(
+        jax.random.PRNGKey(0), 32, ds.visual_dim, ds.acoustic_dim))
+    rng = np.random.RandomState(0)
+    t = rng.randn(2, 5, 32).astype(np.float32)
+    v = rng.randn(2, 5, ds.visual_dim).astype(np.float32)
+    a = rng.randn(2, 5, ds.acoustic_dim).astype(np.float32)
+    out = np.asarray(mag_gate(params, t, v, a))
+    want = numpy_mag(params, t, v, a)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
