@@ -11,7 +11,7 @@ hand when switching datasets" footgun (reference README.md:30-56) is gone.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Mapping, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 

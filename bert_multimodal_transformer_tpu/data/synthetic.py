@@ -18,7 +18,7 @@ overfit test has signal to fit.
 from __future__ import annotations
 
 import pickle
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

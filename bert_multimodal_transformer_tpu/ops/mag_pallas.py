@@ -52,7 +52,10 @@ def _mag_kernel(t_ref, v_ref, a_ref,
     a = a_ref[:].astype(f32)
 
     def mm(x, w_ref):
-        return jnp.dot(x, w_ref[:].astype(f32), preferred_element_type=f32)
+        # HIGHEST precision to bit-track the plain-JAX gate (ops/mag.py):
+        # the default bf16-pass MXU mode perturbs α through ‖H_m‖.
+        return jnp.dot(x, w_ref[:].astype(f32), preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     gate_v = jnp.maximum(
         mm(v, w_hv_v_ref) + mm(t, w_hv_t_ref) + b_hv_ref[:].astype(f32), 0.0)

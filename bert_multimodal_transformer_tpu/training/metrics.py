@@ -9,7 +9,7 @@ hot path (weighted F1 reimplemented and unit-tested against sklearn).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

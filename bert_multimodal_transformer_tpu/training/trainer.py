@@ -20,23 +20,21 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from bert_multimodal_transformer_tpu.parallel.mesh import (
-    DATA_AXIS,
     batch_sharding,
     make_mesh,
     replicated,
 )
 from bert_multimodal_transformer_tpu.training import metrics as metrics_lib
-from bert_multimodal_transformer_tpu.training.optim import make_optimizer
 
 
 class TrainState(struct.PyTreeNode):

@@ -3,7 +3,6 @@ sharding on the virtual 8-device CPU mesh, and a tiny end-to-end overfit."""
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import optax
 import pytest
 
