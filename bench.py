@@ -23,6 +23,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # Hardware PRNG for dropout: threefry costs ~25% of the train step at
+    # this geometry; rbg recovers most of it (same statistics, different
+    # stream). Override with BENCH_RNG=threefry.
+    jax.config.update("jax_default_prng_impl",
+                      os.environ.get("BENCH_RNG", "rbg"))
     import jax.numpy as jnp
 
     from bert_multimodal_transformer_tpu.config import (

@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Tiny model geometry (smoke tests)")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize encoder layers (bert-large memory)")
+    p.add_argument("--rng_impl", type=str, default="rbg",
+                   choices=["threefry2x32", "rbg"],
+                   help="Dropout PRNG: rbg uses the TPU hardware RNG "
+                        "(~20%% faster step; same statistics)")
     return p
 
 
@@ -70,6 +74,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    jax.config.update("jax_default_prng_impl", args.rng_impl)
     import jax.numpy as jnp
 
     from bert_multimodal_transformer_tpu.config import (

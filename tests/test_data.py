@@ -148,3 +148,28 @@ def test_batch_iterator_eval_pads_remainder(bert_tok):
     assert last_valid.sum() == 2
     total_valid = sum(v.sum() for _, v in batches)
     assert total_valid == 10
+
+
+def test_grain_pipeline_option(bert_tok):
+    """Optional Grain loader yields the same fixed-shape batches."""
+    pytest.importorskip("grain")
+    from bert_multimodal_transformer_tpu.data.grain_pipeline import (
+        GRAIN_AVAILABLE,
+        iterate_tuple_batches,
+        make_grain_loader,
+    )
+
+    assert GRAIN_AVAILABLE
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=12, n_dev=2, n_test=2)
+    split = convert_to_features(data["train"], S, bert_tok, "bert")
+    loader = make_grain_loader(split, 4, shuffle=True, seed=0)
+    batches = list(iterate_tuple_batches(loader))
+    assert len(batches) == 3
+    for tup, valid in batches:
+        assert tup[0].shape == (4, S)
+        assert tup[1].shape == (4, S, DV)
+        assert valid.all()
+    # shuffled: batch contents differ from natural order
+    natural = split.input_ids[:4]
+    assert not np.array_equal(batches[0][0][0], natural)
