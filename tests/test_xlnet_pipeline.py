@@ -110,3 +110,62 @@ def test_xlnet_inputs_embeds_and_head_mask():
     ablated, _ = model.apply(vars_, ids, vis, ac, attention_mask=mask,
                              token_type_ids=segs, head_mask=hm0)
     assert not np.allclose(np.asarray(base), np.asarray(ablated))
+
+
+def test_causal_mask_matches_reference_doc():
+    """create_mask parity: the documented matrices (reference
+    xlnet.py:62-67) for qlen=5, mlen=4."""
+    from bert_multimodal_transformer_tpu.models.xlnet import (
+        causal_attn_mask,
+    )
+
+    got = np.asarray(causal_attn_mask(5, 4, same_length=False))
+    want = np.array([
+        [0, 0, 0, 0, 0, 1, 1, 1, 1],
+        [0, 0, 0, 0, 0, 0, 1, 1, 1],
+        [0, 0, 0, 0, 0, 0, 0, 1, 1],
+        [0, 0, 0, 0, 0, 0, 0, 0, 1],
+        [0, 0, 0, 0, 0, 0, 0, 0, 0]], np.float32)
+    np.testing.assert_array_equal(got, want)
+
+    got_sl = np.asarray(causal_attn_mask(5, 4, same_length=True))
+    want_sl = np.array([
+        [0, 0, 0, 0, 0, 1, 1, 1, 1],
+        [1, 0, 0, 0, 0, 0, 1, 1, 1],
+        [1, 1, 0, 0, 0, 0, 0, 1, 1],
+        [1, 1, 1, 0, 0, 0, 0, 0, 1],
+        [1, 1, 1, 1, 0, 0, 0, 0, 0]], np.float32)
+    np.testing.assert_array_equal(got_sl, want_sl)
+
+
+def test_uni_attention_is_causal():
+    """attn_type="uni": position i must not see positions > i — changing a
+    future token leaves earlier outputs unchanged."""
+    import dataclasses
+    import jax.numpy as jnp  # noqa: F401
+
+    tok = SimpleUnigramTokenizer.from_wordlist(synthetic.vocabulary())
+    cfg = dataclasses.replace(XLNetConfig.tiny(vocab_size=tok.vocab_size),
+                              attn_type="uni")
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0,
+                          injection_index=99)
+    from bert_multimodal_transformer_tpu.models.xlnet import MagXLNetModel
+    model = MagXLNetModel(cfg, mm, visual_dim=DV, acoustic_dim=DA)
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, tok.vocab_size, (1, 8)).astype(np.int32)
+    vis = rng.randn(1, 8, DV).astype(np.float32)
+    ac = rng.randn(1, 8, DA).astype(np.float32)
+    mask = np.ones((1, 8), np.int32)
+
+    vars_ = model.init(jax.random.PRNGKey(0), ids, vis, ac, mask)
+    out1, _ = model.apply(vars_, ids, vis, ac, attention_mask=mask)
+
+    ids2 = ids.copy()
+    ids2[0, -1] = (ids2[0, -1] + 1) % tok.vocab_size
+    out2, _ = model.apply(vars_, ids2, vis, ac, attention_mask=mask)
+    # all positions before the changed one are identical
+    np.testing.assert_allclose(np.asarray(out1[0, :-1]),
+                               np.asarray(out2[0, :-1]), rtol=1e-5,
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(out1[0, -1]), np.asarray(out2[0, -1]))
