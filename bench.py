@@ -53,7 +53,8 @@ def main():
         beta_shift=1.0, dropout_prob=0.5,
         use_fused_kernel=os.environ.get("BENCH_FUSED_MAG", "0") == "1")
     model = MagBertForSequenceClassification(
-        cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16)
+        cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
+        remat=os.environ.get("BENCH_REMAT", "0") == "1")
 
     n_dev = len(jax.devices())
     mesh = make_mesh(MeshConfig(data_parallel=n_dev))

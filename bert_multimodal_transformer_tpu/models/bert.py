@@ -285,9 +285,10 @@ class MagBertForSequenceClassification(nn.Module):
         position_ids: Optional[jax.Array] = None,
         head_mask: Optional[jax.Array] = None,
         inputs_embeds: Optional[jax.Array] = None,
+        labels: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
-    ) -> jax.Array:
+    ):
         cfg = self.config
         _, pooled = MagBertModel(
             cfg, self.multimodal_config, self.visual_dim, self.acoustic_dim,
@@ -300,4 +301,14 @@ class MagBertForSequenceClassification(nn.Module):
         init = nn.initializers.normal(stddev=cfg.initializer_range)
         logits = nn.Dense(cfg.num_labels, dtype=self.dtype, kernel_init=init,
                           name="classifier")(pooled)
-        return logits.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        if labels is not None:
+            # internal MSE/CE loss switch (reference bert.py:313-322)
+            from bert_multimodal_transformer_tpu.training.losses import (
+                sequence_classification_loss,
+            )
+
+            loss = sequence_classification_loss(logits, labels,
+                                                cfg.num_labels)
+            return loss, logits
+        return logits

@@ -483,10 +483,11 @@ class MagXLNetForSequenceClassification(nn.Module):
         input_mask: Optional[jax.Array] = None,
         head_mask: Optional[jax.Array] = None,
         inputs_embeds: Optional[jax.Array] = None,
+        labels: Optional[jax.Array] = None,
         use_cache: bool = False,
         *,
         deterministic: bool = True,
-    ) -> jax.Array:
+    ):
         cfg = self.config
         output, _new_mems = MagXLNetModel(
             cfg, self.multimodal_config, self.visual_dim, self.acoustic_dim,
@@ -502,4 +503,14 @@ class MagXLNetForSequenceClassification(nn.Module):
                           kernel_init=nn.initializers.normal(
                               stddev=cfg.initializer_range),
                           name="logits_proj")(summary)
-        return logits.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        if labels is not None:
+            # internal MSE/CE loss switch (reference xlnet.py:515-524)
+            from bert_multimodal_transformer_tpu.training.losses import (
+                sequence_classification_loss,
+            )
+
+            loss = sequence_classification_loss(logits, labels,
+                                                cfg.num_labels)
+            return loss, logits
+        return logits

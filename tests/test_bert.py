@@ -177,3 +177,19 @@ def test_remat_forward_matches():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7), g0, g1)
+
+
+def test_labels_path_returns_loss_and_logits():
+    """reference contract: labels given -> (loss, logits) with the
+    MSE/CE switch (bert.py:313-322)."""
+    ids, visual, acoustic, mask = make_inputs()
+    model = MagBertForSequenceClassification(
+        CFG, MM, visual_dim=DV, acoustic_dim=DA)
+    vars_ = model.init(jax.random.PRNGKey(0), ids, visual, acoustic, mask)
+    labels = np.linspace(-2, 2, B).astype(np.float32)
+    loss, logits = model.apply(vars_, ids, visual, acoustic, mask,
+                               labels=labels)
+    plain = model.apply(vars_, ids, visual, acoustic, mask)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(plain))
+    want = np.mean((np.asarray(plain).reshape(-1) - labels) ** 2)
+    np.testing.assert_allclose(float(loss), want, rtol=1e-6)

@@ -65,3 +65,39 @@ def test_weighted_f1_single_class():
     got = binary_weighted_f1(y, y)
     want = f1_score(y, y, average="weighted")
     np.testing.assert_allclose(got, want)
+
+
+def test_losses_match_torch_semantics():
+    """MSE/CE switch parity against torch loss modules."""
+    import torch
+    import jax.numpy as jnp
+
+    from bert_multimodal_transformer_tpu.training.losses import (
+        cross_entropy_loss,
+        mse_loss,
+        sequence_classification_loss,
+    )
+
+    rng = np.random.RandomState(0)
+    logits = rng.randn(6, 1).astype(np.float32)
+    labels = rng.randn(6).astype(np.float32)
+    got = float(mse_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    want = float(torch.nn.MSELoss()(torch.tensor(logits).view(-1),
+                                    torch.tensor(labels).view(-1)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(sequence_classification_loss(jnp.asarray(logits),
+                                           jnp.asarray(labels), 1)),
+        want, rtol=1e-6)
+
+    logits_c = rng.randn(6, 4).astype(np.float32)
+    labels_c = rng.randint(0, 4, 6)
+    got = float(cross_entropy_loss(jnp.asarray(logits_c),
+                                   jnp.asarray(labels_c)))
+    want = float(torch.nn.CrossEntropyLoss()(
+        torch.tensor(logits_c), torch.tensor(labels_c)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(sequence_classification_loss(jnp.asarray(logits_c),
+                                           jnp.asarray(labels_c), 4)),
+        want, rtol=1e-6)
