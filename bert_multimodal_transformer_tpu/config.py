@@ -90,6 +90,10 @@ class BertConfig:
     initializer_range: float = 0.02
     layer_norm_eps: float = 1e-12
     num_labels: int = 1
+    # "einsum" (exact HF semantics incl. attention-prob dropout) or
+    # "flash" (Pallas blockwise kernel, O(S) memory, for long sequences;
+    # no attention-prob dropout inside the kernel).
+    attention_impl: str = "einsum"
 
     @staticmethod
     def bert_base_uncased() -> "BertConfig":

@@ -28,6 +28,7 @@ from bert_multimodal_transformer_tpu.ops.activations import ACT2FN
 from bert_multimodal_transformer_tpu.ops.attention import (
     dot_product_attention,
     extended_attention_mask,
+    flash_attention,
 )
 
 Dtype = Any
@@ -98,6 +99,7 @@ class BertSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, hidden: jax.Array, attn_bias: Optional[jax.Array],
                  head_mask: Optional[jax.Array] = None,
+                 attention_mask_2d: Optional[jax.Array] = None,
                  *, deterministic: bool = True) -> jax.Array:
         cfg = self.config
         d = cfg.hidden_size
@@ -111,17 +113,23 @@ class BertSelfAttention(nn.Module):
         qkv = qkv.reshape(b, s, 3, h, dh)
         q, k, v = [jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)]
 
-        dropout_rng = None
-        if not deterministic and cfg.attention_probs_dropout_prob > 0:
-            dropout_rng = self.make_rng("dropout")
-        ctx = dot_product_attention(
-            q, k, v, attn_bias,
-            scale=1.0 / (dh ** 0.5),
-            dropout_rate=cfg.attention_probs_dropout_prob,
-            dropout_rng=dropout_rng,
-            deterministic=deterministic,
-            head_mask=head_mask,
-        )
+        use_flash = (cfg.attention_impl == "flash" and head_mask is None
+                     and s % 128 == 0)
+        if use_flash:
+            ctx = flash_attention(
+                q, k, v, attention_mask_2d, scale=1.0 / (dh ** 0.5))
+        else:
+            dropout_rng = None
+            if not deterministic and cfg.attention_probs_dropout_prob > 0:
+                dropout_rng = self.make_rng("dropout")
+            ctx = dot_product_attention(
+                q, k, v, attn_bias,
+                scale=1.0 / (dh ** 0.5),
+                dropout_rate=cfg.attention_probs_dropout_prob,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+                head_mask=head_mask,
+            )
         ctx = jnp.moveaxis(ctx, 1, 2).reshape(b, s, d)
 
         out = nn.Dense(d, dtype=self.dtype, kernel_init=init,
@@ -143,13 +151,15 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden: jax.Array, attn_bias: Optional[jax.Array],
                  head_mask: Optional[jax.Array] = None,
+                 attention_mask_2d: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
         # NOTE: deterministic is positional (not kw-only) so nn.remat can
         # mark it static (static_argnums) for the rematerialized stack.
         cfg = self.config
         init = nn.initializers.normal(stddev=cfg.initializer_range)
         attn_out = BertSelfAttention(cfg, self.dtype, name="attention")(
-            hidden, attn_bias, head_mask, deterministic=deterministic)
+            hidden, attn_bias, head_mask, attention_mask_2d,
+            deterministic=deterministic)
         x = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                      kernel_init=init, name="intermediate_dense")(attn_out)
         x = ACT2FN[cfg.hidden_act](x)
@@ -170,12 +180,13 @@ class BertEncoder(nn.Module):
     @nn.compact
     def __call__(self, hidden: jax.Array, attn_bias: Optional[jax.Array],
                  head_mask: Optional[jax.Array] = None,
+                 attention_mask_2d: Optional[jax.Array] = None,
                  *, deterministic: bool = True) -> jax.Array:
         layer_cls = BertLayer
         if self.remat:
             # deterministic must be static; flax remat counts the module
-            # itself as args[0], so it is args[4].
-            layer_cls = nn.remat(BertLayer, static_argnums=(4,))
+            # itself as args[0], so it is args[5] after attention_mask_2d.
+            layer_cls = nn.remat(BertLayer, static_argnums=(5,))
         for i in range(self.config.num_hidden_layers):
             # head_mask: [L, H] per-layer rows or [H] shared (HF
             # get_head_mask contract, reference bert.py:208-209).
@@ -183,7 +194,7 @@ class BertEncoder(nn.Module):
             if head_mask is not None:
                 hm = head_mask[i] if head_mask.ndim == 2 else head_mask
             hidden = layer_cls(self.config, self.dtype, name=f"layer_{i}")(
-                hidden, attn_bias, hm, deterministic)
+                hidden, attn_bias, hm, attention_mask_2d, deterministic)
         return hidden
 
 
@@ -258,7 +269,8 @@ class MagBertModel(nn.Module):
 
         seq_out = BertEncoder(cfg, self.dtype, remat=self.remat,
                               name="encoder")(
-            fused, attn_bias, head_mask, deterministic=deterministic)
+            fused, attn_bias, head_mask, attention_mask,
+            deterministic=deterministic)
         pooled = BertPooler(cfg, self.dtype, name="pooler")(seq_out)
         return seq_out, pooled
 

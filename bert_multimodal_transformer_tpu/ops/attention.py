@@ -61,3 +61,37 @@ def extended_attention_mask(attention_mask: jax.Array,
     """
     m = attention_mask.astype(dtype)
     return ((1.0 - m) * -10000.0)[:, None, None, :]
+
+
+def flash_attention(
+    q: jax.Array,              # [B, H, Sq, Dh]
+    k: jax.Array,              # [B, H, Sk, Dh]
+    v: jax.Array,              # [B, H, Sk, Dh]
+    attention_mask: Optional[jax.Array],  # [B, S] {0,1}, 1 = real token
+    *,
+    scale: float,
+    causal: bool = False,
+) -> jax.Array:
+    """Blockwise flash attention via the official Pallas TPU kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention) — O(S) memory, for
+    long-sequence configs (the reference caps sequences at 50 by
+    truncation, multimodal_driver.py:109-112; this backend lifts that
+    scaling limit the TPU-native way).
+
+    Padding is enforced with SegmentIds (pad tokens attend only among
+    themselves — real-token outputs match the additive-mask semantics
+    exactly; pad-row outputs may differ, and they are masked downstream).
+    Note: no attention-prob dropout inside the kernel.
+    """
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    segment_ids = None
+    if attention_mask is not None:
+        seg = attention_mask.astype(jnp.int32)
+        segment_ids = fa.SegmentIds(q=seg, kv=seg)
+    return fa.flash_attention(
+        q, k, v,
+        segment_ids=segment_ids,
+        causal=causal,
+        sm_scale=scale,
+    )

@@ -193,3 +193,35 @@ def test_labels_path_returns_loss_and_logits():
     np.testing.assert_allclose(np.asarray(logits), np.asarray(plain))
     want = np.mean((np.asarray(plain).reshape(-1) - labels) ** 2)
     np.testing.assert_allclose(float(loss), want, rtol=1e-6)
+
+
+def test_flash_attention_matches_einsum():
+    """Flash backend (Pallas kernel, interpret mode on CPU) must match the
+    einsum path on real-token positions; pad rows are excluded (SegmentIds
+    vs additive-mask padding semantics differ only there)."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+
+    S_f = 128  # flash kernel block size minimum
+    cfg_e = dataclasses.replace(BertConfig.tiny(), attention_impl="einsum",
+                                max_position_embeddings=S_f,
+                                attention_probs_dropout_prob=0.0)
+    cfg_f = dataclasses.replace(cfg_e, attention_impl="flash")
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, cfg_e.vocab_size, (2, S_f)).astype(np.int32)
+    visual = rng.randn(2, S_f, DV).astype(np.float32)
+    acoustic = rng.randn(2, S_f, DA).astype(np.float32)
+    mask = np.ones((2, S_f), np.int32)
+    mask[:, 100:] = 0
+
+    m_e = MagBertModel(cfg_e, MM, visual_dim=DV, acoustic_dim=DA)
+    m_f = MagBertModel(cfg_f, MM, visual_dim=DV, acoustic_dim=DA)
+    vars_ = m_e.init(jax.random.PRNGKey(0), ids, visual, acoustic, mask)
+    seq_e, pooled_e = m_e.apply(vars_, ids, visual, acoustic, mask)
+    with pltpu.force_tpu_interpret_mode():
+        seq_f, pooled_f = m_f.apply(vars_, ids, visual, acoustic, mask)
+    np.testing.assert_allclose(np.asarray(seq_f[:, :100]),
+                               np.asarray(seq_e[:, :100]),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(pooled_f), np.asarray(pooled_e),
+                               rtol=2e-2, atol=2e-3)
