@@ -126,9 +126,6 @@ def prepare_xlnet_input(tokens, visual, acoustic, tokenizer, max_seq_length):
     return input_ids, visual, acoustic, input_mask, segment_ids
 
 
-_PACKERS = {"bert": prepare_bert_input, "xlnet": prepare_xlnet_input}
-
-
 def convert_to_features(
     examples: Sequence[Any],
     max_seq_length: int,
@@ -141,51 +138,84 @@ def convert_to_features(
     the documented pickle layout (reference README.md:134-149) — into a
     PackedSplit. Mirrors convert_to_features (multimodal_driver.py:82-140),
     including truncation to max_seq_length−2 before the two specials."""
-    packer = _PACKERS[model_family]
     # Native (C++) tokenize/align fast path when the tokenizer provides it.
     native = hasattr(tokenizer, "tokenize_words_to_ids")
-    ids_l, vis_l, ac_l, mask_l, seg_l, lab_l = [], [], [], [], [], []
-    for example in examples:
+    n = len(examples)
+    s = max_seq_length
+    if visual_dim is None:
+        visual_dim = (np.asarray(examples[0][0][1]).shape[-1]
+                      if examples else 0)
+    if acoustic_dim is None:
+        acoustic_dim = (np.asarray(examples[0][0][2]).shape[-1]
+                        if examples else 0)
+
+    # Preallocate the packed buffers and write each example's rows in
+    # place — the reference's per-example list/concat assembly
+    # (multimodal_driver.py:130-140, 143-205) is the startup hot loop.
+    out_ids = np.zeros((n, s), np.int32)
+    out_vis = np.zeros((n, s, visual_dim), np.float32)
+    out_ac = np.zeros((n, s, acoustic_dim), np.float32)
+    out_mask = np.zeros((n, s), np.int32)
+    out_seg = np.zeros((n, s), np.int32)
+    out_lab = np.zeros((n,), np.float32)
+
+    is_bert = model_family == "bert"
+    if is_bert:
+        cls_id, sep_id = tokenizer.convert_tokens_to_ids(
+            [tokenizer.cls_token, tokenizer.sep_token])
+    else:
+        sep_id, cls_id = tokenizer.convert_tokens_to_ids(
+            [tokenizer.sep_token, tokenizer.cls_token])
+        pad_id = tokenizer.pad_token_id
+        out_ids[:] = pad_id
+        out_seg[:] = 3
+
+    for i, example in enumerate(examples):
         (words, visual, acoustic), label_id, _segment = example
         if native:
             token_ids, inversions = tokenizer.tokenize_words_to_ids(
                 list(words))
-            tokens = token_ids
             inv = np.asarray(inversions, np.int64)
-            visual = np.asarray(visual)[inv]
-            acoustic = np.asarray(acoustic)[inv]
         else:
-            tokens, visual, acoustic = align_modalities(
-                words, visual, acoustic, tokenizer)
-        if len(tokens) > max_seq_length - 2:
-            tokens = tokens[: max_seq_length - 2]
-            visual = visual[: max_seq_length - 2]
-            acoustic = acoustic[: max_seq_length - 2]
-        input_ids, visual, acoustic, input_mask, segment_ids = packer(
-            tokens, visual, acoustic, tokenizer, max_seq_length)
-        assert len(input_ids) == max_seq_length
-        assert visual.shape[0] == max_seq_length
-        assert acoustic.shape[0] == max_seq_length
-        ids_l.append(input_ids)
-        vis_l.append(visual)
-        ac_l.append(acoustic)
-        mask_l.append(input_mask)
-        seg_l.append(segment_ids)
-        lab_l.append(np.float32(np.asarray(label_id).reshape(())))
-    if visual_dim is None:
-        visual_dim = vis_l[0].shape[-1] if vis_l else 0
-    if acoustic_dim is None:
-        acoustic_dim = ac_l[0].shape[-1] if ac_l else 0
-    n = len(ids_l)
+            token_ids = []
+            inversions = []
+            for w_idx, word in enumerate(words):
+                pieces = tokenizer.tokenize(word)
+                token_ids.extend(tokenizer.convert_tokens_to_ids(pieces))
+                inversions.extend([w_idx] * len(pieces))
+            inv = np.asarray(inversions, np.int64)
+        if len(token_ids) > s - 2:
+            token_ids = token_ids[: s - 2]
+            inv = inv[: s - 2]
+        m = len(token_ids)
+        visual = np.asarray(visual, np.float32)
+        acoustic = np.asarray(acoustic, np.float32)
+        if is_bert:
+            # [CLS] tokens [SEP], zero modality rows for the specials,
+            # right-pad (reference multimodal_driver.py:143-173)
+            out_ids[i, 0] = cls_id
+            out_ids[i, 1:m + 1] = token_ids
+            out_ids[i, m + 1] = sep_id
+            out_mask[i, : m + 2] = 1
+            out_vis[i, 1:m + 1] = visual[inv]
+            out_ac[i, 1:m + 1] = acoustic[inv]
+        else:
+            # tokens [SEP] [CLS] (CLS last), segments 0…0,2, LEFT-pad ids
+            # with pad_id, segments with 3 (multimodal_driver.py:176-205)
+            pad = s - (m + 2)
+            out_ids[i, pad:pad + m] = token_ids
+            out_ids[i, -2] = sep_id
+            out_ids[i, -1] = cls_id
+            out_mask[i, pad:] = 1
+            out_seg[i, pad:-1] = 0
+            out_seg[i, -1] = 2
+            out_vis[i, pad:pad + m] = visual[inv]
+            out_ac[i, pad:pad + m] = acoustic[inv]
+        out_lab[i] = np.float32(np.asarray(label_id).reshape(()))
+
     return PackedSplit(
-        input_ids=np.asarray(ids_l, np.int32).reshape(n, max_seq_length),
-        visual=np.asarray(vis_l, np.float32).reshape(
-            n, max_seq_length, visual_dim),
-        acoustic=np.asarray(ac_l, np.float32).reshape(
-            n, max_seq_length, acoustic_dim),
-        input_mask=np.asarray(mask_l, np.int32),
-        segment_ids=np.asarray(seg_l, np.int32),
-        label_ids=np.asarray(lab_l, np.float32),
+        input_ids=out_ids, visual=out_vis, acoustic=out_ac,
+        input_mask=out_mask, segment_ids=out_seg, label_ids=out_lab,
     )
 
 
