@@ -108,7 +108,20 @@ class NativeWordPieceTokenizer:
         self, words: Sequence[str]
     ) -> Tuple[List[int], List[int]]:
         """Tokenize a word list → (token_ids, word_indices). The word
-        indices are the reference's `inversions` for modality alignment."""
+        indices are the reference's `inversions` for modality alignment.
+
+        The C++ kernel implements the ASCII path only (no accent
+        stripping / unicode punctuation); any word with non-ASCII bytes is
+        routed through the Python tokenizer so results are byte-identical
+        on all inputs regardless of toolchain availability."""
+        if any(ord(c) > 127 for w in words for c in w):
+            ids: List[int] = []
+            inv: List[int] = []
+            for w_idx, word in enumerate(words):
+                pieces = self.py.tokenize(word)
+                ids.extend(self.py.convert_tokens_to_ids(pieces))
+                inv.extend([w_idx] * len(pieces))
+            return ids, inv
         enc = [w.encode("utf-8") for w in words]
         arr = (ctypes.c_char_p * len(enc))(*enc)
         cap = max(64, 8 * sum(len(w) for w in words) + 8 * len(words))

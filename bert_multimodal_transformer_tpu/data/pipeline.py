@@ -299,9 +299,13 @@ def set_up_data_loaders(
                                   model_family)
         for name in ("train", "dev", "test")
     }
+    # One optimizer step per loader batch: unlike the reference (which
+    # steps once per `gradient_accumulation_step` loader batches,
+    # multimodal_driver.py:261-267,383-386), this trainer splits each
+    # loader batch into micro-batches *inside* the jitted step, so the
+    # accumulation count must NOT shrink the schedule length.
     num_train_optimization_steps = int(
-        len(splits["train"]) / train_batch_size / gradient_accumulation_step
-    ) * n_epochs
+        len(splits["train"]) / train_batch_size) * n_epochs
     train_it = BatchIterator(splits["train"], train_batch_size,
                              shuffle=True, drop_remainder=True, seed=seed)
     dev_it = BatchIterator(splits["dev"], dev_batch_size, shuffle=False,

@@ -323,12 +323,19 @@ class SentencePieceTokenizer:
         self.sp = spm.SentencePieceProcessor()
         self.sp.Load(model_path)
         self.do_lower_case = do_lower_case
-        # XLNet appends specials after the SP vocab.
-        self._special = {
-            self.sep_token: self.sp.GetPieceSize(),
-            self.cls_token: self.sp.GetPieceSize() + 1,
-            self.pad_token: self.sp.GetPieceSize() + 2,
-        }
+        # The canonical xlnet spiece.model already contains the specials
+        # (<cls>=3, <sep>=4, <pad>=5); use the in-vocab ids so every token
+        # id stays < vocab_size and matches the pretrained embedding rows.
+        # Only a model missing a special gets an appended id.
+        self._special = {}
+        next_id = self.sp.GetPieceSize()
+        for tok in (self.sep_token, self.cls_token, self.pad_token):
+            piece_id = self.sp.PieceToId(tok)
+            if piece_id == self.sp.unk_id() and tok != self.unk_token:
+                self._special[tok] = next_id
+                next_id += 1
+            else:
+                self._special[tok] = piece_id
 
     @property
     def pad_token_id(self) -> int:

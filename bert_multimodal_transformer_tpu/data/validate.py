@@ -64,7 +64,9 @@ def validate(data: Dict[str, list], visual_dim: Optional[int] = None,
         for i, ex in enumerate(examples):
             dv, da = validate_example(ex, i, split, visual_dim, acoustic_dim)
             if visual_dim is None:
-                visual_dim, acoustic_dim = dv, da
+                visual_dim = dv
+            if acoustic_dim is None:
+                acoustic_dim = da
         sizes[split] = len(examples)
     return sizes
 

@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Tiny model geometry (smoke tests)")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize encoder layers (bert-large memory)")
+    p.add_argument("--attention_impl", type=str, default="einsum",
+                   choices=["einsum", "flash"],
+                   help="BERT attention backend; flash = Pallas blockwise "
+                        "kernel for long sequences (seq %% 128 == 0)")
     p.add_argument("--rng_impl", type=str, default="rbg",
                    choices=["threefry2x32", "rbg"],
                    help="Dropout PRNG: rbg uses the TPU hardware RNG "
@@ -172,9 +176,12 @@ def main(argv=None) -> int:
                (BertConfig.bert_large_uncased()
                 if args.model == "bert-large-uncased"
                 else BertConfig.bert_base_uncased()))
+        import dataclasses
         if args.synthetic and not args.tiny:
-            import dataclasses
             cfg = dataclasses.replace(cfg, vocab_size=max(vocab_size, 128))
+        if args.attention_impl != "einsum":
+            cfg = dataclasses.replace(cfg,
+                                      attention_impl=args.attention_impl)
         from bert_multimodal_transformer_tpu.models.bert import (
             MagBertForSequenceClassification,
         )
@@ -216,18 +223,15 @@ def main(argv=None) -> int:
                           jsonl_path=(os.path.join(args.checkpoint_dir,
                                                    "metrics.jsonl")
                                       if args.checkpoint_dir else None))
-    for epoch in range(args.n_epochs):
-        state, train_loss = trainer.train_epoch(state, train_it)
-        valid_loss = trainer.eval_epoch(state, dev_it)
-        scores = trainer.test_score_model(state, test_it)
-        logger.log({
-            "epoch": epoch, "train_loss": train_loss,
-            "valid_loss": valid_loss, "test_acc": scores["acc"],
-            "test_mae": scores["mae"], "test_corr": scores["corr"],
-            "test_f_score": scores["f_score"],
-        })
+    def save_epoch(st, _epoch):
         if ckpt is not None:
-            ckpt.save(state, step=int(state.step))
+            ckpt.save(st, step=int(st.step))
+
+    state, _summary = trainer.train(
+        state, train_it, dev_it, test_it, args.n_epochs, logger=logger,
+        epoch_callback=save_epoch)
+    if ckpt is not None:
+        ckpt.close()  # flush the async Orbax save before exit
     logger.finish()
     return 0
 

@@ -113,8 +113,12 @@ class BertSelfAttention(nn.Module):
         qkv = qkv.reshape(b, s, 3, h, dh)
         q, k, v = [jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)]
 
+        # flash kernel has no attention-prob dropout: only take it when
+        # it cannot change semantics (eval, or dropout configured to 0).
         use_flash = (cfg.attention_impl == "flash" and head_mask is None
-                     and s % 128 == 0)
+                     and s % 128 == 0
+                     and (deterministic
+                          or cfg.attention_probs_dropout_prob == 0.0))
         if use_flash:
             ctx = flash_attention(
                 q, k, v, attention_mask_2d, scale=1.0 / (dh ** 0.5))

@@ -31,12 +31,15 @@ from bert_multimodal_transformer_tpu.training.trainer import (
 
 # jax.shard_map moved out of experimental in recent JAX; keep one alias.
 try:  # pragma: no cover - version dependent
-    shard_map = jax.shard_map
+    _shard_map = jax.shard_map
+    _CHECK_KW = {"check_vma": False}
 except AttributeError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _sm
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _CHECK_KW = {"check_rep": False}  # old API spells the flag differently
 
-    def shard_map(f, **kw):
-        return _sm(f, **kw)
+
+def shard_map(f, **kw):
+    return _shard_map(f, **kw, **_CHECK_KW)
 
 
 def make_shard_map_train_step(mesh):
@@ -76,6 +79,5 @@ def make_shard_map_train_step(mesh):
         mesh=mesh,
         in_specs=(P(), batch_spec),
         out_specs=(P(), P()),
-        check_vma=False,
     )
     return jax.jit(mapped)

@@ -47,7 +47,10 @@ def _no_decay(path: tuple) -> bool:
     b_* / beta / gamma / scale, or living under a LayerNorm-ish module."""
     names = [getattr(k, "key", str(k)) for k in path]
     leaf = names[-1]
-    if leaf in ("bias", "beta", "gamma", "scale"):
+    # reference rule: any parameter whose name contains "bias" (covers
+    # XLNet's r_w_bias/r_r_bias/r_s_bias too), plus LayerNorm params
+    # (multimodal_driver.py:329-343).
+    if "bias" in leaf or leaf in ("beta", "gamma", "scale"):
         return True
     if leaf.startswith("b_") or leaf.startswith("ln_"):
         return True

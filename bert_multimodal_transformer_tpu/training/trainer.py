@@ -35,6 +35,7 @@ from bert_multimodal_transformer_tpu.parallel.mesh import (
     replicated,
 )
 from bert_multimodal_transformer_tpu.training import metrics as metrics_lib
+from bert_multimodal_transformer_tpu.training.losses import mse_loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -50,11 +51,6 @@ class TrainState(struct.PyTreeNode):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    opt_state=tx.init(params), rng=rng, apply_fn=apply_fn,
                    tx=tx)
-
-
-def mse_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """MSELoss(logits.view(-1), labels.view(-1)) — multimodal_driver.py:372."""
-    return jnp.mean(jnp.square(logits.reshape(-1) - labels.reshape(-1)))
 
 
 def _forward(apply_fn, params, batch, rng, deterministic: bool):
@@ -232,9 +228,11 @@ class Trainer:
         return metrics_lib.score_regression(preds, labels, use_zero=use_zero)
 
     def train(self, state: TrainState, train_loader, dev_loader, test_loader,
-              n_epochs: int, logger=None) -> Tuple[TrainState, Dict]:
+              n_epochs: int, logger=None,
+              epoch_callback=None) -> Tuple[TrainState, Dict]:
         """Epoch driver mirroring train() (multimodal_driver.py:483-523),
-        with the same per-epoch metric dict."""
+        with the same per-epoch metric dict. ``epoch_callback(state, epoch)``
+        runs after each epoch's logging (e.g. checkpointing)."""
         valid_losses, test_accs = [], []
         history = []
         for epoch_i in range(int(n_epochs)):
@@ -260,6 +258,8 @@ class Trainer:
             history.append(record)
             if logger is not None:
                 logger.log(record)
+            if epoch_callback is not None:
+                epoch_callback(state, epoch_i)
         return state, {"history": history,
                        "best_valid_loss": min(valid_losses) if valid_losses
                        else float("inf"),

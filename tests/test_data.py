@@ -173,3 +173,29 @@ def test_grain_pipeline_option(bert_tok):
     # shuffled: batch contents differ from natural order
     natural = split.input_ids[:4]
     assert not np.array_equal(batches[0][0][0], natural)
+
+
+def test_fast_packing_matches_prepare_helpers(bert_tok, xlnet_tok):
+    """Lock the fast preallocated packing in convert_to_features to the
+    reference-shaped prepare_* helpers (single source of truth check)."""
+    from bert_multimodal_transformer_tpu.data.pipeline import (
+        align_modalities,
+    )
+
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=12, n_dev=1, n_test=1, seed=9)
+    for family, tok, packer in (
+            ("bert", bert_tok, prepare_bert_input),
+            ("xlnet", xlnet_tok, prepare_xlnet_input)):
+        split = convert_to_features(data["train"], S, tok, family)
+        for i, ex in enumerate(data["train"]):
+            (words, visual, acoustic), _, _ = ex
+            tokens, v, a = align_modalities(words, visual, acoustic, tok)
+            if len(tokens) > S - 2:
+                tokens, v, a = tokens[:S - 2], v[:S - 2], a[:S - 2]
+            ids, v, a, mask, seg = packer(tokens, v, a, tok, S)
+            np.testing.assert_array_equal(split.input_ids[i], ids)
+            np.testing.assert_array_equal(split.input_mask[i], mask)
+            np.testing.assert_array_equal(split.segment_ids[i], seg)
+            np.testing.assert_allclose(split.visual[i], v, atol=1e-6)
+            np.testing.assert_allclose(split.acoustic[i], a, atol=1e-6)
