@@ -173,3 +173,37 @@ def test_end_to_end_overfit(dataset):
                              drop_remainder=False))
     assert set(scores) == {"acc", "mae", "corr", "f_score"}
     assert np.isfinite(scores["mae"])
+
+
+def test_decay_mask_covers_xlnet_rel_biases():
+    """Reference rule: any param name containing 'bias' is excluded from
+    weight decay — XLNet's r_w_bias/r_r_bias/r_s_bias included
+    (multimodal_driver.py:329-343)."""
+    from bert_multimodal_transformer_tpu.config import XLNetConfig
+    from bert_multimodal_transformer_tpu.models.xlnet import (
+        MagXLNetForSequenceClassification,
+    )
+
+    cfg = XLNetConfig.tiny(vocab_size=64)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1,
+                          injection_index=1)
+    model = MagXLNetForSequenceClassification(
+        cfg, mm, visual_dim=DV, acoustic_dim=DA)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 64, (2, S)).astype(np.int32)
+    vis = rng.randn(2, S, DV).astype(np.float32)
+    ac = rng.randn(2, S, DA).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, vis, ac)["params"]
+    mask = decay_mask(params)
+    flat = jax.tree_util.tree_leaves_with_path(mask)
+    checked = 0
+    for path, decays in flat:
+        names = [getattr(k, "key", str(k)) for k in path]
+        leaf = names[-1]
+        if "bias" in leaf or any("layer_norm" in n for n in names):
+            assert not decays, names
+            checked += 1
+        elif leaf in ("q", "k", "v", "o", "r", "seg_embed", "embedding",
+                      "kernel"):
+            assert decays, names
+    assert checked >= 3 * cfg.n_layer  # r_w/r_r/r_s per layer at minimum
