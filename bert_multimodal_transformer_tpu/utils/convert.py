@@ -159,7 +159,11 @@ def convert_xlnet_params(
         ff["layer_norm"]["scale"] = get(src + "ff.layer_norm.weight")
         ff["layer_norm"]["bias"] = get(src + "ff.layer_norm.bias")
 
-    if "sequence_summary" in params:
+    # Head weights are optional: a backbone-only XLNetModel checkpoint has
+    # no sequence_summary/logits_proj; those stay freshly initialized
+    # (reference missing-key tolerance, multimodal_driver.py:321-323).
+    if ("sequence_summary" in params
+            and "sequence_summary.summary.weight" in sd):
         ss = params["sequence_summary"]
         ss["summary"]["kernel"] = get("sequence_summary.summary.weight").T
         ss["summary"]["bias"] = get("sequence_summary.summary.bias")
