@@ -22,6 +22,15 @@ from bert_multimodal_transformer_tpu.models.bert import (
     MagBertModel,
 )
 from bert_multimodal_transformer_tpu.models.mag import MAG
+from bert_multimodal_transformer_tpu.models.xlnet import (
+    MagXLNetForSequenceClassification,
+    MagXLNetModel,
+)
+from bert_multimodal_transformer_tpu.training.trainer import (
+    TrainState,
+    Trainer,
+)
+from bert_multimodal_transformer_tpu.utils.pretrained import from_pretrained
 
 __version__ = "0.1.0"
 
@@ -31,8 +40,13 @@ __all__ = [
     "MAG",
     "MagBertForSequenceClassification",
     "MagBertModel",
+    "MagXLNetForSequenceClassification",
+    "MagXLNetModel",
     "MeshConfig",
     "MultimodalConfig",
+    "TrainState",
+    "Trainer",
     "TrainingConfig",
     "XLNetConfig",
+    "from_pretrained",
 ]

@@ -21,3 +21,7 @@ import jax  # noqa: E402
 # startup and can win platform selection; override it explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: this box has one CPU core and jit compiles
+# dominate test wall-time; cached executables cut repeat runs drastically.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
