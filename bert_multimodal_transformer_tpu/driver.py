@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Tiny model geometry (smoke tests)")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize encoder layers (bert-large memory)")
+    p.add_argument("--use_zero", action="store_true",
+                   help="Include exactly-zero labels in test metrics "
+                        "(reference test_score_model use_zero flag)")
     p.add_argument("--attention_impl", type=str, default="einsum",
                    choices=["einsum", "flash"],
                    help="BERT attention backend; flash = Pallas blockwise "
@@ -229,7 +232,7 @@ def main(argv=None) -> int:
 
     state, _summary = trainer.train(
         state, train_it, dev_it, test_it, args.n_epochs, logger=logger,
-        epoch_callback=save_epoch)
+        epoch_callback=save_epoch, use_zero=args.use_zero)
     if ckpt is not None:
         ckpt.close()  # flush the async Orbax save before exit
     logger.finish()

@@ -381,6 +381,10 @@ class MagXLNetModel(nn.Module):
             seg_mat = jax.nn.one_hot(diff.astype(jnp.int32), 2, dtype=f32)
 
         # ---- relative positions (xlnet.py:331-333) ----
+        if cfg.bi_data:
+            raise NotImplementedError(
+                "bi_data=True (fwd+bwd position streams) is a pretraining "
+                "feature; xlnet-base-cased fine-tuning uses bi_data=False")
         pos_emb = relative_positional_encoding(
             qlen, klen, cfg.d_model, cfg.attn_type, cfg.clamp_len,
             bi_data=False, dtype=self.dtype)

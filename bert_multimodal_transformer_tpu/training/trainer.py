@@ -229,7 +229,8 @@ class Trainer:
 
     def train(self, state: TrainState, train_loader, dev_loader, test_loader,
               n_epochs: int, logger=None,
-              epoch_callback=None) -> Tuple[TrainState, Dict]:
+              epoch_callback=None, use_zero: bool = False
+              ) -> Tuple[TrainState, Dict]:
         """Epoch driver mirroring train() (multimodal_driver.py:483-523),
         with the same per-epoch metric dict. ``epoch_callback(state, epoch)``
         runs after each epoch's logging (e.g. checkpointing)."""
@@ -239,7 +240,8 @@ class Trainer:
             t0 = time.monotonic()
             state, train_loss = self.train_epoch(state, train_loader)
             valid_loss = self.eval_epoch(state, dev_loader)
-            scores = self.test_score_model(state, test_loader)
+            scores = self.test_score_model(state, test_loader,
+                                           use_zero=use_zero)
             dt = time.monotonic() - t0
             valid_losses.append(valid_loss)
             test_accs.append(scores["acc"])

@@ -168,3 +168,16 @@ def test_metric_logger_jsonl(tmp_path):
     rec = json.loads(lines[0])
     assert rec["epoch"] == 0 and rec["test_acc"] == 0.5
     assert "epoch:0" in stream.getvalue()
+
+
+def test_validate_cli(tmp_path, capsys):
+    from bert_multimodal_transformer_tpu.data.validate import main
+
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=3, n_dev=2, n_test=2)
+    path = tmp_path / "mosi.pkl"
+    synthetic.write_pickle(str(path), data)
+    assert main([str(path)]) == 0
+    out = capsys.readouterr().out
+    assert "train: 3 examples" in out and "OK" in out
+    assert main([str(path), str(DV + 1), str(DA)]) == 1
