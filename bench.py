@@ -16,12 +16,31 @@ numbers — BASELINE.md). Falls back to null if absent.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 
+def _install_watchdog(seconds: float):
+    """The tunneled TPU backend can wedge indefinitely; fail loudly with a
+    non-zero exit instead of hanging the harness. No JSON is printed on
+    timeout — a fabricated number is worse than a missing one."""
+
+    def fire():
+        print(f"bench: watchdog timeout after {seconds:.0f}s "
+              "(TPU backend unresponsive)", file=sys.stderr)
+        os._exit(17)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _install_watchdog(
+        float(os.environ.get("BENCH_TIMEOUT_S", "1800")))
     import jax
 
     # Hardware PRNG for dropout: threefry costs ~25% of the train step at
@@ -104,6 +123,7 @@ def main():
         except Exception:
             pass
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "MOSI MAG-BERT fine-tune train-step throughput "
                   f"(bert-base, batch {batch}, seq {seq}, bf16, "

@@ -101,3 +101,27 @@ def test_losses_match_torch_semantics():
         float(sequence_classification_loss(jnp.asarray(logits_c),
                                            jnp.asarray(labels_c), 4)),
         want, rtol=1e-6)
+
+
+def test_activations_match_torch():
+    """ACT2FN parity with the reference table (bert.py:60-70): gelu (erf),
+    gelu_new (tanh approx), swish, mish vs torch implementations."""
+    import torch
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+
+    from bert_multimodal_transformer_tpu.ops.activations import ACT2FN
+
+    x = np.linspace(-4, 4, 101).astype(np.float32)
+    tx = torch.tensor(x)
+    pairs = {
+        "gelu": F.gelu(tx),
+        "gelu_new": F.gelu(tx, approximate="tanh"),
+        "relu": F.relu(tx),
+        "swish": F.silu(tx),
+        "mish": F.mish(tx),
+    }
+    for name, want in pairs.items():
+        got = np.asarray(ACT2FN[name](jnp.asarray(x)))
+        np.testing.assert_allclose(got, want.numpy(), rtol=1e-5,
+                                   atol=1e-6, err_msg=name)
