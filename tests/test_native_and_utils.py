@@ -181,3 +181,21 @@ def test_validate_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "train: 3 examples" in out and "OK" in out
     assert main([str(path), str(DV + 1), str(DA)]) == 1
+
+
+def test_time_step_and_trace_noop(tmp_path):
+    import jax.numpy as jnp
+
+    from bert_multimodal_transformer_tpu.utils.profiling import (
+        time_step,
+        trace,
+    )
+
+    def step(x):
+        return jnp.sum(x * 2.0)
+
+    stats = time_step(step, jnp.ones((8, 8)), n_steps=3, warmup=1)
+    assert stats["n_steps"] == 3.0
+    assert stats["seconds_per_step"] > 0
+    with trace(None):
+        pass  # no-op path
