@@ -199,3 +199,30 @@ def test_fast_packing_matches_prepare_helpers(bert_tok, xlnet_tok):
             np.testing.assert_array_equal(split.segment_ids[i], seg)
             np.testing.assert_allclose(split.visual[i], v, atol=1e-6)
             np.testing.assert_allclose(split.acoustic[i], a, atol=1e-6)
+
+
+def test_wordpiece_unicode_handling(bert_tok):
+    # accent stripping ("café" -> "cafe"), unicode punctuation split,
+    # CJK char isolation
+    assert bert_tok.basic.tokenize("Café") == ["cafe"]
+    assert bert_tok.basic.tokenize("a“b”") == ["a", "“", "b",
+                                                         "”"]
+    toks = bert_tok.basic.tokenize("ab中cd")
+    assert "中" in toks and toks == ["ab", "中", "cd"]
+
+
+def test_native_tokenizer_unicode_fallback(bert_tok):
+    pytest.importorskip("ctypes")
+    from bert_multimodal_transformer_tpu.data import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    nat = native.NativeWordPieceTokenizer(bert_tok)
+    words = ["Café", "good"]
+    ids_n, inv_n = nat.tokenize_words_to_ids(words)
+    ids_p, inv_p = [], []
+    for i, w in enumerate(words):
+        pieces = bert_tok.tokenize(w)
+        ids_p.extend(bert_tok.convert_tokens_to_ids(pieces))
+        inv_p.extend([i] * len(pieces))
+    assert ids_n == ids_p and inv_n == inv_p

@@ -50,3 +50,32 @@ def test_driver_requires_data_source(capsys):
     rc = driver.main(["--model", "bert-base-uncased"])
     assert rc == 2
     assert "provide --data_pickle or --synthetic" in capsys.readouterr().err
+
+
+def test_driver_pretrained_warm_start(tmp_path):
+    """--pretrained_checkpoint loads a local torch .bin through the full
+    CLI path (reference prep_for_training contract)."""
+    import os
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from bert_multimodal_transformer_tpu.data import synthetic
+    from bert_multimodal_transformer_tpu.data.tokenization import (
+        WordPieceTokenizer,
+    )
+
+    vocab_size = WordPieceTokenizer.from_wordlist(
+        synthetic.vocabulary()).vocab_size
+    hf_cfg = transformers.BertConfig(
+        vocab_size=vocab_size, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, attn_implementation="eager")
+    torch.manual_seed(0)
+    tm = transformers.BertModel(hf_cfg)
+    ckpt = tmp_path / "pytorch_model.bin"
+    torch.save(tm.state_dict(), ckpt)
+
+    rc = run_driver(tmp_path, extra=["--pretrained_checkpoint", str(ckpt)],
+                    epochs=1)
+    assert rc == 0
