@@ -4,6 +4,7 @@ checkpoint save + resume."""
 import json
 import os
 
+import numpy as np
 import pytest
 
 from bert_multimodal_transformer_tpu import driver
@@ -79,3 +80,34 @@ def test_driver_pretrained_warm_start(tmp_path):
     rc = run_driver(tmp_path, extra=["--pretrained_checkpoint", str(ckpt)],
                     epochs=1)
     assert rc == 0
+
+
+def test_driver_mosei_config(tmp_path):
+    """BASELINE config #2: MOSEI modality dims (visual 35) through the
+    full CLI path."""
+    args = [
+        "--model", "bert-base-uncased", "--dataset", "mosei",
+        "--synthetic", "--tiny",
+        "--n_epochs", "1",
+        "--train_batch_size", "8",
+        "--dev_batch_size", "8",
+        "--test_batch_size", "8",
+        "--synthetic_sizes", "16", "8", "8",
+        "--seed", "5",
+        "--compute_dtype", "float32",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+    ]
+    assert driver.main(args) == 0
+    import json
+    rec = json.loads((tmp_path / "ckpt" / "metrics.jsonl")
+                     .read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"])
+
+
+def test_bert_large_config_geometry():
+    from bert_multimodal_transformer_tpu.config import BertConfig
+
+    cfg = BertConfig.bert_large_uncased()
+    assert (cfg.hidden_size, cfg.num_hidden_layers,
+            cfg.num_attention_heads, cfg.intermediate_size) == \
+        (1024, 24, 16, 4096)
