@@ -226,3 +226,29 @@ def test_native_tokenizer_unicode_fallback(bert_tok):
         ids_p.extend(bert_tok.convert_tokens_to_ids(pieces))
         inv_p.extend([i] * len(pieces))
     assert ids_n == ids_p and inv_n == inv_p
+
+
+def test_tokenizer_from_vocab_file_and_dispatch(tmp_path):
+    from bert_multimodal_transformer_tpu.data.tokenization import (
+        get_tokenizer,
+    )
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "good", "bad", "##ly", "g", "o", "d", "l", "y"]
+    path = tmp_path / "vocab.txt"
+    path.write_text("\n".join(vocab) + "\n")
+    tok = get_tokenizer("bert-base-uncased", str(path))
+    assert tok.vocab["good"] == 5
+    assert tok.tokenize("goodly") == ["good", "##ly"]
+    assert tok.pad_token_id == 0
+
+    # xlnet wordlist fallback dispatch
+    wl = tmp_path / "words.txt"
+    wl.write_text("good\nbad\n")
+    xtok = get_tokenizer("xlnet-base-cased", str(wl))
+    assert xtok.tokenize("good") == ["▁good"]
+
+    with pytest.raises(ValueError, match="vocab"):
+        get_tokenizer("bert-base-uncased", None)
+    with pytest.raises(ValueError, match="bert-|xlnet-"):
+        get_tokenizer("gpt2", str(path))
