@@ -202,7 +202,12 @@ def mag_gate_fused(params: Mapping[str, jax.Array], text: jax.Array,
                    visual: jax.Array, acoustic: jax.Array, *,
                    beta_shift: float = 1.0,
                    interpret: bool = False) -> jax.Array:
-    """Drop-in fused replacement for ops.mag.mag_gate (same semantics)."""
+    """Drop-in fused replacement for ops.mag.mag_gate (same semantics).
+
+    On non-TPU backends the Mosaic kernel cannot compile; interpret mode is
+    forced so --use_fused_mag stays usable in CPU smoke runs."""
     params = dict(params)
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
     return _mag_gate_fused(params, text, visual, acoustic, beta_shift,
                            interpret)
