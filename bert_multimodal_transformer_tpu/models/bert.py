@@ -180,6 +180,10 @@ class BertEncoder(nn.Module):
     config: BertConfig
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # "full" recomputes everything; "dots" saves matmul outputs and
+    # recomputes only elementwise ops (jax.checkpoint_policies) — cheaper
+    # backward at slightly higher memory.
+    remat_policy: str = "dots"
 
     @nn.compact
     def __call__(self, hidden: jax.Array, attn_bias: Optional[jax.Array],
@@ -190,7 +194,11 @@ class BertEncoder(nn.Module):
         if self.remat:
             # deterministic must be static; flax remat counts the module
             # itself as args[0], so it is args[5] after attention_mask_2d.
-            layer_cls = nn.remat(BertLayer, static_argnums=(5,))
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.checkpoint_dots
+            layer_cls = nn.remat(BertLayer, static_argnums=(5,),
+                                 policy=policy)
         for i in range(self.config.num_hidden_layers):
             # head_mask: [L, H] per-layer rows or [H] shared (HF
             # get_head_mask contract, reference bert.py:208-209).
@@ -227,6 +235,7 @@ class MagBertModel(nn.Module):
     acoustic_dim: int
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "dots"
 
     @nn.compact
     def __call__(
@@ -272,6 +281,7 @@ class MagBertModel(nn.Module):
           deterministic=deterministic)
 
         seq_out = BertEncoder(cfg, self.dtype, remat=self.remat,
+                              remat_policy=self.remat_policy,
                               name="encoder")(
             fused, attn_bias, head_mask, attention_mask,
             deterministic=deterministic)
