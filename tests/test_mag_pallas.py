@@ -85,3 +85,68 @@ def test_fused_non_aligned_text_dim_falls_back():
     want = np.asarray(mag_gate(params, t, v, a))
     got = np.asarray(mag_gate_fused(params, t, v, a, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_backward_kernel_matches_plain_vjp(setup):
+    """The hand-derived Pallas backward (LN→clamp→gate chain) must equal the
+    plain gate's jax.vjp cotangents for params and all three inputs."""
+    params, text, visual, acoustic = setup
+    rng = np.random.RandomState(3)
+    dy = rng.randn(*text.shape).astype(np.float32)
+
+    for beta in (1e-3, 1.0, 1e6):
+        _, vjp = jax.vjp(
+            lambda p, t, v, a: mag_gate(p, t, v, a, beta_shift=beta),
+            params, text, visual, acoustic)
+        want = vjp(jnp.asarray(dy))
+
+        from bert_multimodal_transformer_tpu.ops.mag_pallas import (
+            _mag_backward_pallas,
+        )
+        got = _mag_backward_pallas(params, jnp.asarray(text),
+                                   jnp.asarray(visual),
+                                   jnp.asarray(acoustic), jnp.asarray(dy),
+                                   beta_shift=beta, interpret=True)
+        jax.tree_util.tree_map(
+            lambda a_, b_: np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=2e-4),
+            got, want)
+
+
+def test_fused_backward_ragged_rows(setup):
+    params, text, visual, acoustic = setup
+    t = text[:1, :5]
+    v = visual[:1, :5]
+    a = acoustic[:1, :5]
+    rng = np.random.RandomState(4)
+    dy = rng.randn(*t.shape).astype(np.float32)
+
+    _, vjp = jax.vjp(lambda p, tt, vv, aa: mag_gate(p, tt, vv, aa),
+                     params, t, v, a)
+    want = vjp(jnp.asarray(dy))
+    from bert_multimodal_transformer_tpu.ops.mag_pallas import (
+        _mag_backward_pallas,
+    )
+    got = _mag_backward_pallas(params, jnp.asarray(t), jnp.asarray(v),
+                               jnp.asarray(a), jnp.asarray(dy),
+                               beta_shift=1.0, interpret=True)
+    jax.tree_util.tree_map(
+        lambda a_, b_: np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=2e-4),
+        got, want)
+
+
+def test_fused_bwd_env_fallback(setup, monkeypatch):
+    """MAG_FUSED_BWD=plain routes through the recompute VJP and matches."""
+    params, text, visual, acoustic = setup
+
+    def loss(p, t, v, a):
+        return jnp.sum(mag_gate_fused(p, t, v, a, interpret=True) ** 2)
+
+    g_pallas = jax.grad(loss)(params, text, visual, acoustic)
+    monkeypatch.setenv("MAG_FUSED_BWD", "plain")
+    g_plain = jax.grad(loss)(params, text, visual, acoustic)
+    jax.tree_util.tree_map(
+        lambda a_, b_: np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-4),
+        g_pallas, g_plain)
