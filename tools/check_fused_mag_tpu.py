@@ -60,6 +60,37 @@ def main():
     print(f"rows={rows}: plain {tp*1e3:.3f} ms, fused {tf*1e3:.3f} ms, "
           f"speedup {tp/tf:.2f}x")
 
+    # backward: fused Pallas bwd kernel vs plain VJP on hardware
+    def loss_plain(p, t, v, a):
+        return jnp.sum(mag_gate(p, t, v, a, beta_shift=1.0) ** 2)
+
+    def loss_fused(p, t, v, a):
+        return jnp.sum(mag_gate_fused(p, t, v, a, beta_shift=1.0) ** 2)
+
+    gp = jax.jit(jax.grad(loss_plain))
+    gf = jax.jit(jax.grad(loss_fused))
+    want_g = jax.device_get(gp(params, text, visual, acoustic))
+    got_g = jax.device_get(gf(params, text, visual, acoustic))
+    gerr = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+               for a, b in zip(jax.tree_util.tree_leaves(got_g),
+                               jax.tree_util.tree_leaves(want_g)))
+    print(f"max abs grad diff plain-vs-fused-bwd on TPU: {gerr:.3e}")
+    assert gerr < 5e-2, "fused backward diverges on hardware"
+
+    def timegrad(fn, n=10):
+        out = fn(params, text, visual, acoustic)
+        float(jax.device_get(out["b_hv"][0]))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(params, text, visual, acoustic)
+        float(jax.device_get(out["b_hv"][0]))
+        return (time.perf_counter() - t0) / n
+
+    tgp = timegrad(gp)
+    tgf = timegrad(gf)
+    print(f"grad: plain {tgp*1e3:.3f} ms, fused-bwd {tgf*1e3:.3f} ms, "
+          f"speedup {tgp/tgf:.2f}x")
+
 
 if __name__ == "__main__":
     main()
