@@ -202,13 +202,15 @@ class Trainer:
 
     def eval_epoch(self, state: TrainState, loader) -> float:
         """Mirrors eval_epoch (multimodal_driver.py:391-421): mean dev MSE
-        (exact per-example mean; the reference averages per-batch means)."""
-        tot, cnt = 0.0, 0.0
+        (exact per-example mean; the reference averages per-batch means).
+        Partial sums stay on device; one host sync at epoch end."""
+        sums = []
         for batch, valid in loader:
             s, c = self._eval_step(state, self._put_batch(batch),
                                    jax.device_put(valid, self._bsh))
-            tot += float(jax.device_get(s))
-            cnt += float(jax.device_get(c))
+            sums.append((s, c))
+        tot = sum(float(jax.device_get(s)) for s, _ in sums)
+        cnt = sum(float(jax.device_get(c)) for _, c in sums)
         return tot / max(cnt, 1.0)
 
     def test_epoch(self, state: TrainState, loader):
