@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Tiny model geometry (smoke tests)")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize encoder layers (bert-large memory)")
+    p.add_argument("--remat_policy", type=str, default="full",
+                   choices=["full", "dots"],
+                   help="Remat policy: full recompute (lowest memory) or "
+                        "save-matmul-outputs (faster backward)")
     p.add_argument("--use_zero", action="store_true",
                    help="Include exactly-zero labels in test metrics "
                         "(reference test_score_model use_zero flag)")
@@ -191,7 +195,7 @@ def main(argv=None) -> int:
 
         model = MagBertForSequenceClassification(
             cfg, mm, visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
-            dtype=dtype, remat=args.remat)
+            dtype=dtype, remat=args.remat, remat_policy=args.remat_policy)
 
     # ---- training -------------------------------------------------------
     tx = make_optimizer(

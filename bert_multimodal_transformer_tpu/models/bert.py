@@ -180,10 +180,10 @@ class BertEncoder(nn.Module):
     config: BertConfig
     dtype: Dtype = jnp.float32
     remat: bool = False
-    # "full" recomputes everything; "dots" saves matmul outputs and
-    # recomputes only elementwise ops (jax.checkpoint_policies) — cheaper
-    # backward at slightly higher memory.
-    remat_policy: str = "dots"
+    # "full" recomputes everything (lowest memory); "dots" saves matmul
+    # outputs and recomputes only elementwise ops — cheaper backward at
+    # higher memory.
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, hidden: jax.Array, attn_bias: Optional[jax.Array],
@@ -194,9 +194,14 @@ class BertEncoder(nn.Module):
         if self.remat:
             # deterministic must be static; flax remat counts the module
             # itself as args[0], so it is args[5] after attention_mask_2d.
-            policy = None
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.checkpoint_dots
+            elif self.remat_policy == "full":
+                policy = None
+            else:
+                raise ValueError(
+                    f"remat_policy must be 'full' or 'dots', got "
+                    f"{self.remat_policy!r}")
             layer_cls = nn.remat(BertLayer, static_argnums=(5,),
                                  policy=policy)
         for i in range(self.config.num_hidden_layers):
@@ -235,7 +240,7 @@ class MagBertModel(nn.Module):
     acoustic_dim: int
     dtype: Dtype = jnp.float32
     remat: bool = False
-    remat_policy: str = "dots"
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(
@@ -299,6 +304,7 @@ class MagBertForSequenceClassification(nn.Module):
     acoustic_dim: int
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(
@@ -318,7 +324,7 @@ class MagBertForSequenceClassification(nn.Module):
         cfg = self.config
         _, pooled = MagBertModel(
             cfg, self.multimodal_config, self.visual_dim, self.acoustic_dim,
-            self.dtype, self.remat, name="bert")(
+            self.dtype, self.remat, self.remat_policy, name="bert")(
             input_ids, visual, acoustic, attention_mask, token_type_ids,
             position_ids, head_mask, inputs_embeds,
             deterministic=deterministic)

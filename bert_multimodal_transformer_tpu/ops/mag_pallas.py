@@ -384,7 +384,13 @@ def _bwd(beta_shift, interpret, residuals, g):
     import os
 
     params, text, visual, acoustic = residuals
-    if os.environ.get("MAG_FUSED_BWD", "pallas") == "plain":
+    # Same lane-alignment constraint as the forward (see
+    # _mag_forward_pallas): unaligned text dims fall back to the exact
+    # plain-JAX VJP. MAG_FUSED_BWD=plain forces that path; note the env var
+    # is read at TRACE time — a jitted train step bakes the choice at its
+    # first compilation.
+    if (text.shape[-1] % LANE != 0
+            or os.environ.get("MAG_FUSED_BWD", "pallas") == "plain"):
         # exact recompute through the plain gate's VJP (debug fallback)
         _, vjp = jax.vjp(
             lambda p, t, v, a: mag_ops.mag_gate(p, t, v, a,

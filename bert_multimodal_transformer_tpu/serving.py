@@ -34,6 +34,11 @@ class Predictor:
 
     def __init__(self, model: Any, params: Any, mesh=None,
                  batch_size: int = 128):
+        num_labels = getattr(getattr(model, "config", None), "num_labels", 1)
+        if num_labels != 1:
+            raise ValueError(
+                "Predictor supports regression heads (num_labels=1); got "
+                f"num_labels={num_labels}")
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         self.batch_size = batch_size
@@ -57,28 +62,23 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, model: Any, checkpoint_dir: str,
-                        template_params: Any, tx=None, rng=None,
+                        template_params: Any = None,
                         **kw) -> "Predictor":
-        """Restore the latest training checkpoint's params."""
-        import optax
-
-        from bert_multimodal_transformer_tpu.training.trainer import (
-            TrainState,
-        )
+        """Restore the latest training checkpoint's params (params-only
+        restore — works regardless of which optimizer wrote the
+        checkpoint; template_params is unused and kept for
+        backward-compatibility)."""
+        del template_params
         from bert_multimodal_transformer_tpu.utils.checkpoint import (
             CheckpointManager,
         )
 
-        tx = tx or optax.sgd(0.0)
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
-        template = TrainState.create(apply_fn=model.apply,
-                                     params=template_params, tx=tx, rng=rng)
         mgr = CheckpointManager(checkpoint_dir)
-        restored = mgr.restore_latest(template)
-        if restored is None:
+        params = mgr.restore_params()
+        if params is None:
             raise FileNotFoundError(
                 f"no checkpoint found under {checkpoint_dir}")
-        return cls(model, restored.params, **kw)
+        return cls(model, params, **kw)
 
     def predict_split(self, split: PackedSplit) -> np.ndarray:
         """Predictions for every example, in order."""
@@ -95,6 +95,8 @@ class Predictor:
                 jax.device_put(mask, self._bsh),
                 jax.device_put(segs, self._bsh))
             preds.append(np.asarray(jax.device_get(out))[valid])
+        if not preds:
+            return np.empty((0,), np.float32)
         return np.concatenate(preds)
 
     def score_split(self, split: PackedSplit,

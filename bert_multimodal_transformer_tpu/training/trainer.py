@@ -209,9 +209,12 @@ class Trainer:
             s, c = self._eval_step(state, self._put_batch(batch),
                                    jax.device_put(valid, self._bsh))
             sums.append((s, c))
-        tot = sum(float(jax.device_get(s)) for s, _ in sums)
-        cnt = sum(float(jax.device_get(c)) for _, c in sums)
-        return tot / max(cnt, 1.0)
+        if not sums:
+            return 0.0
+        tot = jnp.sum(jnp.stack([s for s, _ in sums]))
+        cnt = jnp.sum(jnp.stack([c for _, c in sums]))
+        tot, cnt = jax.device_get((tot, cnt))
+        return float(tot) / max(float(cnt), 1.0)
 
     def test_epoch(self, state: TrainState, loader):
         """Mirrors test_epoch (multimodal_driver.py:424-459)."""

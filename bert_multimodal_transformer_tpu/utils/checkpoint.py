@@ -52,6 +52,16 @@ class CheckpointManager:
             step=restored["step"], params=restored["params"],
             opt_state=restored["opt_state"], rng=restored["rng"])
 
+    def restore_params(self, step: Optional[int] = None) -> Any:
+        """Restore only the params subtree (no template needed) — for
+        inference against a checkpoint written by any optimizer."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            return None
+        raw = self._mgr.restore(step)
+        return raw["params"]
+
     def restore_latest(self, template_state: Any) -> Optional[Any]:
         step = self._mgr.latest_step()
         if step is None:

@@ -48,79 +48,57 @@ def _apply_config_overrides(cfg, raw: Optional[dict]):
     return dataclasses.replace(cfg, **overrides)
 
 
-def bert_from_pretrained(
-    path: str,
-    multimodal_config: MultimodalConfig,
-    *,
-    visual_dim: int,
-    acoustic_dim: int,
-    config: Optional[BertConfig] = None,
-    num_labels: int = 1,
-    dtype=jnp.float32,
-    seed: int = 0,
-    max_seq_length: int = 50,
-) -> Tuple["MagBertForSequenceClassification", dict]:
-    """Returns (model, params) with encoder weights loaded from ``path``."""
-    from bert_multimodal_transformer_tpu.models.bert import (
-        MagBertForSequenceClassification,
-    )
+def _from_pretrained(model_cls_path, default_cfg, family: str, path: str,
+                     multimodal_config: MultimodalConfig, *,
+                     visual_dim: int, acoustic_dim: int,
+                     config=None, num_labels: int = 1, dtype=jnp.float32,
+                     seed: int = 0, max_seq_length: int = 50):
+    """Shared loading recipe for both families: config.json overrides →
+    model build → init on a dummy batch → checkpoint overlay with
+    missing-key tolerance."""
     from bert_multimodal_transformer_tpu.utils.convert import (
         load_pretrained_into_params,
     )
 
-    cfg = config or BertConfig.bert_base_uncased()
+    module_name, cls_name = model_cls_path
+    import importlib
+
+    model_cls = getattr(importlib.import_module(module_name), cls_name)
+    cfg = config or default_cfg
     cfg = _apply_config_overrides(cfg, _load_config_json(path))
     cfg = dataclasses.replace(cfg, num_labels=num_labels)
-    model = MagBertForSequenceClassification(
-        cfg, multimodal_config, visual_dim=visual_dim,
-        acoustic_dim=acoustic_dim, dtype=dtype)
+    model = model_cls(cfg, multimodal_config, visual_dim=visual_dim,
+                      acoustic_dim=acoustic_dim, dtype=dtype)
 
     rng = np.random.RandomState(seed)
-    ids = rng.randint(0, cfg.vocab_size, (1, max_seq_length)).astype(
-        np.int32)
+    vocab = cfg.vocab_size
+    ids = rng.randint(0, vocab, (1, max_seq_length)).astype(np.int32)
     vis = rng.randn(1, max_seq_length, visual_dim).astype(np.float32)
     ac = rng.randn(1, max_seq_length, acoustic_dim).astype(np.float32)
     params = model.init(jax.random.PRNGKey(seed), ids, vis, ac)["params"]
-    params = load_pretrained_into_params(params, path, family="bert")
+    params = load_pretrained_into_params(params, path, family=family)
     return model, params
 
 
-def xlnet_from_pretrained(
-    path: str,
-    multimodal_config: MultimodalConfig,
-    *,
-    visual_dim: int,
-    acoustic_dim: int,
-    config: Optional[XLNetConfig] = None,
-    num_labels: int = 1,
-    dtype=jnp.float32,
-    seed: int = 0,
-    max_seq_length: int = 50,
-) -> Tuple["MagXLNetForSequenceClassification", dict]:
+def bert_from_pretrained(path: str, multimodal_config: MultimodalConfig,
+                         **kw):
+    """Returns (model, params) with encoder weights loaded from ``path``."""
+    return _from_pretrained(
+        ("bert_multimodal_transformer_tpu.models.bert",
+         "MagBertForSequenceClassification"),
+        BertConfig.bert_base_uncased(), "bert", path, multimodal_config,
+        **kw)
+
+
+def xlnet_from_pretrained(path: str, multimodal_config: MultimodalConfig,
+                          **kw):
     """Returns (model, params) with transformer weights loaded from
     ``path`` (sequence_summary/logits_proj load too when present)."""
-    from bert_multimodal_transformer_tpu.models.xlnet import (
-        MagXLNetForSequenceClassification,
-    )
-    from bert_multimodal_transformer_tpu.utils.convert import (
-        load_pretrained_into_params,
-    )
-
-    cfg = config or XLNetConfig.xlnet_base_cased()
-    cfg = _apply_config_overrides(cfg, _load_config_json(path))
-    cfg = dataclasses.replace(cfg, num_labels=num_labels)
-    model = MagXLNetForSequenceClassification(
-        cfg, multimodal_config, visual_dim=visual_dim,
-        acoustic_dim=acoustic_dim, dtype=dtype)
-
-    rng = np.random.RandomState(seed)
-    ids = rng.randint(0, cfg.vocab_size, (1, max_seq_length)).astype(
-        np.int32)
-    vis = rng.randn(1, max_seq_length, visual_dim).astype(np.float32)
-    ac = rng.randn(1, max_seq_length, acoustic_dim).astype(np.float32)
-    params = model.init(jax.random.PRNGKey(seed), ids, vis, ac)["params"]
-    params = load_pretrained_into_params(params, path, family="xlnet")
-    return model, params
+    return _from_pretrained(
+        ("bert_multimodal_transformer_tpu.models.xlnet",
+         "MagXLNetForSequenceClassification"),
+        XLNetConfig.xlnet_base_cased(), "xlnet", path, multimodal_config,
+        **kw)
 
 
 def from_pretrained(path: str, model_name: str,
@@ -128,10 +106,11 @@ def from_pretrained(path: str, model_name: str,
     """Name-dispatched variant mirroring prep_for_training
     (multimodal_driver.py:316-323)."""
     if model_name.startswith("bert"):
-        cfg = (BertConfig.bert_large_uncased()
-               if "large" in model_name else BertConfig.bert_base_uncased())
-        return bert_from_pretrained(path, multimodal_config, config=cfg,
-                                    **kw)
+        kw.setdefault(
+            "config",
+            BertConfig.bert_large_uncased() if "large" in model_name
+            else BertConfig.bert_base_uncased())
+        return bert_from_pretrained(path, multimodal_config, **kw)
     if model_name.startswith("xlnet"):
         return xlnet_from_pretrained(path, multimodal_config, **kw)
     raise ValueError(f"unknown model family for {model_name!r}")
