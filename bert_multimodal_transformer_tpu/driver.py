@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_fused_mag", action="store_true")
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--predict_only", action="store_true",
+                   help="Skip training: restore --checkpoint_dir and print "
+                        "test metrics (inference/serving mode)")
     p.add_argument("--tiny", action="store_true",
                    help="Tiny model geometry (smoke tests)")
     p.add_argument("--remat", action="store_true",
@@ -215,6 +218,28 @@ def main(argv=None) -> int:
         params = load_pretrained_into_params(
             state.params, args.pretrained_checkpoint, family=family)
         state = state.replace(params=jax.device_put(params, trainer._rep))
+
+    if args.predict_only:
+        import json as _json
+
+        from bert_multimodal_transformer_tpu.data.pipeline import (
+            convert_to_features,
+            load_pickle_splits,
+        )
+        from bert_multimodal_transformer_tpu.serving import Predictor
+
+        if not args.checkpoint_dir:
+            print("error: --predict_only requires --checkpoint_dir",
+                  file=sys.stderr)
+            return 2
+        predictor = Predictor.from_checkpoint(
+            model, args.checkpoint_dir, batch_size=args.test_batch_size)
+        data = load_pickle_splits(pickle_path)
+        test_split = convert_to_features(
+            data["test"], args.max_seq_length, tokenizer, family)
+        scores = predictor.score_split(test_split, use_zero=args.use_zero)
+        print(_json.dumps({"test_" + k: v for k, v in scores.items()}))
+        return 0
 
     ckpt = None
     if args.checkpoint_dir:

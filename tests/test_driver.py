@@ -111,3 +111,18 @@ def test_bert_large_config_geometry():
     assert (cfg.hidden_size, cfg.num_hidden_layers,
             cfg.num_attention_heads, cfg.intermediate_size) == \
         (1024, 24, 16, 4096)
+
+
+def test_driver_predict_only(tmp_path, capsys):
+    """Train one epoch with checkpointing, then --predict_only restores and
+    prints test metrics without training."""
+    import json
+
+    assert run_driver(tmp_path, epochs=1) == 0
+    capsys.readouterr()
+    rc = run_driver(tmp_path, extra=["--predict_only"], epochs=1)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert {"test_acc", "test_mae", "test_corr", "test_f_score"} == set(rec)
+    assert np.isfinite(rec["test_mae"])
