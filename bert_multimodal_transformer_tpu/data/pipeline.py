@@ -299,15 +299,19 @@ def set_up_data_loaders(
                                   model_family)
         for name in ("train", "dev", "test")
     }
-    # One optimizer step per loader batch: unlike the reference (which
-    # steps once per `gradient_accumulation_step` loader batches,
-    # multimodal_driver.py:261-267,383-386), this trainer splits each
-    # loader batch into micro-batches *inside* the jitted step, so the
-    # accumulation count must NOT shrink the schedule length.
+    # Reference semantics (multimodal_driver.py:261-267,375-386):
+    # the optimizer steps once per `gradient_accumulation_step` loader
+    # batches of size `train_batch_size`, i.e. effective batch = B*N.
+    # This trainer scans the micro-batches *inside* one jitted step, so
+    # the loader yields B*N rows per step and the reference's
+    # optimizer-step count formula carries over unchanged.
     num_train_optimization_steps = int(
-        len(splits["train"]) / train_batch_size) * n_epochs
-    train_it = BatchIterator(splits["train"], train_batch_size,
-                             shuffle=True, drop_remainder=True, seed=seed)
+        len(splits["train"]) / train_batch_size
+        / gradient_accumulation_step) * n_epochs
+    train_it = BatchIterator(
+        splits["train"],
+        train_batch_size * gradient_accumulation_step,
+        shuffle=True, drop_remainder=True, seed=seed)
     dev_it = BatchIterator(splits["dev"], dev_batch_size, shuffle=False,
                            drop_remainder=False)
     test_it = BatchIterator(splits["test"], test_batch_size, shuffle=False,

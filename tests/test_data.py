@@ -252,3 +252,24 @@ def test_tokenizer_from_vocab_file_and_dispatch(tmp_path):
         get_tokenizer("bert-base-uncased", None)
     with pytest.raises(ValueError, match="bert-|xlnet-"):
         get_tokenizer("gpt2", str(path))
+
+
+def test_set_up_data_loaders_grad_accum_semantics(tmp_path, bert_tok):
+    """Reference semantics: accum=N means effective batch B*N per optimizer
+    step and len/B/N optimizer steps per epoch."""
+    from bert_multimodal_transformer_tpu.data.pipeline import (
+        set_up_data_loaders,
+    )
+
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=32, n_dev=4, n_test=4)
+    path = tmp_path / "d.pkl"
+    synthetic.write_pickle(str(path), data)
+    train_it, dev_it, test_it, num_steps = set_up_data_loaders(
+        str(path), bert_tok, model_family="bert", max_seq_length=S,
+        train_batch_size=4, dev_batch_size=4, test_batch_size=4,
+        n_epochs=3, gradient_accumulation_step=2)
+    batch, valid = next(iter(train_it))
+    assert batch[0].shape[0] == 8  # B*N rows per jitted step
+    assert len(train_it) == 4     # 32 / (4*2)
+    assert num_steps == 4 * 3     # int(32/4/2) * epochs
