@@ -180,7 +180,7 @@ def main(argv=None) -> int:
             cfg = dataclasses.replace(cfg, vocab_size=max(vocab_size, 128))
         model = MagXLNetForSequenceClassification(
             cfg, mm, visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
-            dtype=dtype)
+            dtype=dtype, remat=args.remat)
     else:
         cfg = (BertConfig.tiny(vocab_size) if args.tiny else
                (BertConfig.bert_large_uncased()

@@ -256,7 +256,9 @@ class XLNetLayer(nn.Module):
     @nn.compact
     def __call__(self, h, g, attn_mask_h, attn_mask_g, r, seg_mat,
                  mems=None, target_mapping=None, head_mask=None,
-                 *, deterministic=True):
+                 deterministic=True):
+        # deterministic is positional (not kw-only) so nn.remat can mark it
+        # static for the rematerialized stack.
         out_h, out_g = XLNetRelativeAttention(
             self.config, self.dtype, name="rel_attn")(
             h, g, attn_mask_h, attn_mask_g, r, seg_mat, mems,
@@ -277,6 +279,7 @@ class MagXLNetModel(nn.Module):
     visual_dim: int
     acoustic_dim: int
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -403,6 +406,11 @@ class MagXLNetModel(nn.Module):
         keep_mems = (cfg.mem_len is not None and cfg.mem_len > 0
                      and use_cache)
 
+        layer_cls = XLNetLayer
+        if self.remat:
+            # deterministic is args[10] (flax remat counts self as args[0]).
+            layer_cls = nn.remat(XLNetLayer, static_argnums=(10,))
+
         for i in range(cfg.n_layer):
             if keep_mems:
                 new_mems.append(self._cache_mem(output_h, mems[i]))
@@ -413,11 +421,10 @@ class MagXLNetModel(nn.Module):
             hm = None
             if head_mask is not None:
                 hm = head_mask[i] if head_mask.ndim == 2 else head_mask
-            output_h, output_g = XLNetLayer(
+            output_h, output_g = layer_cls(
                 cfg, self.dtype, name=f"layer_{i}")(
                 output_h, output_g, non_tgt_mask, attn_mask, pos_emb,
-                seg_mat, mems[i], target_mapping, hm,
-                deterministic=deterministic)
+                seg_mat, mems[i], target_mapping, hm, deterministic)
 
         output = dropout(output_g if output_g is not None else output_h,
                          deterministic=deterministic)
@@ -472,6 +479,7 @@ class MagXLNetForSequenceClassification(nn.Module):
     visual_dim: int
     acoustic_dim: int
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -495,7 +503,7 @@ class MagXLNetForSequenceClassification(nn.Module):
         cfg = self.config
         output, _new_mems = MagXLNetModel(
             cfg, self.multimodal_config, self.visual_dim, self.acoustic_dim,
-            self.dtype, name="transformer")(
+            self.dtype, self.remat, name="transformer")(
             input_ids, visual, acoustic, attention_mask=attention_mask,
             mems=mems, perm_mask=perm_mask, target_mapping=target_mapping,
             token_type_ids=token_type_ids, input_mask=input_mask,

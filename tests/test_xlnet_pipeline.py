@@ -169,3 +169,39 @@ def test_uni_attention_is_causal():
                                np.asarray(out2[0, :-1]), rtol=1e-5,
                                atol=1e-6)
     assert not np.allclose(np.asarray(out1[0, -1]), np.asarray(out2[0, -1]))
+
+
+def test_xlnet_remat_matches():
+    import jax.numpy as jnp
+    from bert_multimodal_transformer_tpu.models.xlnet import (
+        MagXLNetForSequenceClassification,
+    )
+
+    tok = SimpleUnigramTokenizer.from_wordlist(synthetic.vocabulary())
+    cfg = XLNetConfig.tiny(vocab_size=tok.vocab_size)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0,
+                          injection_index=1)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, tok.vocab_size, (2, 9)).astype(np.int32)
+    vis = rng.randn(2, 9, DV).astype(np.float32)
+    ac = rng.randn(2, 9, DA).astype(np.float32)
+    mask = np.ones((2, 9), np.int32)
+
+    m0 = MagXLNetForSequenceClassification(cfg, mm, visual_dim=DV,
+                                           acoustic_dim=DA, remat=False)
+    m1 = MagXLNetForSequenceClassification(cfg, mm, visual_dim=DV,
+                                           acoustic_dim=DA, remat=True)
+    vars_ = m0.init(jax.random.PRNGKey(0), ids, vis, ac, mask)
+    l0 = m0.apply(vars_, ids, vis, ac, attention_mask=mask)
+    l1 = m1.apply(vars_, ids, vis, ac, attention_mask=mask)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-6)
+
+    def loss(p, m):
+        return jnp.mean(m.apply({"params": p}, ids, vis, ac,
+                                attention_mask=mask) ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, m0))(vars_["params"])
+    g1 = jax.grad(lambda p: loss(p, m1))(vars_["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7), g0, g1)
