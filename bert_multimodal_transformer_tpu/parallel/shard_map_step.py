@@ -14,11 +14,9 @@ mesh in tests/test_shard_map.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 

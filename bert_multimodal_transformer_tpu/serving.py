@@ -12,7 +12,7 @@ training checkpoint, with optional scoring.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np
