@@ -192,3 +192,85 @@ def load_pretrained_into_params(flax_params: Any, checkpoint_path: str,
         return convert_bert_params(flax_params, sd, n)
     n = count_layers("layer.{}.")
     return convert_xlnet_params(flax_params, sd, n)
+
+
+def export_bert_state_dict(flax_params: Any,
+                           num_layers: int) -> Dict[str, np.ndarray]:
+    """Reverse conversion: our MagBert param tree → HF BertModel state-dict
+    naming (numpy values; `torch.save({k: torch.tensor(v)})`-ready).
+    MAG/classifier params are framework-specific and not exported."""
+    p = jax.tree_util.tree_map(np.asarray, flax_params)
+    root = p["bert"] if "bert" in p else p
+    sd: Dict[str, np.ndarray] = {}
+
+    emb = root["embeddings"]
+    sd["embeddings.word_embeddings.weight"] = emb["word_embeddings"]
+    sd["embeddings.position_embeddings.weight"] = emb["position_embeddings"]
+    sd["embeddings.token_type_embeddings.weight"] = emb[
+        "token_type_embeddings"]
+    sd["embeddings.LayerNorm.weight"] = emb["LayerNorm"]["scale"]
+    sd["embeddings.LayerNorm.bias"] = emb["LayerNorm"]["bias"]
+
+    for i in range(num_layers):
+        src = root["encoder"][f"layer_{i}"]
+        dst = f"encoder.layer.{i}."
+        qkv_w = src["attention"]["qkv"]["kernel"]  # [D, 3D]
+        d = qkv_w.shape[0]
+        q_w, k_w, v_w = (qkv_w[:, :d], qkv_w[:, d:2 * d], qkv_w[:, 2 * d:])
+        qkv_b = src["attention"]["qkv"]["bias"]
+        sd[dst + "attention.self.query.weight"] = q_w.T
+        sd[dst + "attention.self.key.weight"] = k_w.T
+        sd[dst + "attention.self.value.weight"] = v_w.T
+        sd[dst + "attention.self.query.bias"] = qkv_b[:d]
+        sd[dst + "attention.self.key.bias"] = qkv_b[d:2 * d]
+        sd[dst + "attention.self.value.bias"] = qkv_b[2 * d:]
+        sd[dst + "attention.output.dense.weight"] = \
+            src["attention"]["output_dense"]["kernel"].T
+        sd[dst + "attention.output.dense.bias"] = \
+            src["attention"]["output_dense"]["bias"]
+        sd[dst + "attention.output.LayerNorm.weight"] = \
+            src["attention"]["output_LayerNorm"]["scale"]
+        sd[dst + "attention.output.LayerNorm.bias"] = \
+            src["attention"]["output_LayerNorm"]["bias"]
+        sd[dst + "intermediate.dense.weight"] = \
+            src["intermediate_dense"]["kernel"].T
+        sd[dst + "intermediate.dense.bias"] = src["intermediate_dense"]["bias"]
+        sd[dst + "output.dense.weight"] = src["output_dense"]["kernel"].T
+        sd[dst + "output.dense.bias"] = src["output_dense"]["bias"]
+        sd[dst + "output.LayerNorm.weight"] = \
+            src["output_LayerNorm"]["scale"]
+        sd[dst + "output.LayerNorm.bias"] = src["output_LayerNorm"]["bias"]
+
+    if "pooler" in root:
+        sd["pooler.dense.weight"] = root["pooler"]["dense"]["kernel"].T
+        sd["pooler.dense.bias"] = root["pooler"]["dense"]["bias"]
+    return sd
+
+
+def export_xlnet_state_dict(flax_params: Any,
+                            num_layers: int) -> Dict[str, np.ndarray]:
+    """Reverse conversion: our MagXLNet param tree → HF XLNetModel
+    state-dict naming (einsum weights pass through untransposed)."""
+    p = jax.tree_util.tree_map(np.asarray, flax_params)
+    root = p["transformer"] if "transformer" in p else p
+    sd: Dict[str, np.ndarray] = {}
+    sd["word_embedding.weight"] = root["word_embedding"]["embedding"]
+    if "mask_emb" in root:
+        sd["mask_emb"] = root["mask_emb"].reshape(1, 1, -1)
+    for i in range(num_layers):
+        src = root[f"layer_{i}"]
+        dst = f"layer.{i}."
+        attn = src["rel_attn"]
+        for name in ("q", "k", "v", "o", "r", "r_w_bias", "r_r_bias",
+                     "r_s_bias", "seg_embed"):
+            sd[dst + f"rel_attn.{name}"] = attn[name]
+        sd[dst + "rel_attn.layer_norm.weight"] = attn["layer_norm"]["scale"]
+        sd[dst + "rel_attn.layer_norm.bias"] = attn["layer_norm"]["bias"]
+        ff = src["ff"]
+        sd[dst + "ff.layer_1.weight"] = ff["layer_1"]["kernel"].T
+        sd[dst + "ff.layer_1.bias"] = ff["layer_1"]["bias"]
+        sd[dst + "ff.layer_2.weight"] = ff["layer_2"]["kernel"].T
+        sd[dst + "ff.layer_2.bias"] = ff["layer_2"]["bias"]
+        sd[dst + "ff.layer_norm.weight"] = ff["layer_norm"]["scale"]
+        sd[dst + "ff.layer_norm.bias"] = ff["layer_norm"]["bias"]
+    return sd

@@ -108,3 +108,74 @@ def test_xlnet_from_pretrained_bin(tmp_path):
                   token_type_ids=torch.tensor(segs, dtype=torch.long),
                   ).last_hidden_state.numpy()
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+def test_bert_export_round_trip(tmp_path):
+    """torch -> flax -> torch: the exported state dict equals the original
+    for every encoder key."""
+    from bert_multimodal_transformer_tpu.models.bert import MagBertModel
+    from bert_multimodal_transformer_tpu.utils.convert import (
+        convert_bert_params,
+        export_bert_state_dict,
+    )
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=V, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, attn_implementation="eager")
+    torch.manual_seed(1)
+    tm = transformers.BertModel(hf_cfg)
+    sd0 = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    cfg = BertConfig(vocab_size=V, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=64)
+    model = MagBertModel(cfg, MM, visual_dim=DV, acoustic_dim=DA)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, V, (1, S)).astype(np.int32)
+    vis = rng.randn(1, S, DV).astype(np.float32)
+    ac = rng.randn(1, S, DA).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, vis, ac)["params"]
+    params = convert_bert_params(params, sd0, 2)
+
+    sd1 = export_bert_state_dict(params, 2)
+    for k, want in sd0.items():
+        assert k in sd1, k
+        np.testing.assert_allclose(sd1[k], want, rtol=1e-7, err_msg=k)
+
+
+def test_xlnet_export_round_trip():
+    from bert_multimodal_transformer_tpu.models.xlnet import MagXLNetModel
+    from bert_multimodal_transformer_tpu.utils.convert import (
+        convert_xlnet_params,
+        export_xlnet_state_dict,
+    )
+
+    tm = hf_xlnet_model()
+    sd0 = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    cfg = XLNetConfig(vocab_size=V, d_model=32, n_layer=2, n_head=2,
+                      d_inner=64)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0,
+                          injection_index=99)
+    model = MagXLNetModel(cfg, mm, visual_dim=DV, acoustic_dim=DA)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, V, (1, S)).astype(np.int32)
+    vis = rng.randn(1, S, DV).astype(np.float32)
+    ac = rng.randn(1, S, DA).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, vis, ac)["params"]
+    params = convert_xlnet_params(params, sd0, 2)
+
+    sd1 = export_xlnet_state_dict(params, 2)
+    for k, want in sd0.items():
+        if k == "mask_emb":
+            continue  # only present when the query stream was initialized
+        assert k in sd1, k
+        np.testing.assert_allclose(sd1[k], want, rtol=1e-7, err_msg=k)
+
+
+def hf_xlnet_model():
+    hf_cfg = transformers.XLNetConfig(
+        vocab_size=V, d_model=32, n_layer=2, n_head=2, d_inner=64)
+    torch.manual_seed(2)
+    return transformers.XLNetModel(hf_cfg)
