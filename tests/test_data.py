@@ -273,3 +273,20 @@ def test_set_up_data_loaders_grad_accum_semantics(tmp_path, bert_tok):
     assert batch[0].shape[0] == 8  # B*N rows per jitted step
     assert len(train_it) == 4     # 32 / (4*2)
     assert num_steps == 4 * 3     # int(32/4/2) * epochs
+
+
+def test_batch_iterator_seed_reproducibility(bert_tok):
+    """Same seed -> same epoch-1 order (fresh iterators); the reference's
+    seeding contract (multimodal_driver.py:289-308) applied to shuffling."""
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=16, n_dev=2, n_test=2)
+    split = convert_to_features(data["train"], S, bert_tok, "bert")
+    a = BatchIterator(split, 4, shuffle=True, drop_remainder=True, seed=7)
+    b = BatchIterator(split, 4, shuffle=True, drop_remainder=True, seed=7)
+    for (ba, _), (bb, _) in zip(a, b):
+        np.testing.assert_array_equal(ba[0], bb[0])
+    c = BatchIterator(split, 4, shuffle=True, drop_remainder=True, seed=8)
+    firsts = [next(iter(c))[0][0], next(iter(
+        BatchIterator(split, 4, shuffle=True, drop_remainder=True,
+                      seed=7)))[0][0]]
+    assert not np.array_equal(firsts[0], firsts[1])
