@@ -66,14 +66,27 @@ def main():
     seq = 50
     n_steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = 5
+    family = os.environ.get("BENCH_MODEL", "bert")  # "bert" | "xlnet"
 
-    cfg = BertConfig.bert_base_uncased()
     mm = MultimodalConfig(
         beta_shift=1.0, dropout_prob=0.5,
+        injection_index=1 if family == "xlnet" else 0,
         use_fused_kernel=os.environ.get("BENCH_FUSED_MAG", "0") == "1")
-    model = MagBertForSequenceClassification(
-        cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
-        remat=os.environ.get("BENCH_REMAT", "0") == "1")
+    if family == "xlnet":
+        from bert_multimodal_transformer_tpu.config import XLNetConfig
+        from bert_multimodal_transformer_tpu.models.xlnet import (
+            MagXLNetForSequenceClassification,
+        )
+
+        cfg = XLNetConfig.xlnet_base_cased()
+        model = MagXLNetForSequenceClassification(
+            cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
+            remat=os.environ.get("BENCH_REMAT", "0") == "1")
+    else:
+        cfg = BertConfig.bert_base_uncased()
+        model = MagBertForSequenceClassification(
+            cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
+            remat=os.environ.get("BENCH_REMAT", "0") == "1")
 
     n_dev = len(jax.devices())
     mesh = make_mesh(MeshConfig(data_parallel=n_dev))
@@ -124,10 +137,11 @@ def main():
             pass
 
     watchdog.cancel()
+    model_name = ("xlnet-base" if family == "xlnet" else "bert-base")
     print(json.dumps({
-        "metric": "MOSI MAG-BERT fine-tune train-step throughput "
-                  f"(bert-base, batch {batch}, seq {seq}, bf16, "
-                  f"{n_dev} chip(s))",
+        "metric": f"MOSI MAG-{family.upper()} fine-tune train-step "
+                  f"throughput ({model_name}, batch {batch}, seq {seq}, "
+                  f"bf16, {n_dev} chip(s))",
         "value": round(per_chip, 2),
         "unit": "examples/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

@@ -302,6 +302,9 @@ class SimpleUnigramTokenizer:
         unk = self.vocab[self.unk_token]
         return [self.vocab.get(t, unk) for t in tokens]
 
+    def convert_ids_to_tokens(self, ids: Sequence[int]) -> List[str]:
+        return [self.ids_to_tokens.get(i, self.unk_token) for i in ids]
+
 
 class SentencePieceTokenizer:
     """XLNet tokenizer over a real SentencePiece ``.model`` file. Requires
