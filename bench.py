@@ -84,6 +84,10 @@ def main():
             remat=os.environ.get("BENCH_REMAT", "0") == "1")
     else:
         cfg = BertConfig.bert_base_uncased()
+        attn = os.environ.get("BENCH_ATTN", "einsum")
+        if attn != "einsum":
+            import dataclasses
+            cfg = dataclasses.replace(cfg, attention_impl=attn)
         model = MagBertForSequenceClassification(
             cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
             remat=os.environ.get("BENCH_REMAT", "0") == "1")

@@ -90,9 +90,12 @@ class BertConfig:
     initializer_range: float = 0.02
     layer_norm_eps: float = 1e-12
     num_labels: int = 1
-    # "einsum" (exact HF semantics incl. attention-prob dropout) or
-    # "flash" (Pallas blockwise kernel, O(S) memory, for long sequences;
-    # no attention-prob dropout inside the kernel).
+    # "einsum" (exact HF semantics incl. attention-prob dropout),
+    # "fused" (short-seq Pallas kernel: softmax + prob-dropout in VMEM,
+    # recompute backward — no [B,H,S,S] tensors in HBM; ops/
+    # fused_attention.py), or "flash" (official Pallas blockwise kernel,
+    # O(S) memory, for long sequences; no attention-prob dropout inside
+    # the kernel).
     attention_impl: str = "einsum"
 
     @staticmethod

@@ -74,9 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Include exactly-zero labels in test metrics "
                         "(reference test_score_model use_zero flag)")
     p.add_argument("--attention_impl", type=str, default="einsum",
-                   choices=["einsum", "flash"],
-                   help="BERT attention backend; flash = Pallas blockwise "
-                        "kernel for long sequences (seq %% 128 == 0)")
+                   choices=["einsum", "fused", "flash"],
+                   help="BERT attention backend; fused = short-seq Pallas "
+                        "kernel (in-VMEM softmax+dropout, recompute bwd); "
+                        "flash = blockwise kernel for long sequences "
+                        "(seq %% 128 == 0)")
     p.add_argument("--rng_impl", type=str, default="rbg",
                    choices=["threefry2x32", "rbg"],
                    help="Dropout PRNG: rbg uses the TPU hardware RNG "

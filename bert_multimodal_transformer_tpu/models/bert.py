@@ -30,6 +30,9 @@ from bert_multimodal_transformer_tpu.ops.attention import (
     extended_attention_mask,
     flash_attention,
 )
+from bert_multimodal_transformer_tpu.ops.fused_attention import (
+    fused_attention,
+)
 
 Dtype = Any
 
@@ -119,9 +122,25 @@ class BertSelfAttention(nn.Module):
                      and s % 128 == 0
                      and (deterministic
                           or cfg.attention_probs_dropout_prob == 0.0))
+        # fused short-seq kernel: softmax + prob-dropout in VMEM with
+        # recompute backward (ops/fused_attention.py). Handles training
+        # dropout via the TPU hardware PRNG; head_mask still falls back.
+        use_fused = cfg.attention_impl == "fused" and head_mask is None
         if use_flash:
             ctx = flash_attention(
                 q, k, v, attention_mask_2d, scale=1.0 / (dh ** 0.5))
+        elif use_fused:
+            rate = cfg.attention_probs_dropout_prob
+            dropout_rng = None
+            if not deterministic and rate > 0:
+                dropout_rng = self.make_rng("dropout")
+            ctx = fused_attention(
+                q, k, v, attention_mask_2d,
+                scale=1.0 / (dh ** 0.5),
+                dropout_rate=rate,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+            )
         else:
             dropout_rng = None
             if not deterministic and cfg.attention_probs_dropout_prob > 0:

@@ -1,0 +1,287 @@
+"""Fused short-sequence attention Pallas kernel (softmax + prob-dropout
+in VMEM, recompute backward).
+
+Motivation (BENCHMARKS.md, NOTES_ROUND1.md gaps 3-4): at the reference's
+geometry (seq 50, reference multimodal_driver.py:38) the einsum attention
+path materializes per-layer [B, H, S, S] tensors in HBM three times over —
+fp32 softmax probs saved for backward, the bf16 cast of the probs, and the
+dropout keep-mask (HF BertSelfAttention semantics, attention-prob dropout,
+vendored via reference bert.py:17). At batch 256 that is ~50 MB × 12
+layers of write-then-read traffic per step plus the RNG cost of
+generating 92M dropout bits with the XLA PRNG.
+
+This kernel keeps the whole attention chain for one (batch row, all heads)
+VMEM-resident:
+
+  scores = (Q·Kᵀ)·scale + mask-bias   (fp32 on the MXU)
+  probs  = softmax(scores)            (fp32, VPU)
+  probs  = dropout(probs)             (TPU hardware PRNG, in-register)
+  out    = probs·V                    (bf16 MXU pass, fp32 accumulate)
+
+and the backward kernel *recomputes* probs (flash-attention-style) from
+the same Q/K/V + the replayed PRNG stream instead of loading saved probs:
+nothing of size [B, H, S, S] ever exists in HBM, in either pass. The
+dropout mask replay works because Pallas' per-core PRNG is deterministic
+given the seed: both kernels seed with (seed + batch_index) and generate
+head-order-identical (S, S) draws.
+
+Scope: S must fit in VMEM alongside H·S·Dh blocks (true for S up to ~1k
+at bert-base geometry). Semantics match ops.attention.dot_product_attention
+exactly when dropout is off (same op order, fp32 softmax, bf16 PV matmul);
+with dropout on, the keep-mask distribution is identical (P(keep)=1-rate)
+but the stream is the hardware PRNG, not jax.random — the reference fixes
+no dropout stream either (torch CUDA RNG, reference multimodal_driver.py
+:299-308 seeds it but the stream differs from ours regardless).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dropout_threshold(rate: float) -> int:
+    """uint32 threshold t such that P(bits >= t) = 1 - rate."""
+    return min(int(round(rate * 4294967296.0)), 4294967295)
+
+
+def _softmax_f32(scores: jax.Array) -> jax.Array:
+    # jax.nn.softmax semantics (max-subtracted, fp32) — keep the exact op
+    # order of the plain path so dropout-off results are bit-comparable.
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def _attn_fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, *,
+                     scale: float, rate: float, n_heads: int, nb: int):
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    for b in range(nb):
+        if rate > 0.0:
+            # Seed per GLOBAL batch row (not per program): forward and
+            # backward may run with different nb blockings, and the mask
+            # replay must not depend on the partitioning.
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+        bias = bias_ref[b].astype(f32)                      # [1, S]
+        for h in range(n_heads):
+            q = q_ref[b, h]                                 # [S, Dh]
+            k = k_ref[b, h]
+            v = v_ref[b, h]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)  # [S, S]
+            s = s * scale + bias
+            p = _softmax_f32(s)
+            if rate > 0.0:
+                # prng_random_bits returns *int32* on this JAX version —
+                # bitcast to uint32 or the >= threshold test is vacuous.
+                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                     jnp.uint32)             # [S, S]
+                p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+            o = jax.lax.dot_general(p.astype(q.dtype), v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+            o_ref[b, h] = o.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, *,
+                     scale: float, rate: float, n_heads: int, nb: int):
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    for b in range(nb):
+      if rate > 0.0:
+          # Identical per-global-row seeding + per-head draw order to the
+          # forward kernel: the hardware PRNG replays the exact keep-mask
+          # even when fwd/bwd use different nb blockings.
+          pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+      bias = bias_ref[b].astype(f32)
+      for h in range(n_heads):
+          q = q_ref[b, h]
+          k = k_ref[b, h]
+          v = v_ref[b, h]
+          g = g_ref[b, h]
+          s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+          s = s * scale + bias
+          p = _softmax_f32(s)                                  # [Sq, Sk] f32
+          if rate > 0.0:
+              bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                   jnp.uint32)
+              keepf = jnp.where(bits >= thresh, inv_keep, 0.0)  # f32
+              pd = p * keepf
+          else:
+              pd = p
+          pd_c = pd.astype(q.dtype)
+          # dV = pdᵀ · g                                        [Sk, Dh]
+          dv = jax.lax.dot_general(pd_c, g, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+          dv_ref[b, h] = dv.astype(dv_ref.dtype)
+          # d(pd) = g · Vᵀ                                      [Sq, Sk]
+          dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+          dp = dpd * keepf if rate > 0.0 else dpd
+          # softmax VJP: ds = p ⊙ (dp − Σ_k dp⊙p)
+          ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+          ds = ds * scale
+          ds_c = ds.astype(q.dtype)
+          # dQ = ds · K                                         [Sq, Dh]
+          dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+          dq_ref[b, h] = dq.astype(dq_ref.dtype)
+          # dK = dsᵀ · Q                                        [Sk, Dh]
+          dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+          dk_ref[b, h] = dk.astype(dk_ref.dtype)
+
+
+def _pick_nb(b: int, n_arrays: int, h: int, s: int, dh: int) -> int:
+    """Rows per program: amortize per-program pipeline overhead while
+    keeping double-buffered blocks comfortably inside ~12 MB of VMEM."""
+    budget = 12 * 1024 * 1024
+    # bf16 blocks are padded to (…, mult-of-16 sublanes, 128 lanes)
+    block = h * ((s + 15) // 16 * 16) * max(dh, 128) * 2
+    nb = max(1, budget // (2 * n_arrays * block))
+    while nb > 1 and b % nb != 0:
+        nb -= 1
+    return min(nb, 8)
+
+
+def _specs(nb, h, s, dh):
+    qkv = pl.BlockSpec((nb, h, s, dh), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((nb, 1, s), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return seed, bias, qkv
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "interpret", "nb"))
+def _fwd_pallas(q, k, v, bias, seed, *, scale, rate, interpret, nb=None):
+    b, h, s, dh = q.shape
+    if nb is None:
+        nb = _pick_nb(b, 5, h, s, dh)
+    seed_spec, bias_spec, qkv_spec = _specs(nb, h, s, dh)
+    flops_sm = 8 * b * h * s * s
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, scale=scale, rate=rate,
+                          n_heads=h, nb=nb),
+        grid=(b // nb,),
+        in_specs=[seed_spec, bias_spec, qkv_spec, qkv_spec, qkv_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * dh + flops_sm,
+            bytes_accessed=q.dtype.itemsize * 4 * b * h * s * dh,
+            transcendentals=b * h * s * s,
+        ),
+    )(seed, bias, q, k, v)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "interpret", "nb"))
+def _bwd_pallas(q, k, v, bias, seed, g, *, scale, rate, interpret, nb=None):
+    b, h, s, dh = q.shape
+    if nb is None:
+        nb = _pick_nb(b, 7, h, s, dh)
+    seed_spec, bias_spec, qkv_spec = _specs(nb, h, s, dh)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, rate=rate,
+                          n_heads=h, nb=nb),
+        grid=(b // nb,),
+        in_specs=[seed_spec, bias_spec, qkv_spec, qkv_spec, qkv_spec,
+                  qkv_spec],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct(q.shape, q.dtype)
+                        for _ in range(3)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * s * s * dh + 12 * b * h * s * s,
+            bytes_accessed=q.dtype.itemsize * 7 * b * h * s * dh,
+            transcendentals=b * h * s * s,
+        ),
+    )(seed, bias, q, k, v, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_attention(q, k, v, bias, seed, scale, rate, interpret):
+    return _fwd_pallas(q, k, v, bias, seed, scale=scale, rate=rate,
+                       interpret=interpret)
+
+
+def _fa_fwd(q, k, v, bias, seed, scale, rate, interpret):
+    out = _fwd_pallas(q, k, v, bias, seed, scale=scale, rate=rate,
+                      interpret=interpret)
+    return out, (q, k, v, bias, seed)
+
+
+def _fa_bwd(scale, rate, interpret, residuals, g):
+    q, k, v, bias, seed = residuals
+    dq, dk, dv = _bwd_pallas(q, k, v, bias, seed, g, scale=scale,
+                             rate=rate, interpret=interpret)
+    dbias = jnp.zeros_like(bias)   # mask bias carries no useful gradient
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, dbias, dseed
+
+
+_fused_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def fused_attention(
+    q: jax.Array,               # [B, H, S, Dh]
+    k: jax.Array,
+    v: jax.Array,
+    attention_mask: Optional[jax.Array],   # [B, S] {0,1}, 1 = real token
+    *,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused attention with in-kernel prob-dropout and recompute backward.
+
+    Drop-in for dot_product_attention minus head_mask (call sites fall
+    back to the einsum path when head_mask is set). dropout_rate applies
+    only when deterministic=False; the keep-mask comes from the TPU
+    hardware PRNG seeded from ``dropout_rng``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rate = 0.0 if deterministic else float(dropout_rate)
+    b, _, s, _ = q.shape
+    if attention_mask is None:
+        bias = jnp.zeros((b, 1, s), jnp.float32)
+    else:
+        bias = ((1.0 - attention_mask.astype(jnp.float32))
+                * -10000.0)[:, None, :]
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+    if rate > 0.0 and interpret:
+        # The Pallas interpreter stubs prng_random_bits to zeros, which
+        # would drop every probability. Off-TPU, use the plain einsum path
+        # (same math, jax.random keep-mask — dropout streams are
+        # backend-specific either way).
+        from bert_multimodal_transformer_tpu.ops.attention import (
+            dot_product_attention)
+        return dot_product_attention(
+            q, k, v, bias[:, None, :, :], scale=scale,
+            dropout_rate=rate, dropout_rng=dropout_rng,
+            deterministic=False)
+    if rate > 0.0:
+        seed = jax.random.randint(dropout_rng, (1, 1), 0, 2**31 - 1,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1, 1), jnp.int32)
+    return _fused_attention(q, k, v, bias, seed, float(scale), rate,
+                            bool(interpret))

@@ -1,0 +1,193 @@
+"""Fused short-seq attention kernel (ops/fused_attention.py) vs the plain
+einsum path (ops/attention.py — HF BertSelfAttention semantics, vendored
+by the reference at bert.py:17).
+
+CPU runs exercise the kernel through the Pallas interpreter; the dropout
+path falls back to the plain einsum math off-TPU (the interpreter stubs
+the hardware PRNG), so the in-kernel dropout itself is validated on real
+silicon by tools/check_fused_attention_tpu.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bert_multimodal_transformer_tpu.ops.attention import (
+    dot_product_attention,
+    extended_attention_mask,
+)
+from bert_multimodal_transformer_tpu.ops.fused_attention import (
+    fused_attention,
+)
+
+B, H, S, DH = 3, 4, 50, 64
+SCALE = 1.0 / DH ** 0.5
+
+
+def _inputs(dtype=jnp.float32, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(B, H, S, DH), dtype)
+    k = jnp.asarray(rng.randn(B, H, S, DH), dtype)
+    v = jnp.asarray(rng.randn(B, H, S, DH), dtype)
+    mask = np.ones((B, S), np.int32)
+    mask[0, 40:] = 0
+    mask[2, 10:] = 0
+    return q, k, v, jnp.asarray(mask)
+
+
+def test_forward_matches_einsum_fp32():
+    q, k, v, mask = _inputs()
+    ref = dot_product_attention(q, k, v, extended_attention_mask(mask),
+                                scale=SCALE)
+    out = fused_attention(q, k, v, mask, scale=SCALE)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_forward_matches_einsum_bf16():
+    q, k, v, mask = _inputs(jnp.bfloat16)
+    ref = dot_product_attention(q, k, v, extended_attention_mask(mask),
+                                scale=SCALE)
+    out = fused_attention(q, k, v, mask, scale=SCALE)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
+def test_forward_no_mask():
+    q, k, v, _ = _inputs()
+    ref = dot_product_attention(q, k, v, None, scale=SCALE)
+    out = fused_attention(q, k, v, None, scale=SCALE)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_grads_match_plain_vjp():
+    q, k, v, mask = _inputs()
+    bias = extended_attention_mask(mask)
+
+    def f_ref(q, k, v):
+        return jnp.sum(jnp.tanh(
+            dot_product_attention(q, k, v, bias, scale=SCALE)))
+
+    def f_new(q, k, v):
+        return jnp.sum(jnp.tanh(
+            fused_attention(q, k, v, mask, scale=SCALE)))
+
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(f_new, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gn):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_dropout_requires_rng():
+    q, k, v, mask = _inputs()
+    with pytest.raises(ValueError):
+        fused_attention(q, k, v, mask, scale=SCALE, dropout_rate=0.1,
+                        deterministic=False)
+
+
+def test_dropout_offtpu_fallback_matches_einsum_stream():
+    # Off-TPU the dropout path routes to dot_product_attention with the
+    # same rng — exact equality documents the fallback.
+    q, k, v, mask = _inputs()
+    key = jax.random.PRNGKey(11)
+    out = fused_attention(q, k, v, mask, scale=SCALE, dropout_rate=0.25,
+                          dropout_rng=key, deterministic=False)
+    ref = dot_product_attention(
+        q, k, v, extended_attention_mask(mask), scale=SCALE,
+        dropout_rate=0.25, dropout_rng=key, deterministic=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_full_model_fused_equals_einsum_deterministic():
+    import dataclasses
+
+    from bert_multimodal_transformer_tpu.config import (
+        BertConfig, MultimodalConfig)
+    from bert_multimodal_transformer_tpu.models.bert import (
+        MagBertForSequenceClassification)
+
+    cfg = BertConfig.tiny()
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.5,
+                          injection_index=0)
+    rng = np.random.RandomState(3)
+    batch = 4
+    seq = 20
+    ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (batch, seq)), jnp.int32)
+    vis = jnp.asarray(rng.randn(batch, seq, 5), jnp.float32)
+    aco = jnp.asarray(rng.randn(batch, seq, 7), jnp.float32)
+    mask = np.ones((batch, seq), np.int32)
+    mask[1, 15:] = 0
+    mask = jnp.asarray(mask)
+    seg = jnp.zeros((batch, seq), jnp.int32)
+
+    m_ein = MagBertForSequenceClassification(cfg, mm, visual_dim=5,
+                                             acoustic_dim=7)
+    params = m_ein.init(jax.random.PRNGKey(0), ids, vis, aco, mask, seg)[
+        "params"]
+    cfg_f = dataclasses.replace(cfg, attention_impl="fused")
+    m_fus = MagBertForSequenceClassification(cfg_f, mm, visual_dim=5,
+                                             acoustic_dim=7)
+    out_e = m_ein.apply({"params": params}, ids, vis, aco,
+                        attention_mask=mask, token_type_ids=seg,
+                        deterministic=True)
+    out_f = m_fus.apply({"params": params}, ids, vis, aco,
+                        attention_mask=mask, token_type_ids=seg,
+                        deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_full_model_fused_train_step_runs_and_grads_match():
+    """Training-mode grads through the fused path == einsum path when the
+    attention-prob dropout rate is 0 (hidden dropout still active, same
+    rng stream for both models)."""
+    import dataclasses
+
+    from bert_multimodal_transformer_tpu.config import (
+        BertConfig, MultimodalConfig)
+    from bert_multimodal_transformer_tpu.models.bert import (
+        MagBertForSequenceClassification)
+
+    cfg = dataclasses.replace(BertConfig.tiny(),
+                              attention_probs_dropout_prob=0.0)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.5,
+                          injection_index=0)
+    rng = np.random.RandomState(4)
+    batch, seq = 4, 16
+    ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (batch, seq)), jnp.int32)
+    vis = jnp.asarray(rng.randn(batch, seq, 5), jnp.float32)
+    aco = jnp.asarray(rng.randn(batch, seq, 7), jnp.float32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    seg = jnp.zeros((batch, seq), jnp.int32)
+    labels = jnp.asarray(rng.randn(batch), jnp.float32)
+
+    def make_loss(model):
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params}, ids, vis, aco, attention_mask=mask,
+                token_type_ids=seg, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(9)})
+            return jnp.mean((logits.reshape(-1) - labels) ** 2)
+        return loss_fn
+
+    m_ein = MagBertForSequenceClassification(cfg, mm, visual_dim=5,
+                                             acoustic_dim=7)
+    params = m_ein.init(jax.random.PRNGKey(0), ids, vis, aco, mask, seg)[
+        "params"]
+    cfg_f = dataclasses.replace(cfg, attention_impl="fused")
+    m_fus = MagBertForSequenceClassification(cfg_f, mm, visual_dim=5,
+                                             acoustic_dim=7)
+
+    le, ge = jax.value_and_grad(make_loss(m_ein))(params)
+    lf, gf = jax.value_and_grad(make_loss(m_fus))(params)
+    np.testing.assert_allclose(float(lf), float(le), atol=1e-5, rtol=1e-5)
+    flat_e = jax.tree_util.tree_leaves(ge)
+    flat_f = jax.tree_util.tree_leaves(gf)
+    for a, b in zip(flat_e, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-3)
