@@ -84,7 +84,11 @@ def main():
             remat=os.environ.get("BENCH_REMAT", "0") == "1")
     else:
         cfg = BertConfig.bert_base_uncased()
-        attn = os.environ.get("BENCH_ATTN", "einsum")
+        # Fused Pallas attention (in-VMEM softmax+dropout, save-probs
+        # backward under the auto residual cap) is the fastest validated
+        # path: 2917 ex/s vs 2642 (recompute bwd) vs ~2540 (einsum) at
+        # this geometry. BENCH_ATTN=einsum for the plain path.
+        attn = os.environ.get("BENCH_ATTN", "fused")
         if attn != "einsum":
             import dataclasses
             cfg = dataclasses.replace(cfg, attention_impl=attn)

@@ -37,6 +37,7 @@ no dropout stream either (torch CUDA RNG, reference multimodal_driver.py
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -57,9 +58,18 @@ def _softmax_f32(scores: jax.Array) -> jax.Array:
     return jax.nn.softmax(scores, axis=-1)
 
 
-def _attn_fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, *,
-                     scale: float, rate: float, n_heads: int, nb: int):
+def _attn_fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref,
+                     *maybe_prob_refs,
+                     scale: float, rate: float, n_heads: int, nb: int,
+                     save: bool = False):
+    # save=True additionally writes the (pre-dropout) probs p and, when
+    # dropout is active, the dropped/scaled probs pd — both bf16 — so the
+    # backward can skip the QK-dot + softmax recompute (55% of its time,
+    # tools/exp_bwd_variants.py).
     f32 = jnp.float32
+    if save:
+        p_ref = maybe_prob_refs[0]
+        pd_ref = maybe_prob_refs[1] if rate > 0.0 else None
     if rate > 0.0:
         thresh = np.uint32(_dropout_threshold(rate))
         inv_keep = 1.0 / (1.0 - rate)
@@ -78,12 +88,16 @@ def _attn_fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, *,
                                     preferred_element_type=f32)  # [S, S]
             s = s * scale + bias
             p = _softmax_f32(s)
+            if save:
+                p_ref[b, h] = p.astype(p_ref.dtype)
             if rate > 0.0:
                 # prng_random_bits returns *int32* on this JAX version —
                 # bitcast to uint32 or the >= threshold test is vacuous.
                 bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
                                      jnp.uint32)             # [S, S]
                 p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+                if save:
+                    pd_ref[b, h] = p.astype(pd_ref.dtype)
             o = jax.lax.dot_general(p.astype(q.dtype), v,
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=f32)
@@ -128,10 +142,12 @@ def _attn_bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
           # d(pd) = g · Vᵀ                                      [Sq, Sk]
           dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                                     preferred_element_type=f32)
-          dp = dpd * keepf if rate > 0.0 else dpd
-          # softmax VJP: ds = p ⊙ (dp − Σ_k dp⊙p)
-          ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-          ds = ds * scale
+          # softmax VJP through the dropout, algebraically compacted:
+          # dp = dpd⊙keepf, and p⊙dp = (p⊙keepf)⊙dpd = pd⊙dpd =: t, so
+          #   ds = p ⊙ (dp − Σ_k dp⊙p) = t − p ⊙ Σ_k t
+          # — the dp tensor never needs to be built.
+          t = pd * dpd
+          ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
           ds_c = ds.astype(q.dtype)
           # dQ = ds · K                                         [Sq, Dh]
           dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
@@ -141,6 +157,38 @@ def _attn_bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
           dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
                                    preferred_element_type=f32)
           dk_ref[b, h] = dk.astype(dk_ref.dtype)
+
+
+def _attn_bwd_saved_kernel(p_ref, pd_ref, q_ref, k_ref, v_ref, g_ref,
+                           dq_ref, dk_ref, dv_ref, *,
+                           scale: float, n_heads: int, nb: int):
+    """Backward from saved probs: no QK dot, no softmax, no PRNG.
+    pd_ref is the dropped/scaled probs (== p_ref when dropout was off —
+    the caller passes the same array twice in that case)."""
+    f32 = jnp.float32
+    for b in range(nb):
+        for h in range(n_heads):
+            q = q_ref[b, h]
+            k = k_ref[b, h]
+            v = v_ref[b, h]
+            g = g_ref[b, h]
+            p = p_ref[b, h].astype(f32)
+            pd_c = pd_ref[b, h]                               # bf16
+            dv = jax.lax.dot_general(pd_c, g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dv_ref[b, h] = dv.astype(dv_ref.dtype)
+            dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32)
+            # ds = t − p ⊙ Σ_k t with t = pd⊙dpd (see _attn_bwd_kernel)
+            t = pd_c.astype(f32) * dpd
+            ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
+            ds_c = ds.astype(q.dtype)
+            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dq_ref[b, h] = dq.astype(dq_ref.dtype)
+            dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dk_ref[b, h] = dk.astype(dk_ref.dtype)
 
 
 def _pick_nb(b: int, n_arrays: int, h: int, s: int, dh: int) -> int:
@@ -165,20 +213,37 @@ def _specs(nb, h, s, dh):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "rate", "interpret", "nb"))
-def _fwd_pallas(q, k, v, bias, seed, *, scale, rate, interpret, nb=None):
+                   static_argnames=("scale", "rate", "interpret", "nb",
+                                    "save"))
+def _fwd_pallas(q, k, v, bias, seed, *, scale, rate, interpret, nb=None,
+                save=False):
     b, h, s, dh = q.shape
+    n_out = 1 + (save and (2 if rate > 0.0 else 1))
     if nb is None:
-        nb = _pick_nb(b, 5, h, s, dh)
+        nb = _pick_nb(b, 4 + n_out, h, s, dh)
     seed_spec, bias_spec, qkv_spec = _specs(nb, h, s, dh)
+    prob_spec = pl.BlockSpec((nb, h, s, s), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = qkv_spec
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    if save:
+        # probs residuals stored at the compute dtype: bf16 training pays
+        # 2 bytes/elem; fp32 paths keep full-precision grads
+        prob_shape = jax.ShapeDtypeStruct((b, h, s, s), q.dtype)
+        if rate > 0.0:
+            out_specs = (qkv_spec, prob_spec, prob_spec)
+            out_shape = (out_shape, prob_shape, prob_shape)
+        else:
+            out_specs = (qkv_spec, prob_spec)
+            out_shape = (out_shape, prob_shape)
     flops_sm = 8 * b * h * s * s
     return pl.pallas_call(
         functools.partial(_attn_fwd_kernel, scale=scale, rate=rate,
-                          n_heads=h, nb=nb),
+                          n_heads=h, nb=nb, save=save),
         grid=(b // nb,),
         in_specs=[seed_spec, bias_spec, qkv_spec, qkv_spec, qkv_spec],
-        out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * s * dh + flops_sm,
@@ -213,22 +278,69 @@ def _bwd_pallas(q, k, v, bias, seed, g, *, scale, rate, interpret, nb=None):
     )(seed, bias, q, k, v, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _fused_attention(q, k, v, bias, seed, scale, rate, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret", "nb"))
+def _bwd_saved_pallas(p, pd, q, k, v, g, *, scale, interpret, nb=None):
+    b, h, s, dh = q.shape
+    if nb is None:
+        nb = _pick_nb(b, 9, h, s, dh)
+    _, _, qkv_spec = _specs(nb, h, s, dh)
+    prob_spec = pl.BlockSpec((nb, h, s, s), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_saved_kernel, scale=scale,
+                          n_heads=h, nb=nb),
+        grid=(b // nb,),
+        in_specs=[prob_spec, prob_spec, qkv_spec, qkv_spec, qkv_spec,
+                  qkv_spec],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct(q.shape, q.dtype)
+                        for _ in range(3)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * s * s * dh + 8 * b * h * s * s,
+            bytes_accessed=q.dtype.itemsize * 7 * b * h * s * dh
+            + 2 * 2 * b * h * s * s,
+            transcendentals=0,
+        ),
+    )(p, pd, q, k, v, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _fused_attention(q, k, v, bias, seed, scale, rate, interpret,
+                     nb_fwd, nb_bwd, save):
+    # Primal (non-differentiated) call never materializes probs.
     return _fwd_pallas(q, k, v, bias, seed, scale=scale, rate=rate,
-                       interpret=interpret)
+                       interpret=interpret, nb=nb_fwd)
 
 
-def _fa_fwd(q, k, v, bias, seed, scale, rate, interpret):
+def _fa_fwd(q, k, v, bias, seed, scale, rate, interpret, nb_fwd, nb_bwd,
+            save):
+    if save:
+        outs = _fwd_pallas(q, k, v, bias, seed, scale=scale, rate=rate,
+                           interpret=interpret, nb=nb_fwd, save=True)
+        if rate > 0.0:
+            out, p, pd = outs
+        else:
+            out, p = outs
+            pd = p
+        return out, (q, k, v, bias, p, pd)
     out = _fwd_pallas(q, k, v, bias, seed, scale=scale, rate=rate,
-                      interpret=interpret)
+                      interpret=interpret, nb=nb_fwd)
     return out, (q, k, v, bias, seed)
 
 
-def _fa_bwd(scale, rate, interpret, residuals, g):
+def _fa_bwd(scale, rate, interpret, nb_fwd, nb_bwd, save, residuals, g):
+    if save:
+        q, k, v, bias, p, pd = residuals
+        dq, dk, dv = _bwd_saved_pallas(p, pd, q, k, v, g, scale=scale,
+                                       interpret=interpret, nb=nb_bwd)
+        dbias = jnp.zeros_like(bias)
+        dseed = np.zeros((1, 1), jax.dtypes.float0)
+        return dq, dk, dv, dbias, dseed
     q, k, v, bias, seed = residuals
     dq, dk, dv = _bwd_pallas(q, k, v, bias, seed, g, scale=scale,
-                             rate=rate, interpret=interpret)
+                             rate=rate, interpret=interpret, nb=nb_bwd)
     dbias = jnp.zeros_like(bias)   # mask bias carries no useful gradient
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
     return dq, dk, dv, dbias, dseed
@@ -248,13 +360,24 @@ def fused_attention(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     interpret: Optional[bool] = None,
+    nb_fwd: Optional[int] = None,
+    nb_bwd: Optional[int] = None,
+    save_probs: Optional[bool] = None,
 ) -> jax.Array:
-    """Fused attention with in-kernel prob-dropout and recompute backward.
+    """Fused attention with in-kernel prob-dropout and a fused backward.
 
     Drop-in for dot_product_attention minus head_mask (call sites fall
     back to the einsum path when head_mask is set). dropout_rate applies
     only when deterministic=False; the keep-mask comes from the TPU
     hardware PRNG seeded from ``dropout_rng``.
+
+    save_probs: True → forward also writes the (pre/post-dropout) probs
+    in bf16 so the backward skips the QK+softmax recompute (55% of bwd
+    kernel time); False → flash-style recompute backward, nothing of size
+    [B,H,S,S] in HBM (max memory headroom). None (auto): save while the
+    per-layer prob residuals stay under ~256 MB, recompute beyond
+    (bert-base b256 ≈ 100 MB → save; b1024 ≈ 400 MB → recompute, which
+    is what lets b1024 train un-remat'ed). FUSED_ATTN_SAVE=0/1 overrides.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -283,5 +406,20 @@ def fused_attention(
                                   dtype=jnp.int32)
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
+    # Blocking override for tuning (in-model kernels are measured via
+    # tools/trace_fused_attn.py; standalone timing hits the dispatch floor)
+    if nb_fwd is None and "FUSED_ATTN_NB_FWD" in os.environ:
+        nb_fwd = int(os.environ["FUSED_ATTN_NB_FWD"])
+    if nb_bwd is None and "FUSED_ATTN_NB_BWD" in os.environ:
+        nb_bwd = int(os.environ["FUSED_ATTN_NB_BWD"])
+    if save_probs is None and "FUSED_ATTN_SAVE" in os.environ:
+        save_probs = os.environ["FUSED_ATTN_SAVE"] == "1"
+    if save_probs is None:
+        h = q.shape[1]
+        sub = (s + 15) // 16 * 16
+        lane = (s + 127) // 128 * 128
+        n_prob = 2 if rate > 0.0 else 1
+        save_probs = b * h * sub * lane * 2 * n_prob <= 256 * 1024 * 1024
     return _fused_attention(q, k, v, bias, seed, float(scale), rate,
-                            bool(interpret))
+                            bool(interpret), nb_fwd, nb_bwd,
+                            bool(save_probs))

@@ -82,6 +82,46 @@ def test_grads_match_plain_vjp():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_save_probs_grads_match_plain_vjp():
+    # save_probs=True stores the softmax probs in forward and the backward
+    # skips the QK+softmax recompute; grads must match the plain VJP (and
+    # hence the recompute backward) with dropout off.
+    q, k, v, mask = _inputs()
+    bias = extended_attention_mask(mask)
+
+    def f_ref(q, k, v):
+        return jnp.sum(jnp.tanh(
+            dot_product_attention(q, k, v, bias, scale=SCALE)))
+
+    def f_new(q, k, v):
+        return jnp.sum(jnp.tanh(
+            fused_attention(q, k, v, mask, scale=SCALE, save_probs=True)))
+
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(f_new, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gn):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_save_probs_forward_value_matches_under_grad():
+    # Under jax.value_and_grad the save-mode forward kernel (which also
+    # writes the prob residuals) produces the value; it must match the
+    # recompute-mode forward exactly in fp32.
+    q, k, v, mask = _inputs()
+
+    def f(save):
+        def inner(qq):
+            return jnp.sum(fused_attention(qq, k, v, mask, scale=SCALE,
+                                           save_probs=save))
+        return jax.value_and_grad(inner)(q)
+
+    (val_s, g_s), (val_r, g_r) = f(True), f(False)
+    np.testing.assert_allclose(float(val_s), float(val_r), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_dropout_requires_rng():
     q, k, v, mask = _inputs()
     with pytest.raises(ValueError):

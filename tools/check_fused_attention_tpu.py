@@ -126,6 +126,21 @@ def main():
     print(f"bwd PRNG replay: directional FD vs grad rel diff = {rel:.3e}")
     assert rel < 5e-2, rel
 
+    # ---- 2b. save-probs backward vs recompute backward ---------------
+    def g_mode(vv, save):
+        return jnp.sum(fused_attention(
+            q, k, vv, None, scale=scale, dropout_rate=rate,
+            dropout_rng=key, deterministic=False,
+            save_probs=save).astype(jnp.float32) * c.astype(jnp.float32))
+
+    dv_save = jax.grad(lambda vv: g_mode(vv, True))(v)
+    dv_rec = jax.grad(lambda vv: g_mode(vv, False))(v)
+    rel = (float(jnp.max(jnp.abs(dv_save.astype(jnp.float32)
+                                 - dv_rec.astype(jnp.float32))))
+           / max(float(jnp.max(jnp.abs(dv_rec.astype(jnp.float32)))), 1e-9))
+    print(f"save-mode vs recompute-mode dV (dropout on): rel {rel:.3e}")
+    assert rel < 5e-2, rel
+
     # ---- 3. microbenchmark -------------------------------------------
     def bench(fn, label, n=50):
         carry = jnp.zeros((), jnp.float32)
