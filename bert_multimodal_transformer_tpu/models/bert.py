@@ -31,7 +31,7 @@ from bert_multimodal_transformer_tpu.ops.attention import (
     flash_attention,
 )
 from bert_multimodal_transformer_tpu.ops.fused_attention import (
-    fused_attention,
+    fused_attention_packed,
 )
 
 Dtype = Any
@@ -113,47 +113,52 @@ class BertSelfAttention(nn.Module):
 
         qkv = nn.Dense(3 * d, dtype=self.dtype, kernel_init=init,
                        name="qkv")(hidden)
-        qkv = qkv.reshape(b, s, 3, h, dh)
-        q, k, v = [jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)]
 
-        # flash kernel has no attention-prob dropout: only take it when
-        # it cannot change semantics (eval, or dropout configured to 0).
-        use_flash = (cfg.attention_impl == "flash" and head_mask is None
-                     and s % 128 == 0
-                     and (deterministic
-                          or cfg.attention_probs_dropout_prob == 0.0))
-        # fused short-seq kernel: softmax + prob-dropout in VMEM with
-        # recompute backward (ops/fused_attention.py). Handles training
-        # dropout via the TPU hardware PRNG; head_mask still falls back.
+        # fused short-seq kernel: softmax + prob-dropout in VMEM with a
+        # fused backward (ops/fused_attention.py). The packed variant
+        # consumes the raw QKV projection and emits [B,S,D] directly —
+        # no [B,S,H,Dh]↔[B,H,S,Dh] transposes in either pass; training
+        # dropout uses the TPU hardware PRNG. head_mask still falls back.
         use_fused = cfg.attention_impl == "fused" and head_mask is None
-        if use_flash:
-            ctx = flash_attention(
-                q, k, v, attention_mask_2d, scale=1.0 / (dh ** 0.5))
-        elif use_fused:
+        if use_fused:
             rate = cfg.attention_probs_dropout_prob
             dropout_rng = None
             if not deterministic and rate > 0:
                 dropout_rng = self.make_rng("dropout")
-            ctx = fused_attention(
-                q, k, v, attention_mask_2d,
+            ctx = fused_attention_packed(
+                qkv, attention_mask_2d,
+                n_heads=h,
                 scale=1.0 / (dh ** 0.5),
                 dropout_rate=rate,
                 dropout_rng=dropout_rng,
                 deterministic=deterministic,
             )
         else:
-            dropout_rng = None
-            if not deterministic and cfg.attention_probs_dropout_prob > 0:
-                dropout_rng = self.make_rng("dropout")
-            ctx = dot_product_attention(
-                q, k, v, attn_bias,
-                scale=1.0 / (dh ** 0.5),
-                dropout_rate=cfg.attention_probs_dropout_prob,
-                dropout_rng=dropout_rng,
-                deterministic=deterministic,
-                head_mask=head_mask,
-            )
-        ctx = jnp.moveaxis(ctx, 1, 2).reshape(b, s, d)
+            qkv = qkv.reshape(b, s, 3, h, dh)
+            q, k, v = [jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)]
+            # flash kernel has no attention-prob dropout: only take it
+            # when it cannot change semantics (eval, or dropout == 0).
+            use_flash = (cfg.attention_impl == "flash"
+                         and head_mask is None and s % 128 == 0
+                         and (deterministic
+                              or cfg.attention_probs_dropout_prob == 0.0))
+            if use_flash:
+                ctx = flash_attention(
+                    q, k, v, attention_mask_2d, scale=1.0 / (dh ** 0.5))
+            else:
+                dropout_rng = None
+                if (not deterministic
+                        and cfg.attention_probs_dropout_prob > 0):
+                    dropout_rng = self.make_rng("dropout")
+                ctx = dot_product_attention(
+                    q, k, v, attn_bias,
+                    scale=1.0 / (dh ** 0.5),
+                    dropout_rate=cfg.attention_probs_dropout_prob,
+                    dropout_rng=dropout_rng,
+                    deterministic=deterministic,
+                    head_mask=head_mask,
+                )
+            ctx = jnp.moveaxis(ctx, 1, 2).reshape(b, s, d)
 
         out = nn.Dense(d, dtype=self.dtype, kernel_init=init,
                        name="output_dense")(ctx)

@@ -191,6 +191,133 @@ def _attn_bwd_saved_kernel(p_ref, pd_ref, q_ref, k_ref, v_ref, g_ref,
             dk_ref[b, h] = dk.astype(dk_ref.dtype)
 
 
+def _attn_fwd_packed_kernel(seed_ref, bias_ref, qkv_ref, o_ref,
+                            *maybe_prob_refs,
+                            scale: float, rate: float, n_heads: int,
+                            dh: int, nb: int, save: bool = False):
+    """Packed-layout forward: qkv_ref is the raw QKV projection output
+    [nb, S, 3·D] (column packing i·D + h·Dh + c, i.e. reshape(S,3,H,Dh)),
+    o_ref is [nb, S, D]. Heads are static lane slices — the [B,S,H,Dh]
+    ↔ [B,H,S,Dh] HBM transposes (7.1+4.9+3.4 ms/step at bert-base b256,
+    tools/analyze_trace.py) never happen."""
+    f32 = jnp.float32
+    d = n_heads * dh
+    if save:
+        p_ref = maybe_prob_refs[0]
+        pd_ref = maybe_prob_refs[1] if rate > 0.0 else None
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    for b in range(nb):
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+        bias = bias_ref[b].astype(f32)                      # [1, S]
+        outs = []
+        for h in range(n_heads):
+            q = qkv_ref[b, :, h * dh:(h + 1) * dh]          # [S, Dh]
+            k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
+            v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)  # [S, S]
+            s = s * scale + bias
+            p = _softmax_f32(s)
+            if save:
+                p_ref[b, h] = p.astype(p_ref.dtype)
+            if rate > 0.0:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                     jnp.uint32)
+                p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+                if save:
+                    pd_ref[b, h] = p.astype(pd_ref.dtype)
+            o = jax.lax.dot_general(p.astype(q.dtype), v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+            outs.append(o.astype(o_ref.dtype))
+        o_ref[b] = jnp.concatenate(outs, axis=-1)           # [S, D]
+
+
+def _attn_bwd_packed_kernel(seed_ref, bias_ref, qkv_ref, g_ref, dqkv_ref,
+                            *, scale: float, rate: float, n_heads: int,
+                            dh: int, nb: int):
+    """Packed-layout recompute backward: g_ref [nb, S, D] (ctx grad in
+    natural layout), dqkv_ref [nb, S, 3·D]. Same per-row seeding and
+    per-head draw order as the packed forward."""
+    f32 = jnp.float32
+    d = n_heads * dh
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    for b in range(nb):
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+        bias = bias_ref[b].astype(f32)
+        dqs, dks, dvs = [], [], []
+        for h in range(n_heads):
+            q = qkv_ref[b, :, h * dh:(h + 1) * dh]
+            k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
+            v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            g = g_ref[b, :, h * dh:(h + 1) * dh]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+            s = s * scale + bias
+            p = _softmax_f32(s)
+            if rate > 0.0:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                     jnp.uint32)
+                keepf = jnp.where(bits >= thresh, inv_keep, 0.0)
+                pd = p * keepf
+            else:
+                pd = p
+            pd_c = pd.astype(q.dtype)
+            dv = jax.lax.dot_general(pd_c, g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32)
+            t = pd * dpd
+            ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
+            ds_c = ds.astype(q.dtype)
+            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dqs.append(dq.astype(dqkv_ref.dtype))
+            dks.append(dk.astype(dqkv_ref.dtype))
+            dvs.append(dv.astype(dqkv_ref.dtype))
+        dqkv_ref[b] = jnp.concatenate(dqs + dks + dvs, axis=-1)
+
+
+def _attn_bwd_packed_saved_kernel(p_ref, pd_ref, qkv_ref, g_ref, dqkv_ref,
+                                  *, scale: float, n_heads: int, dh: int,
+                                  nb: int):
+    """Packed-layout backward from saved probs (no QK dot, softmax, PRNG)."""
+    f32 = jnp.float32
+    d = n_heads * dh
+    for b in range(nb):
+        dqs, dks, dvs = [], [], []
+        for h in range(n_heads):
+            q = qkv_ref[b, :, h * dh:(h + 1) * dh]
+            k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
+            v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            g = g_ref[b, :, h * dh:(h + 1) * dh]
+            p = p_ref[b, h].astype(f32)
+            pd_c = pd_ref[b, h]
+            dv = jax.lax.dot_general(pd_c, g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32)
+            t = pd_c.astype(f32) * dpd
+            ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
+            ds_c = ds.astype(q.dtype)
+            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dqs.append(dq.astype(dqkv_ref.dtype))
+            dks.append(dk.astype(dqkv_ref.dtype))
+            dvs.append(dv.astype(dqkv_ref.dtype))
+        dqkv_ref[b] = jnp.concatenate(dqs + dks + dvs, axis=-1)
+
+
 def _pick_nb(b: int, n_arrays: int, h: int, s: int, dh: int) -> int:
     """Rows per program: amortize per-program pipeline overhead while
     keeping double-buffered blocks comfortably inside ~12 MB of VMEM."""
@@ -304,6 +431,180 @@ def _bwd_saved_pallas(p, pd, q, k, v, g, *, scale, interpret, nb=None):
             transcendentals=0,
         ),
     )(p, pd, q, k, v, g)
+
+
+def _pick_nb_packed(b: int, row_bytes: int) -> int:
+    """Rows per program from the actual per-row block footprint."""
+    budget = 12 * 1024 * 1024
+    nb = max(1, budget // (2 * row_bytes))
+    while nb > 1 and b % nb != 0:
+        nb -= 1
+    return min(nb, 8)
+
+
+def _packed_row_bytes(s: int, d3: int, h: int, n_prob: int,
+                      itemsize: int) -> int:
+    sub = (s + 15) // 16 * 16
+    lane_s = (s + 127) // 128 * 128
+    act = sub * d3 * itemsize                     # qkv or dqkv row
+    return act + sub * (d3 // 3) * itemsize \
+        + n_prob * h * sub * lane_s * itemsize
+
+
+def _packed_specs(nb, s, d3, h):
+    qkv = pl.BlockSpec((nb, s, d3), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((nb, s, d3 // 3), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    prob = pl.BlockSpec((nb, h, s, s), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((nb, 1, s), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return seed, bias, qkv, out, prob
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "interpret",
+                                    "nb", "save"))
+def _fwd_packed_pallas(qkv, bias, seed, *, scale, rate, n_heads, interpret,
+                       nb=None, save=False):
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    n_prob = (2 if rate > 0.0 else 1) if save else 0
+    if nb is None:
+        nb = _pick_nb_packed(
+            b, _packed_row_bytes(s, d3, n_heads, n_prob, qkv.dtype.itemsize))
+    seed_spec, bias_spec, qkv_spec, out_spec, prob_spec = _packed_specs(
+        nb, s, d3, n_heads)
+    out_specs = out_spec
+    out_shape = jax.ShapeDtypeStruct((b, s, d), qkv.dtype)
+    if save:
+        prob_shape = jax.ShapeDtypeStruct((b, n_heads, s, s), qkv.dtype)
+        if rate > 0.0:
+            out_specs = (out_spec, prob_spec, prob_spec)
+            out_shape = (out_shape, prob_shape, prob_shape)
+        else:
+            out_specs = (out_spec, prob_spec)
+            out_shape = (out_shape, prob_shape)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_packed_kernel, scale=scale, rate=rate,
+                          n_heads=n_heads, dh=dh, nb=nb, save=save),
+        grid=(b // nb,),
+        in_specs=[seed_spec, bias_spec, qkv_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_heads * s * s * dh + 8 * b * n_heads * s * s,
+            bytes_accessed=qkv.dtype.itemsize * b * s * (d3 + d),
+            transcendentals=b * n_heads * s * s,
+        ),
+    )(seed, bias, qkv)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "interpret",
+                                    "nb"))
+def _bwd_packed_pallas(qkv, bias, seed, g, *, scale, rate, n_heads,
+                       interpret, nb=None):
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    if nb is None:
+        nb = _pick_nb_packed(
+            b, 2 * _packed_row_bytes(s, d3, n_heads, 0, qkv.dtype.itemsize))
+    seed_spec, bias_spec, qkv_spec, out_spec, _ = _packed_specs(
+        nb, s, d3, n_heads)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_packed_kernel, scale=scale, rate=rate,
+                          n_heads=n_heads, dh=dh, nb=nb),
+        grid=(b // nb,),
+        in_specs=[seed_spec, bias_spec, qkv_spec, out_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n_heads * s * s * dh + 12 * b * n_heads * s * s,
+            bytes_accessed=qkv.dtype.itemsize * b * s * (2 * d3 + d),
+            transcendentals=b * n_heads * s * s,
+        ),
+    )(seed, bias, qkv, g)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "n_heads", "interpret", "nb"))
+def _bwd_packed_saved_pallas(p, pd, qkv, g, *, scale, n_heads, interpret,
+                             nb=None):
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    if nb is None:
+        nb = _pick_nb_packed(
+            b, 2 * _packed_row_bytes(s, d3, n_heads, 2, qkv.dtype.itemsize))
+    _, _, qkv_spec, out_spec, prob_spec = _packed_specs(nb, s, d3, n_heads)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_packed_saved_kernel, scale=scale,
+                          n_heads=n_heads, dh=dh, nb=nb),
+        grid=(b // nb,),
+        in_specs=[prob_spec, prob_spec, qkv_spec, out_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * n_heads * s * s * dh + 8 * b * n_heads * s * s,
+            bytes_accessed=qkv.dtype.itemsize * b * s * (2 * d3 + d)
+            + 2 * 2 * b * n_heads * s * s,
+            transcendentals=0,
+        ),
+    )(p, pd, qkv, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _fused_attention_packed(qkv, bias, seed, scale, rate, n_heads,
+                            interpret, nb_fwd, nb_bwd, save):
+    return _fwd_packed_pallas(qkv, bias, seed, scale=scale, rate=rate,
+                              n_heads=n_heads, interpret=interpret,
+                              nb=nb_fwd)
+
+
+def _fap_fwd(qkv, bias, seed, scale, rate, n_heads, interpret, nb_fwd,
+             nb_bwd, save):
+    if save:
+        outs = _fwd_packed_pallas(qkv, bias, seed, scale=scale, rate=rate,
+                                  n_heads=n_heads, interpret=interpret,
+                                  nb=nb_fwd, save=True)
+        if rate > 0.0:
+            out, p, pd = outs
+        else:
+            out, p = outs
+            pd = p
+        return out, (qkv, bias, p, pd)
+    out = _fwd_packed_pallas(qkv, bias, seed, scale=scale, rate=rate,
+                             n_heads=n_heads, interpret=interpret,
+                             nb=nb_fwd)
+    return out, (qkv, bias, seed)
+
+
+def _fap_bwd(scale, rate, n_heads, interpret, nb_fwd, nb_bwd, save,
+             residuals, g):
+    if save:
+        qkv, bias, p, pd = residuals
+        dqkv = _bwd_packed_saved_pallas(p, pd, qkv, g, scale=scale,
+                                        n_heads=n_heads,
+                                        interpret=interpret, nb=nb_bwd)
+    else:
+        qkv, bias, seed = residuals
+        dqkv = _bwd_packed_pallas(qkv, bias, seed, g, scale=scale,
+                                  rate=rate, n_heads=n_heads,
+                                  interpret=interpret, nb=nb_bwd)
+    dbias = jnp.zeros_like(bias)
+    dseed = np.zeros((1, 1), jax.dtypes.float0)
+    return dqkv, dbias, dseed
+
+
+_fused_attention_packed.defvjp(_fap_fwd, _fap_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
@@ -423,3 +724,74 @@ def fused_attention(
     return _fused_attention(q, k, v, bias, seed, float(scale), rate,
                             bool(interpret), nb_fwd, nb_bwd,
                             bool(save_probs))
+
+
+def fused_attention_packed(
+    qkv: jax.Array,             # [B, S, 3·D] — raw packed-QKV projection
+    attention_mask: Optional[jax.Array],   # [B, S] {0,1}, 1 = real token
+    *,
+    n_heads: int,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    interpret: Optional[bool] = None,
+    nb_fwd: Optional[int] = None,
+    nb_bwd: Optional[int] = None,
+    save_probs: Optional[bool] = None,
+) -> jax.Array:
+    """fused_attention on the *natural* activation layout.
+
+    Consumes the packed QKV projection output directly (column packing
+    ``reshape(B,S,3,H,Dh)``, i.e. q then k then v, head-major within each)
+    and returns the context in ``[B, S, D]`` — heads are sliced on the
+    lane axis inside the kernel, so the ``[B,S,H,Dh] ↔ [B,H,S,Dh]``
+    transposes of the split-tensor API (and their backward twins) never
+    reach HBM. Same dropout/residual semantics and knobs as
+    ``fused_attention``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rate = 0.0 if deterministic else float(dropout_rate)
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    if attention_mask is None:
+        bias = jnp.zeros((b, 1, s), jnp.float32)
+    else:
+        bias = ((1.0 - attention_mask.astype(jnp.float32))
+                * -10000.0)[:, None, :]
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+    if rate > 0.0 and interpret:
+        # Off-TPU dropout: route through the einsum path (the interpreter
+        # stubs the hardware PRNG) — layout conversion is fine off-TPU.
+        from bert_multimodal_transformer_tpu.ops.attention import (
+            dot_product_attention)
+        q, k, v = [jnp.moveaxis(qkv.reshape(b, s, 3, n_heads, dh)[:, :, i],
+                                2, 1) for i in range(3)]
+        ctx = dot_product_attention(
+            q, k, v, bias[:, None, :, :], scale=scale,
+            dropout_rate=rate, dropout_rng=dropout_rng,
+            deterministic=False)
+        return jnp.moveaxis(ctx, 1, 2).reshape(b, s, d)
+    if rate > 0.0:
+        seed = jax.random.randint(dropout_rng, (1, 1), 0, 2**31 - 1,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1, 1), jnp.int32)
+    if nb_fwd is None and "FUSED_ATTN_NB_FWD" in os.environ:
+        nb_fwd = int(os.environ["FUSED_ATTN_NB_FWD"])
+    if nb_bwd is None and "FUSED_ATTN_NB_BWD" in os.environ:
+        nb_bwd = int(os.environ["FUSED_ATTN_NB_BWD"])
+    if save_probs is None and "FUSED_ATTN_SAVE" in os.environ:
+        save_probs = os.environ["FUSED_ATTN_SAVE"] == "1"
+    if save_probs is None:
+        sub = (s + 15) // 16 * 16
+        lane = (s + 127) // 128 * 128
+        n_prob = 2 if rate > 0.0 else 1
+        save_probs = (b * n_heads * sub * lane * 2 * n_prob
+                      <= 256 * 1024 * 1024)
+    return _fused_attention_packed(qkv, bias, seed, float(scale), rate,
+                                   n_heads, bool(interpret), nb_fwd, nb_bwd,
+                                   bool(save_probs))

@@ -19,6 +19,7 @@ from bert_multimodal_transformer_tpu.ops.attention import (
 )
 from bert_multimodal_transformer_tpu.ops.fused_attention import (
     fused_attention,
+    fused_attention_packed,
 )
 
 B, H, S, DH = 3, 4, 50, 64
@@ -120,6 +121,53 @@ def test_save_probs_forward_value_matches_under_grad():
     np.testing.assert_allclose(float(val_s), float(val_r), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r),
                                atol=1e-5, rtol=1e-5)
+
+
+def _pack(q, k, v):
+    # [B,H,S,Dh] ×3 → [B,S,3·H·Dh] with the reshape(B,S,3,H,Dh) packing
+    b, h, s, dh = q.shape
+    stacked = jnp.stack([jnp.moveaxis(t, 1, 2) for t in (q, k, v)],
+                        axis=2)                      # [B,S,3,H,Dh]
+    return stacked.reshape(b, s, 3 * h * dh)
+
+
+@pytest.mark.parametrize("save", [False, True])
+def test_packed_forward_and_grads_match_einsum(save):
+    q, k, v, mask = _inputs()
+    bias = extended_attention_mask(mask)
+    qkv = _pack(q, k, v)
+
+    def f_ref(qkv_):
+        b, s, _ = qkv_.shape
+        qq, kk, vv = [jnp.moveaxis(qkv_.reshape(b, s, 3, H, DH)[:, :, i],
+                                   2, 1) for i in range(3)]
+        ctx = dot_product_attention(qq, kk, vv, bias, scale=SCALE)
+        return jnp.sum(jnp.tanh(jnp.moveaxis(ctx, 1, 2).reshape(b, s, -1)))
+
+    def f_new(qkv_):
+        return jnp.sum(jnp.tanh(fused_attention_packed(
+            qkv_, mask, n_heads=H, scale=SCALE, save_probs=save)))
+
+    vr, gr = jax.value_and_grad(f_ref)(qkv)
+    vn, gn = jax.value_and_grad(f_new)(qkv)
+    np.testing.assert_allclose(float(vn), float(vr), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(gr),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_packed_dropout_offtpu_fallback():
+    q, k, v, mask = _inputs()
+    qkv = _pack(q, k, v)
+    key = jax.random.PRNGKey(7)
+    out = fused_attention_packed(qkv, mask, n_heads=H, scale=SCALE,
+                                 dropout_rate=0.25, dropout_rng=key,
+                                 deterministic=False)
+    ctx = dot_product_attention(
+        q, k, v, extended_attention_mask(mask), scale=SCALE,
+        dropout_rate=0.25, dropout_rng=key, deterministic=False)
+    ref = jnp.moveaxis(ctx, 1, 2).reshape(B, S, H * DH)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
 
 
 def test_dropout_requires_rng():

@@ -141,6 +141,71 @@ def main():
     print(f"save-mode vs recompute-mode dV (dropout on): rel {rel:.3e}")
     assert rel < 5e-2, rel
 
+    # ---- 2c. packed-layout variant ------------------------------------
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        fused_attention_packed)
+    qkv = jnp.stack([jnp.moveaxis(t, 1, 2) for t in (q, k, v)],
+                    axis=2).reshape(B, S, 3 * H * DH)
+    out_p = fused_attention_packed(qkv, mask, n_heads=H, scale=scale)
+    ref_flat = jnp.moveaxis(ref, 1, 2).reshape(B, S, H * DH)
+    d = float(jnp.max(jnp.abs(out_p.astype(jnp.float32)
+                              - ref_flat.astype(jnp.float32))))
+    print(f"packed fwd parity (bf16, no dropout): max|diff| = {d:.3e}")
+    assert d < 2e-2, d
+
+    for save in (False, True):
+        def loss_packed(qkv_):
+            return jnp.sum(jnp.square(fused_attention_packed(
+                qkv_, mask, n_heads=H, scale=scale, save_probs=save)
+                .astype(jnp.float32)))
+
+        gp = jax.grad(loss_packed)(qkv)
+        # reference grad via the split einsum path, repacked
+        gr_packed = jnp.stack(
+            [jnp.moveaxis(t, 1, 2) for t in gr], axis=2).reshape(
+                B, S, 3 * H * DH)
+        rel = (float(jnp.max(jnp.abs(gp.astype(jnp.float32)
+                                     - gr_packed.astype(jnp.float32))))
+               / max(float(jnp.max(jnp.abs(
+                   gr_packed.astype(jnp.float32)))), 1e-9))
+        print(f"packed grad parity (save={save}): max rel = {rel:.3e}")
+        assert rel < 5e-2, (save, rel)
+
+    o1p = fused_attention_packed(qkv, None, n_heads=H, scale=scale,
+                                 dropout_rate=rate, dropout_rng=key,
+                                 deterministic=False)
+    o2p = fused_attention_packed(qkv, None, n_heads=H, scale=scale,
+                                 dropout_rate=rate, dropout_rng=key,
+                                 deterministic=False)
+    same = float(jnp.max(jnp.abs(o1p.astype(jnp.float32)
+                                 - o2p.astype(jnp.float32))))
+    print(f"packed same-seed replay: max|diff| = {same:.3e}")
+    assert same == 0.0, same
+    # packed fwd/bwd PRNG replay through the stochastic graph (recompute)
+    cp = jnp.stack([jnp.moveaxis(t, 1, 2) for t in (c, c, c)],
+                   axis=2).reshape(B, S, 3 * H * DH)
+
+    def gpk(qkv_):
+        return jnp.sum(fused_attention_packed(
+            qkv_, None, n_heads=H, scale=scale, dropout_rate=rate,
+            dropout_rng=key, deterministic=False,
+            save_probs=False).astype(jnp.float32)
+            * cp[:, :, :H * DH].astype(jnp.float32))
+
+    dqkv = jax.grad(gpk)(qkv)
+    # perturb only the v-columns: out is linear in v, so central FD is
+    # exact up to bf16 rounding (q/k would make the probe nonlinear)
+    dirn_np = np.zeros(qkv.shape, np.float32)
+    dirn_np[:, :, 2 * H * DH:] = rng.randn(B, S, H * DH)
+    dirn = jnp.asarray(dirn_np, jnp.bfloat16)
+    eps = 0.5
+    fd = (gpk(qkv + eps * dirn) - gpk(qkv - eps * dirn)) / (2 * eps)
+    an = float(jnp.sum(dqkv.astype(jnp.float32)
+                       * dirn.astype(jnp.float32)))
+    rel = abs(float(fd) - an) / max(abs(an), 1e-9)
+    print(f"packed bwd PRNG replay: FD vs grad rel diff = {rel:.3e}")
+    assert rel < 5e-2, rel
+
     # ---- 3. microbenchmark -------------------------------------------
     def bench(fn, label, n=50):
         carry = jnp.zeros((), jnp.float32)

@@ -40,6 +40,10 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 
     cfg = BertConfig.bert_base_uncased()
+    attn = os.environ.get("BENCH_ATTN", "fused")   # match bench.py default
+    if attn != "einsum":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, attention_impl=attn)
     model = MagBertForSequenceClassification(
         cfg, MultimodalConfig(1.0, 0.5), visual_dim=47, acoustic_dim=74,
         dtype=jnp.bfloat16)
