@@ -79,6 +79,12 @@ def main():
         )
 
         cfg = XLNetConfig.xlnet_base_cased()
+        # Fused Pallas rel-attention kernel is the fastest validated
+        # XLNet path; BENCH_ATTN=einsum restores the plain path.
+        attn = os.environ.get("BENCH_ATTN", "fused")
+        if attn != "einsum":
+            import dataclasses
+            cfg = dataclasses.replace(cfg, attention_impl=attn)
         model = MagXLNetForSequenceClassification(
             cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
             remat=os.environ.get("BENCH_REMAT", "0") == "1")

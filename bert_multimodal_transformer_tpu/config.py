@@ -144,6 +144,10 @@ class XLNetConfig:
     # summary_last_dropout=0.1).
     summary_last_dropout: float = 0.1
     num_labels: int = 1
+    # "einsum" (reference math via XLA) or "fused" (Pallas rel-attention
+    # kernel for the content stream: in-VMEM softmax + prob-dropout,
+    # ebias-streamed scores — ops/fused_attention.py::fused_rel_attention)
+    attention_impl: str = "einsum"
 
     @property
     def d_head(self) -> int:

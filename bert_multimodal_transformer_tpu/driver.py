@@ -75,8 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference test_score_model use_zero flag)")
     p.add_argument("--attention_impl", type=str, default="einsum",
                    choices=["einsum", "fused", "flash"],
-                   help="BERT attention backend; fused = short-seq Pallas "
-                        "kernel (in-VMEM softmax+dropout, recompute bwd); "
+                   help="Attention backend (BERT: all three; XLNet: "
+                        "einsum/fused). fused = packed Pallas kernel "
+                        "(in-VMEM softmax+dropout, fused bwd); "
                         "flash = blockwise kernel for long sequences "
                         "(seq %% 128 == 0)")
     p.add_argument("--rng_impl", type=str, default="rbg",
@@ -174,12 +175,16 @@ def main(argv=None) -> int:
             MagXLNetForSequenceClassification,
         )
 
+        import dataclasses
         cfg = (XLNetConfig.tiny(vocab_size) if args.tiny
                else XLNetConfig.xlnet_base_cased())
         if args.synthetic and not args.tiny:
             # shrink vocab to the synthetic tokenizer's, keep geometry
-            import dataclasses
             cfg = dataclasses.replace(cfg, vocab_size=max(vocab_size, 128))
+        if args.attention_impl not in ("einsum", "flash"):
+            # "flash" is a BERT-only backend; XLNet supports einsum/fused
+            cfg = dataclasses.replace(cfg,
+                                      attention_impl=args.attention_impl)
         model = MagXLNetForSequenceClassification(
             cfg, mm, visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
             dtype=dtype, remat=args.remat)

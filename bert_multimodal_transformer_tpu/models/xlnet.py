@@ -36,6 +36,9 @@ from bert_multimodal_transformer_tpu.config import (
 from bert_multimodal_transformer_tpu.models.bert import LayerNorm
 from bert_multimodal_transformer_tpu.models.mag import MAG
 from bert_multimodal_transformer_tpu.ops.activations import ACT2FN
+from bert_multimodal_transformer_tpu.ops.fused_attention import (
+    fused_rel_attention,
+)
 
 Dtype = Any
 MASK_VERY_NEG = 1e30  # HF uses score - 1e30·mask in fp32
@@ -144,8 +147,6 @@ class XLNetRelativeAttention(nn.Module):
         f32 = jnp.float32
 
         rw = (q_head + self.r_w_bias).astype(self.dtype)
-        ac = jnp.einsum("bqhf,bkhf->bhqk", rw, k_head,
-                        preferred_element_type=f32)
         rr = (q_head + self.r_r_bias).astype(self.dtype)
         bd = jnp.einsum("bqhf,phf->bhqp", rr,
                         k_head_r.astype(self.dtype),
@@ -160,6 +161,34 @@ class XLNetRelativeAttention(nn.Module):
                                 preferred_element_type=f32)
             ef = jnp.einsum("bqks,bhqs->bhqk", seg_mat.astype(f32), ef_raw)
 
+        if cfg.attention_impl == "fused" and head_mask is None:
+            # Pallas rel-attention kernel (ops/fused_attention.py): the
+            # QK dot, softmax, and prob-dropout run in VMEM; only ONE
+            # [B,H,Q,K] tensor (ebias, differentiable) is streamed
+            # instead of the ac/score/probs/keep-mask family. bqhf→flat
+            # reshapes are free (h,f already minor).
+            ebias = bd * scale if seg_mat is None else (bd + ef) * scale
+            if attn_mask is not None:
+                ebias = ebias - MASK_VERY_NEG * attn_mask.astype(f32)
+            bsz, qlen2, h, dh = q_head.shape
+            dropout_rng = None
+            if not deterministic and cfg.dropout > 0:
+                dropout_rng = self.make_rng("dropout")
+            ctx = fused_rel_attention(
+                rw.reshape(bsz, qlen2, h * dh),
+                k_head.astype(self.dtype).reshape(bsz, klen, h * dh),
+                v_head.astype(self.dtype).reshape(bsz, klen, h * dh),
+                ebias,
+                n_heads=h,
+                scale=scale,
+                dropout_rate=cfg.dropout,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+            )
+            return ctx.reshape(bsz, qlen2, h, dh)
+
+        ac = jnp.einsum("bqhf,bkhf->bhqk", rw, k_head,
+                        preferred_element_type=f32)
         score = (ac + bd + ef) * scale
         if attn_mask is not None:
             score = score - MASK_VERY_NEG * attn_mask.astype(f32)

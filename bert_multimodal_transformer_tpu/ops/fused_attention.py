@@ -318,6 +318,138 @@ def _attn_bwd_packed_saved_kernel(p_ref, pd_ref, qkv_ref, g_ref, dqkv_ref,
         dqkv_ref[b] = jnp.concatenate(dqs + dks + dvs, axis=-1)
 
 
+def _attn_fwd_rel_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref, o_ref,
+                         *maybe_prob_refs,
+                         scale: float, rate: float, n_heads: int,
+                         dh: int, nb: int, save: bool = False):
+    """Packed-layout forward with a full per-head additive score bias
+    (XLNet content stream: ebias = (bd + ef)·scale − BIG·mask, folded
+    outside the kernel so only ONE [B,H,Q,K] tensor is streamed instead
+    of the einsum path's ac/bd/ef/score/probs/keep-mask family).
+    q_ref [nb,Q,D]; k_ref/v_ref [nb,K,D]; ebias_ref [nb,H,Q,K] f32.
+      s = (q_h · k_hᵀ)·scale + ebias[h] ; softmax ; dropout ; ·v_h
+    """
+    f32 = jnp.float32
+    d = n_heads * dh
+    if save:
+        p_ref = maybe_prob_refs[0]
+        pd_ref = maybe_prob_refs[1] if rate > 0.0 else None
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    for b in range(nb):
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+        outs = []
+        for h in range(n_heads):
+            q = q_ref[b, :, h * dh:(h + 1) * dh]            # [Q, Dh]
+            k = k_ref[b, :, h * dh:(h + 1) * dh]            # [K, Dh]
+            v = v_ref[b, :, h * dh:(h + 1) * dh]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)  # [Q, K]
+            s = s * scale + ebias_ref[b, h].astype(f32)
+            p = _softmax_f32(s)
+            if save:
+                p_ref[b, h] = p.astype(p_ref.dtype)
+            if rate > 0.0:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                     jnp.uint32)
+                p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+                if save:
+                    pd_ref[b, h] = p.astype(pd_ref.dtype)
+            o = jax.lax.dot_general(p.astype(q.dtype), v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+            outs.append(o.astype(o_ref.dtype))
+        o_ref[b] = jnp.concatenate(outs, axis=-1)           # [Q, D]
+
+
+def _attn_bwd_rel_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref, g_ref,
+                         dq_ref, dk_ref, dv_ref, debias_ref, *,
+                         scale: float, rate: float, n_heads: int,
+                         dh: int, nb: int):
+    """Recompute backward for the rel-bias kernel. Emits debias = dscore
+    so the (bd, ef, mask) assembly outside differentiates through XLA."""
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    for b in range(nb):
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+        dqs, dks, dvs = [], [], []
+        for h in range(n_heads):
+            q = q_ref[b, :, h * dh:(h + 1) * dh]
+            k = k_ref[b, :, h * dh:(h + 1) * dh]
+            v = v_ref[b, :, h * dh:(h + 1) * dh]
+            g = g_ref[b, :, h * dh:(h + 1) * dh]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+            s = s * scale + ebias_ref[b, h].astype(f32)
+            p = _softmax_f32(s)
+            if rate > 0.0:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                     jnp.uint32)
+                keepf = jnp.where(bits >= thresh, inv_keep, 0.0)
+                pd = p * keepf
+            else:
+                pd = p
+            pd_c = pd.astype(q.dtype)
+            dv = jax.lax.dot_general(pd_c, g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32)
+            t = pd * dpd
+            ds = t - p * jnp.sum(t, axis=-1, keepdims=True)   # dscore
+            debias_ref[b, h] = ds.astype(debias_ref.dtype)
+            ds_c = (ds * scale).astype(q.dtype)
+            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dqs.append(dq.astype(dq_ref.dtype))
+            dks.append(dk.astype(dk_ref.dtype))
+            dvs.append(dv.astype(dv_ref.dtype))
+        dq_ref[b] = jnp.concatenate(dqs, axis=-1)
+        dk_ref[b] = jnp.concatenate(dks, axis=-1)
+        dv_ref[b] = jnp.concatenate(dvs, axis=-1)
+
+
+def _attn_bwd_rel_saved_kernel(p_ref, pd_ref, q_ref, k_ref, v_ref, g_ref,
+                               dq_ref, dk_ref, dv_ref, debias_ref, *,
+                               scale: float, n_heads: int, dh: int,
+                               nb: int):
+    """Saved-probs backward for the rel-bias kernel."""
+    f32 = jnp.float32
+    for b in range(nb):
+        dqs, dks, dvs = [], [], []
+        for h in range(n_heads):
+            q = q_ref[b, :, h * dh:(h + 1) * dh]
+            k = k_ref[b, :, h * dh:(h + 1) * dh]
+            v = v_ref[b, :, h * dh:(h + 1) * dh]
+            g = g_ref[b, :, h * dh:(h + 1) * dh]
+            p = p_ref[b, h].astype(f32)
+            pd_c = pd_ref[b, h]
+            dv = jax.lax.dot_general(pd_c, g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32)
+            t = pd_c.astype(f32) * dpd
+            ds = t - p * jnp.sum(t, axis=-1, keepdims=True)
+            debias_ref[b, h] = ds.astype(debias_ref.dtype)
+            ds_c = (ds * scale).astype(q.dtype)
+            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dqs.append(dq.astype(dq_ref.dtype))
+            dks.append(dk.astype(dk_ref.dtype))
+            dvs.append(dv.astype(dv_ref.dtype))
+        dq_ref[b] = jnp.concatenate(dqs, axis=-1)
+        dk_ref[b] = jnp.concatenate(dks, axis=-1)
+        dv_ref[b] = jnp.concatenate(dvs, axis=-1)
+
+
 def _pick_nb(b: int, n_arrays: int, h: int, s: int, dh: int) -> int:
     """Rows per program: amortize per-program pipeline overhead while
     keeping double-buffered blocks comfortably inside ~12 MB of VMEM."""
@@ -561,6 +693,196 @@ def _bwd_packed_saved_pallas(p, pd, qkv, g, *, scale, n_heads, interpret,
     )(p, pd, qkv, g)
 
 
+def _rel_specs(nb, q_len, k_len, d, h):
+    q = pl.BlockSpec((nb, q_len, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    kv = pl.BlockSpec((nb, k_len, d), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    eb = pl.BlockSpec((nb, h, q_len, k_len), lambda i: (i, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return seed, eb, q, kv
+
+
+def _rel_row_bytes(q_len, k_len, d, h, n_prob, itemsize):
+    subq = (q_len + 15) // 16 * 16
+    subk = (k_len + 15) // 16 * 16
+    lane_k = (k_len + 127) // 128 * 128
+    return (subq * d + 2 * subk * d) * itemsize \
+        + h * subq * lane_k * 4 \
+        + n_prob * h * subq * lane_k * itemsize
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "interpret",
+                                    "nb", "save"))
+def _fwd_rel_pallas(q, k, v, ebias, seed, *, scale, rate, n_heads,
+                    interpret, nb=None, save=False):
+    b, q_len, d = q.shape
+    k_len = k.shape[1]
+    dh = d // n_heads
+    n_prob = (2 if rate > 0.0 else 1) if save else 0
+    if nb is None:
+        nb = _pick_nb_packed(
+            b, _rel_row_bytes(q_len, k_len, d, n_heads, n_prob,
+                              q.dtype.itemsize))
+    seed_spec, eb_spec, q_spec, kv_spec = _rel_specs(
+        nb, q_len, k_len, d, n_heads)
+    prob_spec = pl.BlockSpec((nb, n_heads, q_len, k_len),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = q_spec
+    out_shape = jax.ShapeDtypeStruct((b, q_len, d), q.dtype)
+    if save:
+        prob_shape = jax.ShapeDtypeStruct((b, n_heads, q_len, k_len),
+                                          q.dtype)
+        if rate > 0.0:
+            out_specs = (q_spec, prob_spec, prob_spec)
+            out_shape = (out_shape, prob_shape, prob_shape)
+        else:
+            out_specs = (q_spec, prob_spec)
+            out_shape = (out_shape, prob_shape)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_rel_kernel, scale=scale, rate=rate,
+                          n_heads=n_heads, dh=dh, nb=nb, save=save),
+        grid=(b // nb,),
+        in_specs=[seed_spec, eb_spec, q_spec, kv_spec, kv_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_heads * q_len * k_len * dh
+            + 8 * b * n_heads * q_len * k_len,
+            bytes_accessed=q.dtype.itemsize * b * (q_len + 2 * k_len) * d
+            + 4 * b * n_heads * q_len * k_len,
+            transcendentals=b * n_heads * q_len * k_len,
+        ),
+    )(seed, ebias, q, k, v)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "interpret",
+                                    "nb"))
+def _bwd_rel_pallas(q, k, v, ebias, seed, g, *, scale, rate, n_heads,
+                    interpret, nb=None):
+    b, q_len, d = q.shape
+    k_len = k.shape[1]
+    dh = d // n_heads
+    if nb is None:
+        nb = _pick_nb_packed(
+            b, 2 * _rel_row_bytes(q_len, k_len, d, n_heads, 1,
+                                  q.dtype.itemsize))
+    seed_spec, eb_spec, q_spec, kv_spec = _rel_specs(
+        nb, q_len, k_len, d, n_heads)
+    debias_spec = pl.BlockSpec((nb, n_heads, q_len, k_len),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_rel_kernel, scale=scale, rate=rate,
+                          n_heads=n_heads, dh=dh, nb=nb),
+        grid=(b // nb,),
+        in_specs=[seed_spec, eb_spec, q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=(q_spec, kv_spec, kv_spec, debias_spec),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype),
+                   jax.ShapeDtypeStruct((b, n_heads, q_len, k_len),
+                                        ebias.dtype)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n_heads * q_len * k_len * dh
+            + 12 * b * n_heads * q_len * k_len,
+            bytes_accessed=q.dtype.itemsize * b * (3 * q_len + 4 * k_len)
+            * d + 8 * b * n_heads * q_len * k_len,
+            transcendentals=b * n_heads * q_len * k_len,
+        ),
+    )(seed, ebias, q, k, v, g)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "n_heads", "interpret", "nb"))
+def _bwd_rel_saved_pallas(p, pd, q, k, v, g, *, scale, n_heads, interpret,
+                          nb=None):
+    b, q_len, d = q.shape
+    k_len = k.shape[1]
+    dh = d // n_heads
+    if nb is None:
+        nb = _pick_nb_packed(
+            b, 2 * _rel_row_bytes(q_len, k_len, d, n_heads, 2,
+                                  q.dtype.itemsize))
+    _, _, q_spec, kv_spec = _rel_specs(nb, q_len, k_len, d, n_heads)
+    prob_spec = pl.BlockSpec((nb, n_heads, q_len, k_len),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_rel_saved_kernel, scale=scale,
+                          n_heads=n_heads, dh=dh, nb=nb),
+        grid=(b // nb,),
+        in_specs=[prob_spec, prob_spec, q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=(q_spec, kv_spec, kv_spec, prob_spec),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype),
+                   jax.ShapeDtypeStruct((b, n_heads, q_len, k_len),
+                                        q.dtype)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * n_heads * q_len * k_len * dh
+            + 8 * b * n_heads * q_len * k_len,
+            bytes_accessed=q.dtype.itemsize * b * (3 * q_len + 4 * k_len)
+            * d + 6 * b * n_heads * q_len * k_len,
+            transcendentals=0,
+        ),
+    )(p, pd, q, k, v, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _fused_rel_attention(q, k, v, ebias, seed, scale, rate, n_heads,
+                         interpret, nb_fwd_bwd, save):
+    return _fwd_rel_pallas(q, k, v, ebias, seed, scale=scale, rate=rate,
+                           n_heads=n_heads, interpret=interpret,
+                           nb=nb_fwd_bwd[0])
+
+
+def _frel_fwd(q, k, v, ebias, seed, scale, rate, n_heads, interpret,
+              nb_fwd_bwd, save):
+    if save:
+        outs = _fwd_rel_pallas(q, k, v, ebias, seed, scale=scale,
+                               rate=rate, n_heads=n_heads,
+                               interpret=interpret, nb=nb_fwd_bwd[0],
+                               save=True)
+        if rate > 0.0:
+            out, p, pd = outs
+        else:
+            out, p = outs
+            pd = p
+        return out, (q, k, v, ebias, p, pd)
+    out = _fwd_rel_pallas(q, k, v, ebias, seed, scale=scale, rate=rate,
+                          n_heads=n_heads, interpret=interpret,
+                          nb=nb_fwd_bwd[0])
+    return out, (q, k, v, ebias, seed)
+
+
+def _frel_bwd(scale, rate, n_heads, interpret, nb_fwd_bwd, save,
+              residuals, g):
+    if save:
+        q, k, v, ebias, p, pd = residuals
+        dq, dk, dv, ds = _bwd_rel_saved_pallas(
+            p, pd, q, k, v, g, scale=scale, n_heads=n_heads,
+            interpret=interpret, nb=nb_fwd_bwd[1])
+        debias = ds.astype(ebias.dtype)
+    else:
+        q, k, v, ebias, seed = residuals
+        dq, dk, dv, debias = _bwd_rel_pallas(
+            q, k, v, ebias, seed, g, scale=scale, rate=rate,
+            n_heads=n_heads, interpret=interpret, nb=nb_fwd_bwd[1])
+    dseed = np.zeros((1, 1), jax.dtypes.float0)
+    return dq, dk, dv, debias, dseed
+
+
+_fused_rel_attention.defvjp(_frel_fwd, _frel_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _fused_attention_packed(qkv, bias, seed, scale, rate, n_heads,
                             interpret, nb_fwd, nb_bwd, save):
@@ -795,3 +1117,72 @@ def fused_attention_packed(
     return _fused_attention_packed(qkv, bias, seed, float(scale), rate,
                                    n_heads, bool(interpret), nb_fwd, nb_bwd,
                                    bool(save_probs))
+
+
+def fused_rel_attention(
+    q: jax.Array,               # [B, Q, D] packed head-major (bqhf flat)
+    k: jax.Array,               # [B, K, D]
+    v: jax.Array,               # [B, K, D]
+    ebias: jax.Array,           # [B, H, Q, K] additive score bias (f32 ok)
+    *,
+    n_heads: int,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    interpret: Optional[bool] = None,
+    nb_fwd: Optional[int] = None,
+    nb_bwd: Optional[int] = None,
+    save_probs: Optional[bool] = None,
+) -> jax.Array:
+    """Fused attention with a full per-head additive score bias.
+
+    ``softmax(q_h·k_hᵀ·scale + ebias[:,h])`` with in-kernel prob-dropout,
+    for attention variants whose score has extra terms (XLNet relative
+    attention: ebias = (bd + ef)·scale − BIG·mask assembled outside; the
+    reference's two-stream scores at xlnet.py:374-386 via HF XLNetLayer).
+    ebias is differentiable — the backward kernels emit dscore for it.
+    Layout contract matches the ``bqhf`` einsum family: reshaping
+    [B,Q,H,Dh] ↔ [B,Q,D] is free.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rate = 0.0 if deterministic else float(dropout_rate)
+    b, q_len, d = q.shape
+    dh = d // n_heads
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+    if rate > 0.0 and interpret:
+        # Off-TPU dropout: plain einsum math, jax.random keep-mask.
+        qh = q.reshape(b, q_len, n_heads, dh)
+        kh = k.reshape(b, k.shape[1], n_heads, dh)
+        vh = v.reshape(b, k.shape[1], n_heads, dh)
+        score = jnp.einsum("bqhf,bkhf->bhqk", qh, kh,
+                           preferred_element_type=jnp.float32)
+        score = score * scale + ebias.astype(jnp.float32)
+        probs = jax.nn.softmax(score, axis=-1)
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs.astype(q.dtype), vh)
+        return ctx.reshape(b, q_len, d)
+    if rate > 0.0:
+        seed = jax.random.randint(dropout_rng, (1, 1), 0, 2**31 - 1,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1, 1), jnp.int32)
+    if nb_fwd is None and "FUSED_ATTN_NB_FWD" in os.environ:
+        nb_fwd = int(os.environ["FUSED_ATTN_NB_FWD"])
+    if nb_bwd is None and "FUSED_ATTN_NB_BWD" in os.environ:
+        nb_bwd = int(os.environ["FUSED_ATTN_NB_BWD"])
+    if save_probs is None and "FUSED_ATTN_SAVE" in os.environ:
+        save_probs = os.environ["FUSED_ATTN_SAVE"] == "1"
+    if save_probs is None:
+        k_len = k.shape[1]
+        sub = (q_len + 15) // 16 * 16
+        lane = (k_len + 127) // 128 * 128
+        n_prob = 2 if rate > 0.0 else 1
+        save_probs = (b * n_heads * sub * lane * 2 * n_prob
+                      <= 256 * 1024 * 1024)
+    return _fused_rel_attention(q, k, v, ebias, seed, float(scale), rate,
+                                n_heads, bool(interpret),
+                                (nb_fwd, nb_bwd), bool(save_probs))

@@ -20,6 +20,7 @@ from bert_multimodal_transformer_tpu.ops.attention import (
 from bert_multimodal_transformer_tpu.ops.fused_attention import (
     fused_attention,
     fused_attention_packed,
+    fused_rel_attention,
 )
 
 B, H, S, DH = 3, 4, 50, 64
@@ -168,6 +169,143 @@ def test_packed_dropout_offtpu_fallback():
     ref = jnp.moveaxis(ctx, 1, 2).reshape(B, S, H * DH)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("save", [False, True])
+def test_rel_attention_matches_einsum_with_bias_grad(save):
+    # fused_rel_attention vs the XLNet-style einsum score assembly:
+    # softmax(q·kᵀ·scale + ebias) with a differentiable full bias.
+    rng = np.random.RandomState(5)
+    K = S + 14                                      # qlen != klen (mems)
+    q = jnp.asarray(rng.randn(B, S, H * DH), jnp.float32)
+    k = jnp.asarray(rng.randn(B, K, H * DH), jnp.float32)
+    v = jnp.asarray(rng.randn(B, K, H * DH), jnp.float32)
+    ebias = jnp.asarray(rng.randn(B, H, S, K) * 0.3, jnp.float32)
+
+    def f_ref(q_, k_, v_, eb):
+        qh = q_.reshape(B, S, H, DH)
+        kh = k_.reshape(B, K, H, DH)
+        vh = v_.reshape(B, K, H, DH)
+        score = jnp.einsum("bqhf,bkhf->bhqk", qh, kh) * SCALE + eb
+        probs = jax.nn.softmax(score, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs, vh)
+        return jnp.sum(jnp.tanh(ctx.reshape(B, S, H * DH)))
+
+    def f_new(q_, k_, v_, eb):
+        return jnp.sum(jnp.tanh(fused_rel_attention(
+            q_, k_, v_, eb, n_heads=H, scale=SCALE, save_probs=save)))
+
+    vr, gr = jax.value_and_grad(f_ref, argnums=(0, 1, 2, 3))(q, k, v,
+                                                             ebias)
+    vn, gn = jax.value_and_grad(f_new, argnums=(0, 1, 2, 3))(q, k, v,
+                                                             ebias)
+    np.testing.assert_allclose(float(vn), float(vr), rtol=1e-6)
+    for name, a, b in zip("qkve", gr, gn):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=2e-5, err_msg=name)
+
+
+def test_rel_attention_dropout_offtpu_fallback_runs():
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(B, S, H * DH), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H * DH), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H * DH), jnp.float32)
+    ebias = jnp.zeros((B, H, S, S), jnp.float32)
+    out = fused_rel_attention(q, k, v, ebias, n_heads=H, scale=SCALE,
+                              dropout_rate=0.3,
+                              dropout_rng=jax.random.PRNGKey(0),
+                              deterministic=False)
+    assert out.shape == (B, S, H * DH)
+    assert np.isfinite(np.asarray(out)).all()
+    # mean-preserving in expectation: crude sanity band
+    base = fused_rel_attention(q, k, v, ebias, n_heads=H, scale=SCALE)
+    ratio = float(jnp.mean(jnp.abs(out)) / jnp.mean(jnp.abs(base)))
+    assert 0.5 < ratio < 2.0, ratio
+
+
+def test_xlnet_model_fused_equals_einsum_deterministic():
+    import dataclasses
+
+    from bert_multimodal_transformer_tpu.config import (
+        MultimodalConfig, XLNetConfig)
+    from bert_multimodal_transformer_tpu.models.xlnet import (
+        MagXLNetForSequenceClassification)
+
+    cfg = XLNetConfig.tiny(vocab_size=64)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.5,
+                          injection_index=1)
+    rng = np.random.RandomState(8)
+    batch, seq = 4, 12
+    ids = jnp.asarray(rng.randint(0, 64, (batch, seq)), jnp.int32)
+    vis = jnp.asarray(rng.randn(batch, seq, 5), jnp.float32)
+    aco = jnp.asarray(rng.randn(batch, seq, 7), jnp.float32)
+    mask_np = np.ones((batch, seq), np.int32)
+    mask_np[1, :4] = 0                      # XLNet left-pads
+    mask = jnp.asarray(mask_np)
+    seg = jnp.zeros((batch, seq), jnp.int32)
+
+    m_ein = MagXLNetForSequenceClassification(cfg, mm, visual_dim=5,
+                                              acoustic_dim=7)
+    params = m_ein.init(jax.random.PRNGKey(0), ids, vis, aco, mask, seg)[
+        "params"]
+    cfg_f = dataclasses.replace(cfg, attention_impl="fused")
+    m_fus = MagXLNetForSequenceClassification(cfg_f, mm, visual_dim=5,
+                                              acoustic_dim=7)
+    out_e = m_ein.apply({"params": params}, ids, vis, aco,
+                        attention_mask=mask, token_type_ids=seg,
+                        deterministic=True)
+    out_f = m_fus.apply({"params": params}, ids, vis, aco,
+                        attention_mask=mask, token_type_ids=seg,
+                        deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_xlnet_model_fused_grads_match_einsum():
+    """Training-mode grads, attention dropout forced to 0 so the streams
+    agree; hidden dropouts share the rng."""
+    import dataclasses
+
+    from bert_multimodal_transformer_tpu.config import (
+        MultimodalConfig, XLNetConfig)
+    from bert_multimodal_transformer_tpu.models.xlnet import (
+        MagXLNetForSequenceClassification)
+
+    cfg = dataclasses.replace(XLNetConfig.tiny(vocab_size=64), dropout=0.0)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.3,
+                          injection_index=1)
+    rng = np.random.RandomState(9)
+    batch, seq = 4, 10
+    ids = jnp.asarray(rng.randint(0, 64, (batch, seq)), jnp.int32)
+    vis = jnp.asarray(rng.randn(batch, seq, 5), jnp.float32)
+    aco = jnp.asarray(rng.randn(batch, seq, 7), jnp.float32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    seg = jnp.zeros((batch, seq), jnp.int32)
+    labels = jnp.asarray(rng.randn(batch), jnp.float32)
+
+    def make_loss(model):
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params}, ids, vis, aco, attention_mask=mask,
+                token_type_ids=seg, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(3)})
+            return jnp.mean((logits.reshape(-1) - labels) ** 2)
+        return loss_fn
+
+    m_ein = MagXLNetForSequenceClassification(cfg, mm, visual_dim=5,
+                                              acoustic_dim=7)
+    params = m_ein.init(jax.random.PRNGKey(0), ids, vis, aco, mask, seg)[
+        "params"]
+    cfg_f = dataclasses.replace(cfg, attention_impl="fused")
+    m_fus = MagXLNetForSequenceClassification(cfg_f, mm, visual_dim=5,
+                                              acoustic_dim=7)
+    le, ge = jax.value_and_grad(make_loss(m_ein))(params)
+    lf, gf = jax.value_and_grad(make_loss(m_fus))(params)
+    np.testing.assert_allclose(float(lf), float(le), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ge),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-3)
 
 
 def test_dropout_requires_rng():

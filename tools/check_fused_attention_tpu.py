@@ -206,6 +206,83 @@ def main():
     print(f"packed bwd PRNG replay: FD vs grad rel diff = {rel:.3e}")
     assert rel < 5e-2, rel
 
+    # ---- 2d. rel-bias (XLNet) variant --------------------------------
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        fused_rel_attention)
+    D = H * DH
+    qp = jnp.asarray(rng.randn(B, S, D), jnp.bfloat16)
+    kp = jnp.asarray(rng.randn(B, S, D), jnp.bfloat16)
+    vp = jnp.asarray(rng.randn(B, S, D), jnp.bfloat16)
+    eb = jnp.asarray(rng.randn(B, H, S, S) * 0.3, jnp.float32)
+
+    def rel_ref(q_, k_, v_, eb_):
+        qh = q_.reshape(B, S, H, DH)
+        kh = k_.reshape(B, S, H, DH)
+        vh = v_.reshape(B, S, H, DH)
+        score = jnp.einsum("bqhf,bkhf->bhqk", qh, kh,
+                           preferred_element_type=jnp.float32)
+        score = score * scale + eb_
+        probs = jax.nn.softmax(score, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs.astype(q_.dtype), vh)
+        return ctx.reshape(B, S, D)
+
+    out_rel = fused_rel_attention(qp, kp, vp, eb, n_heads=H, scale=scale)
+    ref_rel = rel_ref(qp, kp, vp, eb)
+    dr = float(jnp.max(jnp.abs(out_rel.astype(jnp.float32)
+                               - ref_rel.astype(jnp.float32))))
+    print(f"rel fwd parity (bf16, no dropout): max|diff| = {dr:.3e}")
+    assert dr < 2e-2, dr
+
+    for save in (False, True):
+        def loss_rel_ref(q_, k_, v_, eb_):
+            return jnp.sum(jnp.square(rel_ref(q_, k_, v_, eb_)
+                                      .astype(jnp.float32)))
+
+        def loss_rel_new(q_, k_, v_, eb_):
+            return jnp.sum(jnp.square(fused_rel_attention(
+                q_, k_, v_, eb_, n_heads=H, scale=scale,
+                save_probs=save).astype(jnp.float32)))
+
+        grr = jax.grad(loss_rel_ref, argnums=(0, 1, 2, 3))(qp, kp, vp, eb)
+        grn = jax.grad(loss_rel_new, argnums=(0, 1, 2, 3))(qp, kp, vp, eb)
+        for name, a_, b_ in zip(["q", "k", "v", "ebias"], grr, grn):
+            rel_d = (float(jnp.max(jnp.abs(a_.astype(jnp.float32)
+                                           - b_.astype(jnp.float32))))
+                     / max(float(jnp.max(jnp.abs(
+                         a_.astype(jnp.float32)))), 1e-9))
+            print(f"rel grad d{name} (save={save}): max rel = {rel_d:.3e}")
+            assert rel_d < 5e-2, (name, save, rel_d)
+
+    o1r = fused_rel_attention(qp, kp, vp, eb, n_heads=H, scale=scale,
+                              dropout_rate=rate, dropout_rng=key,
+                              deterministic=False)
+    o2r = fused_rel_attention(qp, kp, vp, eb, n_heads=H, scale=scale,
+                              dropout_rate=rate, dropout_rng=key,
+                              deterministic=False)
+    same = float(jnp.max(jnp.abs(o1r.astype(jnp.float32)
+                                 - o2r.astype(jnp.float32))))
+    print(f"rel same-seed replay: max|diff| = {same:.3e}")
+    assert same == 0.0, same
+
+    # rel fwd/bwd PRNG replay: perturb only v (linear) — FD exact
+    cr = jnp.asarray(rng.randn(B, S, D), jnp.bfloat16)
+
+    def grel(vv):
+        return jnp.sum(fused_rel_attention(
+            qp, kp, vv, eb, n_heads=H, scale=scale, dropout_rate=rate,
+            dropout_rng=key, deterministic=False,
+            save_probs=False).astype(jnp.float32)
+            * cr.astype(jnp.float32))
+
+    dvr = jax.grad(grel)(vp)
+    dirn_r = jnp.asarray(rng.randn(B, S, D), jnp.bfloat16)
+    fd = (grel(vp + 0.5 * dirn_r) - grel(vp - 0.5 * dirn_r)) / 1.0
+    an = float(jnp.sum(dvr.astype(jnp.float32)
+                       * dirn_r.astype(jnp.float32)))
+    rel_d = abs(float(fd) - an) / max(abs(an), 1e-9)
+    print(f"rel bwd PRNG replay: FD vs grad rel diff = {rel_d:.3e}")
+    assert rel_d < 5e-2, rel_d
+
     # ---- 3. microbenchmark -------------------------------------------
     def bench(fn, label, n=50):
         carry = jnp.zeros((), jnp.float32)

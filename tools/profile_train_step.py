@@ -39,14 +39,23 @@ def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mag_trace"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 
-    cfg = BertConfig.bert_base_uncased()
-    attn = os.environ.get("BENCH_ATTN", "fused")   # match bench.py default
-    if attn != "einsum":
-        import dataclasses
-        cfg = dataclasses.replace(cfg, attention_impl=attn)
-    model = MagBertForSequenceClassification(
-        cfg, MultimodalConfig(1.0, 0.5), visual_dim=47, acoustic_dim=74,
-        dtype=jnp.bfloat16)
+    if os.environ.get("BENCH_MODEL", "bert") == "xlnet":
+        from bert_multimodal_transformer_tpu.config import XLNetConfig
+        from bert_multimodal_transformer_tpu.models.xlnet import (
+            MagXLNetForSequenceClassification)
+        cfg = XLNetConfig.xlnet_base_cased()
+        model = MagXLNetForSequenceClassification(
+            cfg, MultimodalConfig(1.0, 0.5, injection_index=1),
+            visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16)
+    else:
+        cfg = BertConfig.bert_base_uncased()
+        attn = os.environ.get("BENCH_ATTN", "fused")  # match bench.py
+        if attn != "einsum":
+            import dataclasses
+            cfg = dataclasses.replace(cfg, attention_impl=attn)
+        model = MagBertForSequenceClassification(
+            cfg, MultimodalConfig(1.0, 0.5), visual_dim=47,
+            acoustic_dim=74, dtype=jnp.bfloat16)
     trainer = Trainer(model=model, tx=make_optimizer(1e-5, 10000),
                       mesh=make_mesh(MeshConfig(data_parallel=1)),
                       donate=True)
