@@ -122,11 +122,16 @@ class XLNetRelativeAttention(nn.Module):
         init = nn.initializers.normal(stddev=cfg.initializer_range)
         # einsum-layout params, same shapes as HF ([D, H, Dh] heads,
         # [H, Dh] biases, [2, H, Dh] segment embedding).
-        self.q = self.param("q", init, (d, h, dh), jnp.float32)
-        self.k = self.param("k", init, (d, h, dh), jnp.float32)
-        self.v = self.param("v", init, (d, h, dh), jnp.float32)
-        self.o = self.param("o", init, (d, h, dh), jnp.float32)
-        self.r = self.param("r", init, (d, h, dh), jnp.float32)
+        # q/k/v/o/r are stored FLAT [D, H·Dh] (HF keeps [D,H,Dh] einsum
+        # weights): the gemms want the flat shape anyway, and a [·,12,64]
+        # minor layout pads to (16,128) tiles — 2.67× wasted bandwidth in
+        # every optimizer pass and weight relayout. The converter
+        # (utils/convert.py) reshapes at the HF boundary.
+        self.q = self.param("q", init, (d, h * dh), jnp.float32)
+        self.k = self.param("k", init, (d, h * dh), jnp.float32)
+        self.v = self.param("v", init, (d, h * dh), jnp.float32)
+        self.o = self.param("o", init, (d, h * dh), jnp.float32)
+        self.r = self.param("r", init, (d, h * dh), jnp.float32)
         self.r_w_bias = self.param("r_w_bias", init, (h, dh), jnp.float32)
         self.r_r_bias = self.param("r_r_bias", init, (h, dh), jnp.float32)
         self.r_s_bias = self.param("r_s_bias", init, (h, dh), jnp.float32)
@@ -147,6 +152,49 @@ class XLNetRelativeAttention(nn.Module):
         f32 = jnp.float32
 
         rw = (q_head + self.r_w_bias).astype(self.dtype)
+
+        if cfg.attention_impl == "fused" and head_mask is None:
+            # Pallas rel-attention kernel (ops/fused_attention.py): the
+            # QK dot, softmax, and prob-dropout run in VMEM; only ONE
+            # [B,H,Q,K] tensor (ebias, differentiable) is streamed
+            # instead of the ac/score/probs/keep-mask family. bqhf→flat
+            # reshapes are free (h,f already minor). The bd/ef assembly
+            # (incl. the rel_shift data shuffle) runs at the compute
+            # dtype with the scale folded into rr/rs — at bf16 this
+            # halves the [B,H,Q,P] rel_shift traffic.
+            dt = self.dtype
+            rr = ((q_head + self.r_r_bias) * scale).astype(dt)
+            bd = jnp.einsum("bqhf,phf->bhqp", rr, k_head_r.astype(dt),
+                            preferred_element_type=f32).astype(dt)
+            ebias = rel_shift(bd, klen)
+            if seg_mat is not None:
+                rs = ((q_head + self.r_s_bias) * scale).astype(dt)
+                ef_raw = jnp.einsum("bqhf,shf->bhqs", rs,
+                                    self.seg_embed.astype(dt),
+                                    preferred_element_type=f32)
+                ef = jnp.einsum("bqks,bhqs->bhqk", seg_mat.astype(f32),
+                                ef_raw).astype(dt)
+                ebias = ebias + ef
+            if attn_mask is not None:
+                ebias = ebias - (MASK_VERY_NEG
+                                 * attn_mask.astype(f32)).astype(dt)
+            bsz, qlen2, h, dh = q_head.shape
+            dropout_rng = None
+            if not deterministic and cfg.dropout > 0:
+                dropout_rng = self.make_rng("dropout")
+            ctx = fused_rel_attention(
+                rw.reshape(bsz, qlen2, h * dh),
+                k_head.astype(dt).reshape(bsz, klen, h * dh),
+                v_head.astype(dt).reshape(bsz, klen, h * dh),
+                ebias,
+                n_heads=h,
+                scale=scale,
+                dropout_rate=cfg.dropout,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+            )
+            return ctx.reshape(bsz, qlen2, h, dh)
+
         rr = (q_head + self.r_r_bias).astype(self.dtype)
         bd = jnp.einsum("bqhf,phf->bhqp", rr,
                         k_head_r.astype(self.dtype),
@@ -160,32 +208,6 @@ class XLNetRelativeAttention(nn.Module):
                                 self.seg_embed.astype(self.dtype),
                                 preferred_element_type=f32)
             ef = jnp.einsum("bqks,bhqs->bhqk", seg_mat.astype(f32), ef_raw)
-
-        if cfg.attention_impl == "fused" and head_mask is None:
-            # Pallas rel-attention kernel (ops/fused_attention.py): the
-            # QK dot, softmax, and prob-dropout run in VMEM; only ONE
-            # [B,H,Q,K] tensor (ebias, differentiable) is streamed
-            # instead of the ac/score/probs/keep-mask family. bqhf→flat
-            # reshapes are free (h,f already minor).
-            ebias = bd * scale if seg_mat is None else (bd + ef) * scale
-            if attn_mask is not None:
-                ebias = ebias - MASK_VERY_NEG * attn_mask.astype(f32)
-            bsz, qlen2, h, dh = q_head.shape
-            dropout_rng = None
-            if not deterministic and cfg.dropout > 0:
-                dropout_rng = self.make_rng("dropout")
-            ctx = fused_rel_attention(
-                rw.reshape(bsz, qlen2, h * dh),
-                k_head.astype(self.dtype).reshape(bsz, klen, h * dh),
-                v_head.astype(self.dtype).reshape(bsz, klen, h * dh),
-                ebias,
-                n_heads=h,
-                scale=scale,
-                dropout_rate=cfg.dropout,
-                dropout_rng=dropout_rng,
-                deterministic=deterministic,
-            )
-            return ctx.reshape(bsz, qlen2, h, dh)
 
         ac = jnp.einsum("bqhf,bkhf->bhqk", rw, k_head,
                         preferred_element_type=f32)
@@ -202,7 +224,8 @@ class XLNetRelativeAttention(nn.Module):
         return attn_vec
 
     def _post_attention(self, h, attn_vec, deterministic):
-        out = jnp.einsum("bqhf,dhf->bqd", attn_vec,
+        b_, q_ = attn_vec.shape[0], attn_vec.shape[1]
+        out = jnp.einsum("bqe,de->bqd", attn_vec.reshape(b_, q_, -1),
                          self.o.astype(self.dtype))
         out = self.out_dropout(out, deterministic=deterministic)
         return self.layer_norm(out + h)
@@ -225,11 +248,18 @@ class XLNetRelativeAttention(nn.Module):
         cat = h if mems is None else jnp.concatenate(
             [mems.astype(dt), h], axis=1)
 
-        q_head_h = jnp.einsum("bqd,dhf->bqhf", h, self.q.astype(dt))
-        k_head = jnp.einsum("bkd,dhf->bkhf", cat, self.k.astype(dt))
-        v_head = jnp.einsum("bkd,dhf->bkhf", cat, self.v.astype(dt))
-        k_head_r = jnp.einsum("pd,dhf->phf", r.astype(dt),
-                              self.r.astype(dt))
+        cfg = self.config
+        nh, dh = cfg.n_head, cfg.d_head
+        bsz, qlen = h.shape[0], h.shape[1]
+        klen = cat.shape[1]
+        q_head_h = jnp.einsum("bqd,de->bqe", h, self.q.astype(dt)).reshape(
+            bsz, qlen, nh, dh)
+        k_head = jnp.einsum("bkd,de->bke", cat, self.k.astype(dt)).reshape(
+            bsz, klen, nh, dh)
+        v_head = jnp.einsum("bkd,de->bke", cat, self.v.astype(dt)).reshape(
+            bsz, klen, nh, dh)
+        k_head_r = jnp.einsum("pd,de->pe", r.astype(dt),
+                              self.r.astype(dt)).reshape(-1, nh, dh)
 
         attn_vec_h = self._rel_attn_core(
             q_head_h, k_head, v_head, k_head_r, seg_mat, attn_mask_h,
@@ -238,7 +268,9 @@ class XLNetRelativeAttention(nn.Module):
 
         out_g = None
         if g is not None:
-            q_head_g = jnp.einsum("bmd,dhf->bmhf", g, self.q.astype(dt))
+            q_head_g = jnp.einsum("bmd,de->bme", g,
+                                  self.q.astype(dt)).reshape(
+                                      bsz, g.shape[1], nh, dh)
             if target_mapping is not None:
                 # project query positions onto content positions
                 q_head_g = jnp.einsum("bmhf,bmq->bqhf", q_head_g,

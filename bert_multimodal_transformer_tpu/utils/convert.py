@@ -145,7 +145,10 @@ def convert_xlnet_params(
         dst = root[f"layer_{i}"]
         attn = dst["rel_attn"]
         for name in ("q", "k", "v", "o", "r"):
-            attn[name] = get(src + f"rel_attn.{name}")
+            # HF stores [D, H, Dh] einsum weights; we store them FLAT
+            # [D, H·Dh] (models/xlnet.py setup — tile-layout efficiency)
+            w = get(src + f"rel_attn.{name}")
+            attn[name] = w.reshape(w.shape[0], -1)
         for name in ("r_w_bias", "r_r_bias", "r_s_bias"):
             attn[name] = get(src + f"rel_attn.{name}")
         attn["seg_embed"] = get(src + "rel_attn.seg_embed")
@@ -261,8 +264,13 @@ def export_xlnet_state_dict(flax_params: Any,
         src = root[f"layer_{i}"]
         dst = f"layer.{i}."
         attn = src["rel_attn"]
-        for name in ("q", "k", "v", "o", "r", "r_w_bias", "r_r_bias",
-                     "r_s_bias", "seg_embed"):
+        for name in ("q", "k", "v", "o", "r"):
+            # flat [D, H·Dh] here → HF [D, H, Dh] (n_head from the
+            # [H, Dh]-shaped r_w_bias)
+            nh, dh = np.asarray(attn["r_w_bias"]).shape
+            w = attn[name]
+            sd[dst + f"rel_attn.{name}"] = w.reshape(w.shape[0], nh, dh)
+        for name in ("r_w_bias", "r_r_bias", "r_s_bias", "seg_embed"):
             sd[dst + f"rel_attn.{name}"] = attn[name]
         sd[dst + "rel_attn.layer_norm.weight"] = attn["layer_norm"]["scale"]
         sd[dst + "rel_attn.layer_norm.bias"] = attn["layer_norm"]["bias"]

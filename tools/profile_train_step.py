@@ -44,6 +44,10 @@ def main():
         from bert_multimodal_transformer_tpu.models.xlnet import (
             MagXLNetForSequenceClassification)
         cfg = XLNetConfig.xlnet_base_cased()
+        attn = os.environ.get("BENCH_ATTN", "fused")  # match bench.py
+        if attn != "einsum":
+            import dataclasses
+            cfg = dataclasses.replace(cfg, attention_impl=attn)
         model = MagXLNetForSequenceClassification(
             cfg, MultimodalConfig(1.0, 0.5, injection_index=1),
             visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16)
