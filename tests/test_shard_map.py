@@ -83,3 +83,24 @@ def test_shard_map_step_trains_with_dropout():
         lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
         state.params, new_state.params)
     assert any(jax.tree_util.tree_leaves(changed))
+
+
+def test_fused_attention_trains_under_dp_sharding():
+    """--attention_impl fused under 8-way DP: pjit partitions the Pallas
+    custom-calls (interpret mode off-TPU); 8-way loss == 1-way loss."""
+    import dataclasses
+
+    cfg = dataclasses.replace(BertConfig.tiny(), attention_impl="fused")
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1)
+    model = MagBertForSequenceClassification(cfg, mm, visual_dim=DV,
+                                             acoustic_dim=DA)
+    batch = make_batch(cfg.vocab_size)
+    losses = []
+    for ndev in (1, 8):
+        tr = Trainer(model=model, tx=optax.adam(1e-3),
+                     mesh=make_mesh(MeshConfig(data_parallel=ndev)),
+                     donate=False)
+        st = tr.init_state(jax.random.PRNGKey(0), batch)
+        _, loss = tr._train_step(st, tr._put_batch(batch))
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-6)
