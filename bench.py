@@ -89,7 +89,9 @@ def main():
             cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
             remat=os.environ.get("BENCH_REMAT", "0") == "1")
     else:
-        cfg = BertConfig.bert_base_uncased()
+        cfg = (BertConfig.bert_large_uncased()
+               if family == "bert-large" else
+               BertConfig.bert_base_uncased())
         # Fused Pallas attention (in-VMEM softmax+dropout, save-probs
         # backward under the auto residual cap) is the fastest validated
         # path: 2917 ex/s vs 2642 (recompute bwd) vs ~2540 (einsum) at
@@ -119,6 +121,44 @@ def main():
 
     state = trainer.init_state(jax.random.PRNGKey(0), host_batch)
     dev_batch = trainer._put_batch(host_batch)
+
+    if os.environ.get("BENCH_MODE", "train") == "eval":
+        # Serving/inference throughput: the jitted predict step (forward
+        # only, dropout off) chained through a running scalar so each
+        # step depends on the last (honest sync; see NOTE below).
+        import jax.numpy as jnp2
+
+        # state passed as an ARGUMENT (closing over it would bake the
+        # params into the HLO as constants — 400+ MB through the tunnel)
+        @jax.jit
+        def pred_chain(state_, carry, batch_):
+            ids = batch_[0] + (carry * 0).astype(batch_[0].dtype)
+            preds, _ = trainer._predict_step(
+                state_, (ids,) + tuple(batch_[1:]))
+            return jnp2.sum(preds.astype(jnp2.float32)) * 1e-30
+
+        carry = jnp2.zeros((), jnp2.float32)
+        for _ in range(warmup):
+            carry = pred_chain(state, carry, dev_batch)
+        float(jax.device_get(carry))
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            carry = pred_chain(state, carry, dev_batch)
+        float(jax.device_get(carry))
+        dt = time.perf_counter() - t0
+        per_chip = batch * n_steps / dt / len(jax.devices())
+        watchdog.cancel()
+        model_name = {"xlnet": "xlnet-base",
+                      "bert-large": "bert-large"}.get(family, "bert-base")
+        print(json.dumps({
+            "metric": f"MOSI MAG-{family.upper()} inference throughput "
+                      f"({model_name}, batch {batch}, seq {seq}, bf16, "
+                      f"{len(jax.devices())} chip(s))",
+            "value": round(per_chip, 2),
+            "unit": "examples/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
 
     for _ in range(warmup):
         state, loss = trainer._train_step(state, dev_batch)
@@ -151,7 +191,8 @@ def main():
             pass
 
     watchdog.cancel()
-    model_name = ("xlnet-base" if family == "xlnet" else "bert-base")
+    model_name = {"xlnet": "xlnet-base",
+                  "bert-large": "bert-large"}.get(family, "bert-base")
     print(json.dumps({
         "metric": f"MOSI MAG-{family.upper()} fine-tune train-step "
                   f"throughput ({model_name}, batch {batch}, seq {seq}, "
