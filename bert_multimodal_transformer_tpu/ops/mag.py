@@ -72,12 +72,18 @@ def mag_gate(
     v = visual.astype(f32)
     a = acoustic.astype(f32)
 
+    # Matmul precision follows the compute dtype: fp32 models (golden /
+    # parity tests, reference-exact runs) get HIGHEST — on TPU the default
+    # bf16-pass would perturb α through ‖H_m‖. bf16 training gets the
+    # default pass: the surrounding encoder is already bf16-pass, and
+    # HIGHEST's 6-pass emulation made this single gate cost ~2.6 ms/step
+    # (3% of the b256 train step) for ~30 GFLOPs of math.
+    precision = (jax.lax.Precision.HIGHEST
+                 if text.dtype == jnp.float32 else None)
+
     def mm(x, w):
-        # HIGHEST precision: the gate's norm/clamp chain is sensitive and the
-        # op is a rounding error of the encoder's FLOPs; on TPU the default
-        # (bf16-pass) precision would perturb α through ‖H_m‖.
         return jnp.dot(x, w.astype(f32), preferred_element_type=f32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=precision)
 
     gate_v = jax.nn.relu(mm(v, params["w_hv_v"]) + mm(t, params["w_hv_t"])
                          + params["b_hv"].astype(f32))
