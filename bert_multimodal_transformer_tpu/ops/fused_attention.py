@@ -52,6 +52,28 @@ def _dropout_threshold(rate: float) -> int:
     return min(int(round(rate * 4294967296.0)), 4294967295)
 
 
+def _resolve_knobs(b, n_heads, q_len, k_len, rate, itemsize,
+                   nb_fwd, nb_bwd, save_probs):
+    """Shared blocking/residual-mode knob resolution for the fused
+    attention entry points. FUSED_ATTN_NB_FWD / FUSED_ATTN_NB_BWD /
+    FUSED_ATTN_SAVE env vars override; save_probs auto mode saves the
+    (padded, at the compute itemsize) prob residuals while they stay
+    under ~256 MB per layer, recompute beyond."""
+    if nb_fwd is None and "FUSED_ATTN_NB_FWD" in os.environ:
+        nb_fwd = int(os.environ["FUSED_ATTN_NB_FWD"])
+    if nb_bwd is None and "FUSED_ATTN_NB_BWD" in os.environ:
+        nb_bwd = int(os.environ["FUSED_ATTN_NB_BWD"])
+    if save_probs is None and "FUSED_ATTN_SAVE" in os.environ:
+        save_probs = os.environ["FUSED_ATTN_SAVE"] == "1"
+    if save_probs is None:
+        sub = (q_len + 15) // 16 * 16
+        lane = (k_len + 127) // 128 * 128
+        n_prob = 2 if rate > 0.0 else 1
+        save_probs = (b * n_heads * sub * lane * itemsize * n_prob
+                      <= 256 * 1024 * 1024)
+    return nb_fwd, nb_bwd, bool(save_probs)
+
+
 def _softmax_f32(scores: jax.Array) -> jax.Array:
     # jax.nn.softmax semantics (max-subtracted, fp32) — keep the exact op
     # order of the plain path so dropout-off results are bit-comparable.
@@ -456,10 +478,12 @@ def _pick_nb(b: int, n_arrays: int, h: int, s: int, dh: int) -> int:
     budget = 12 * 1024 * 1024
     # bf16 blocks are padded to (…, mult-of-16 sublanes, 128 lanes)
     block = h * ((s + 15) // 16 * 16) * max(dh, 128) * 2
-    nb = max(1, budget // (2 * n_arrays * block))
+    # clamp BEFORE the divisibility walk — min() after it could return a
+    # non-divisor and the grid would silently skip the tail rows
+    nb = min(max(1, budget // (2 * n_arrays * block)), 8)
     while nb > 1 and b % nb != 0:
         nb -= 1
-    return min(nb, 8)
+    return nb
 
 
 def _specs(nb, h, s, dh):
@@ -568,10 +592,11 @@ def _bwd_saved_pallas(p, pd, q, k, v, g, *, scale, interpret, nb=None):
 def _pick_nb_packed(b: int, row_bytes: int) -> int:
     """Rows per program from the actual per-row block footprint."""
     budget = 12 * 1024 * 1024
-    nb = max(1, budget // (2 * row_bytes))
+    # clamp BEFORE the divisibility walk (see _pick_nb)
+    nb = min(max(1, budget // (2 * row_bytes)), 8)
     while nb > 1 and b % nb != 0:
         nb -= 1
-    return min(nb, 8)
+    return nb
 
 
 def _packed_row_bytes(s: int, d3: int, h: int, n_prob: int,
@@ -856,7 +881,11 @@ def _frel_fwd(q, k, v, ebias, seed, scale, rate, n_heads, interpret,
         else:
             out, p = outs
             pd = p
-        return out, (q, k, v, ebias, p, pd)
+        # ebias itself is NOT needed by the saved-probs backward — only
+        # its dtype (for debias). A zero-size token keeps ~15 MB/layer of
+        # [B,H,Q,K] residuals out of HBM.
+        eb_token = jnp.zeros((0,), ebias.dtype)
+        return out, (q, k, v, eb_token, p, pd)
     out = _fwd_rel_pallas(q, k, v, ebias, seed, scale=scale, rate=rate,
                           n_heads=n_heads, interpret=interpret,
                           nb=nb_fwd_bwd[0])
@@ -866,11 +895,11 @@ def _frel_fwd(q, k, v, ebias, seed, scale, rate, n_heads, interpret,
 def _frel_bwd(scale, rate, n_heads, interpret, nb_fwd_bwd, save,
               residuals, g):
     if save:
-        q, k, v, ebias, p, pd = residuals
+        q, k, v, eb_token, p, pd = residuals
         dq, dk, dv, ds = _bwd_rel_saved_pallas(
             p, pd, q, k, v, g, scale=scale, n_heads=n_heads,
             interpret=interpret, nb=nb_fwd_bwd[1])
-        debias = ds.astype(ebias.dtype)
+        debias = ds.astype(eb_token.dtype)
     else:
         q, k, v, ebias, seed = residuals
         dq, dk, dv, debias = _bwd_rel_pallas(
@@ -1031,21 +1060,11 @@ def fused_attention(
         seed = jnp.zeros((1, 1), jnp.int32)
     # Blocking override for tuning (in-model kernels are measured via
     # tools/trace_fused_attn.py; standalone timing hits the dispatch floor)
-    if nb_fwd is None and "FUSED_ATTN_NB_FWD" in os.environ:
-        nb_fwd = int(os.environ["FUSED_ATTN_NB_FWD"])
-    if nb_bwd is None and "FUSED_ATTN_NB_BWD" in os.environ:
-        nb_bwd = int(os.environ["FUSED_ATTN_NB_BWD"])
-    if save_probs is None and "FUSED_ATTN_SAVE" in os.environ:
-        save_probs = os.environ["FUSED_ATTN_SAVE"] == "1"
-    if save_probs is None:
-        h = q.shape[1]
-        sub = (s + 15) // 16 * 16
-        lane = (s + 127) // 128 * 128
-        n_prob = 2 if rate > 0.0 else 1
-        save_probs = b * h * sub * lane * 2 * n_prob <= 256 * 1024 * 1024
+    nb_fwd, nb_bwd, save_probs = _resolve_knobs(
+        b, q.shape[1], s, s, rate, q.dtype.itemsize, nb_fwd, nb_bwd,
+        save_probs)
     return _fused_attention(q, k, v, bias, seed, float(scale), rate,
-                            bool(interpret), nb_fwd, nb_bwd,
-                            bool(save_probs))
+                            bool(interpret), nb_fwd, nb_bwd, save_probs)
 
 
 def fused_attention_packed(
@@ -1102,21 +1121,12 @@ def fused_attention_packed(
                                   dtype=jnp.int32)
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
-    if nb_fwd is None and "FUSED_ATTN_NB_FWD" in os.environ:
-        nb_fwd = int(os.environ["FUSED_ATTN_NB_FWD"])
-    if nb_bwd is None and "FUSED_ATTN_NB_BWD" in os.environ:
-        nb_bwd = int(os.environ["FUSED_ATTN_NB_BWD"])
-    if save_probs is None and "FUSED_ATTN_SAVE" in os.environ:
-        save_probs = os.environ["FUSED_ATTN_SAVE"] == "1"
-    if save_probs is None:
-        sub = (s + 15) // 16 * 16
-        lane = (s + 127) // 128 * 128
-        n_prob = 2 if rate > 0.0 else 1
-        save_probs = (b * n_heads * sub * lane * 2 * n_prob
-                      <= 256 * 1024 * 1024)
+    nb_fwd, nb_bwd, save_probs = _resolve_knobs(
+        b, n_heads, s, s, rate, qkv.dtype.itemsize, nb_fwd, nb_bwd,
+        save_probs)
     return _fused_attention_packed(qkv, bias, seed, float(scale), rate,
                                    n_heads, bool(interpret), nb_fwd, nb_bwd,
-                                   bool(save_probs))
+                                   save_probs)
 
 
 def fused_rel_attention(
@@ -1170,19 +1180,9 @@ def fused_rel_attention(
                                   dtype=jnp.int32)
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
-    if nb_fwd is None and "FUSED_ATTN_NB_FWD" in os.environ:
-        nb_fwd = int(os.environ["FUSED_ATTN_NB_FWD"])
-    if nb_bwd is None and "FUSED_ATTN_NB_BWD" in os.environ:
-        nb_bwd = int(os.environ["FUSED_ATTN_NB_BWD"])
-    if save_probs is None and "FUSED_ATTN_SAVE" in os.environ:
-        save_probs = os.environ["FUSED_ATTN_SAVE"] == "1"
-    if save_probs is None:
-        k_len = k.shape[1]
-        sub = (q_len + 15) // 16 * 16
-        lane = (k_len + 127) // 128 * 128
-        n_prob = 2 if rate > 0.0 else 1
-        save_probs = (b * n_heads * sub * lane * 2 * n_prob
-                      <= 256 * 1024 * 1024)
+    nb_fwd, nb_bwd, save_probs = _resolve_knobs(
+        b, n_heads, q_len, k.shape[1], rate, q.dtype.itemsize, nb_fwd,
+        nb_bwd, save_probs)
     return _fused_rel_attention(q, k, v, ebias, seed, float(scale), rate,
                                 n_heads, bool(interpret),
-                                (nb_fwd, nb_bwd), bool(save_probs))
+                                (nb_fwd, nb_bwd), save_probs)

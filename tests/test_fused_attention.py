@@ -308,6 +308,27 @@ def test_xlnet_model_fused_grads_match_einsum():
                                    atol=2e-4, rtol=2e-3)
 
 
+def test_batch_not_divisible_by_eight_covers_all_rows():
+    """Regression: _pick_nb clamps to 8 AFTER finding a divisor; with
+    b=12 the old order picked nb=8 → grid of 1 → rows 8-11 never
+    written."""
+    rng = np.random.RandomState(12)
+    b = 12
+    q = jnp.asarray(rng.randn(b, H, S, DH), jnp.float32)
+    k = jnp.asarray(rng.randn(b, H, S, DH), jnp.float32)
+    v = jnp.asarray(rng.randn(b, H, S, DH), jnp.float32)
+    ref = dot_product_attention(q, k, v, None, scale=SCALE)
+    out = fused_attention(q, k, v, None, scale=SCALE)
+    np.testing.assert_allclose(np.asarray(out[8:]), np.asarray(ref[8:]),
+                               atol=1e-6, rtol=1e-6)
+    qkv = _pack(q, k, v)
+    out_p = fused_attention_packed(qkv, None, n_heads=H, scale=SCALE)
+    ref_p = jnp.moveaxis(ref, 1, 2).reshape(b, S, H * DH)
+    np.testing.assert_allclose(np.asarray(out_p[8:]),
+                               np.asarray(ref_p[8:]),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_dropout_requires_rng():
     q, k, v, mask = _inputs()
     with pytest.raises(ValueError):

@@ -90,7 +90,11 @@ def test_fused_attention_trains_under_dp_sharding():
     custom-calls (interpret mode off-TPU); 8-way loss == 1-way loss."""
     import dataclasses
 
-    cfg = dataclasses.replace(BertConfig.tiny(), attention_impl="fused")
+    # attention dropout 0: with it nonzero the off-TPU entry point takes
+    # the einsum fallback (interpreter stubs the hardware PRNG) and no
+    # pallas_call would enter the pjit graph — the thing under test.
+    cfg = dataclasses.replace(BertConfig.tiny(), attention_impl="fused",
+                              attention_probs_dropout_prob=0.0)
     mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1)
     model = MagBertForSequenceClassification(cfg, mm, visual_dim=DV,
                                              acoustic_dim=DA)
