@@ -102,7 +102,8 @@ def main():
             cfg = dataclasses.replace(cfg, attention_impl=attn)
         model = MagBertForSequenceClassification(
             cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
-            remat=os.environ.get("BENCH_REMAT", "0") == "1")
+            remat=os.environ.get("BENCH_REMAT", "0") == "1",
+            remat_policy=os.environ.get("BENCH_REMAT_POLICY", "full"))
 
     n_dev = len(jax.devices())
     mesh = make_mesh(MeshConfig(data_parallel=n_dev))
