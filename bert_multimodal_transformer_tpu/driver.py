@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(in-VMEM softmax+dropout, fused bwd); "
                         "flash = blockwise kernel for long sequences "
                         "(seq %% 128 == 0)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="Model (tensor-parallel) mesh axis size: shards "
+                        "the FFN Megatron-style over the 'model' axis "
+                        "(parallel/tp.py); data axis gets the remaining "
+                        "devices")
     p.add_argument("--rng_impl", type=str, default="rbg",
                    choices=["threefry2x32", "rbg"],
                    help="Dropout PRNG: rbg uses the TPU hardware RNG "
@@ -211,7 +216,10 @@ def main(argv=None) -> int:
     tx = make_optimizer(
         learning_rate=args.learning_rate, num_train_steps=max(num_steps, 1),
         warmup_proportion=args.warmup_proportion)
-    trainer = Trainer(model=model, tx=tx, mesh=make_mesh(),
+    from bert_multimodal_transformer_tpu.config import MeshConfig
+    mesh = make_mesh(MeshConfig(data_parallel=-1,
+                                model_parallel=args.model_parallel))
+    trainer = Trainer(model=model, tx=tx, mesh=mesh,
                       grad_accum=args.gradient_accumulation_step)
 
     sample = next(iter(train_it))[0]

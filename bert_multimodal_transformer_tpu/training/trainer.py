@@ -154,24 +154,37 @@ class Trainer:
             self.mesh = make_mesh()
         self._bsh = batch_sharding(self.mesh)
         self._rep = replicated(self.mesh)
+        # model-axis > 1 → tensor parallelism: params carry per-leaf
+        # shardings (parallel/tp.py rules) instead of being replicated;
+        # the jitted steps then inherit shardings from their arguments
+        # and XLA SPMD inserts the FFN collectives.
+        self._tp = self.mesh.shape.get("model", 1) > 1
 
         train_step = make_train_step(self.grad_accum)
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(self._rep, self._bsh),
-            out_shardings=(self._rep, self._rep),
+            in_shardings=None if self._tp else (self._rep, self._bsh),
+            out_shardings=None if self._tp else (self._rep, self._rep),
             donate_argnums=(0,) if self.donate else (),
         )
         self._eval_step = jax.jit(
             eval_step,
-            in_shardings=(self._rep, self._bsh, self._bsh),
-            out_shardings=(self._rep, self._rep),
+            in_shardings=None if self._tp else (self._rep, self._bsh,
+                                                self._bsh),
+            out_shardings=None if self._tp else (self._rep, self._rep),
         )
         self._predict_step = jax.jit(
             predict_step,
-            in_shardings=(self._rep, self._bsh),
-            out_shardings=(self._bsh, self._bsh),
+            in_shardings=None if self._tp else (self._rep, self._bsh),
+            out_shardings=None if self._tp else (self._bsh, self._bsh),
         )
+
+    def _state_sharding(self, state):
+        if not self._tp:
+            return self._rep
+        from bert_multimodal_transformer_tpu.parallel.tp import (
+            make_state_shardings)
+        return make_state_shardings(state, self.mesh)
 
     def init_state(self, rng: jax.Array, sample_batch: Tuple) -> TrainState:
         input_ids, visual, acoustic, input_mask, segment_ids, _ = sample_batch
@@ -182,12 +195,12 @@ class Trainer:
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=self.tx,
             rng=jax.random.fold_in(rng, 1))
-        return jax.device_put(state, self._rep)
+        return jax.device_put(state, self._state_sharding(state))
 
     def create_state_from_params(self, params, rng: jax.Array) -> TrainState:
         state = TrainState.create(apply_fn=self.model.apply, params=params,
                                   tx=self.tx, rng=rng)
-        return jax.device_put(state, self._rep)
+        return jax.device_put(state, self._state_sharding(state))
 
     def _put_batch(self, batch):
         return tuple(jax.device_put(np.asarray(a), self._bsh) for a in batch)

@@ -1,0 +1,138 @@
+"""Tensor-parallel (model-axis) FFN sharding (parallel/tp.py) on the
+virtual 8-device mesh: TP and TP×DP training steps must match the
+single-device step exactly (same math, XLA-inserted collectives)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from bert_multimodal_transformer_tpu.config import (
+    BertConfig,
+    MeshConfig,
+    MultimodalConfig,
+    XLNetConfig,
+)
+from bert_multimodal_transformer_tpu.models.bert import (
+    MagBertForSequenceClassification,
+)
+from bert_multimodal_transformer_tpu.models.xlnet import (
+    MagXLNetForSequenceClassification,
+)
+from bert_multimodal_transformer_tpu.parallel.mesh import make_mesh
+from bert_multimodal_transformer_tpu.parallel.tp import tp_pspec_for_path
+from bert_multimodal_transformer_tpu.training.trainer import Trainer
+
+DV, DA, S, B = 3, 4, 12, 16
+
+
+def make_batch(vocab, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, vocab, (B, S)).astype(np.int32),
+            rng.randn(B, S, DV).astype(np.float32),
+            rng.randn(B, S, DA).astype(np.float32),
+            np.ones((B, S), np.int32),
+            np.zeros((B, S), np.int32),
+            rng.uniform(-3, 3, (B,)).astype(np.float32))
+
+
+def test_tp_pspec_rules():
+    assert tp_pspec_for_path(
+        ".params['bert']['encoder']['layer_0']['intermediate_dense']"
+        "['kernel']") == P(None, "model")
+    assert tp_pspec_for_path(
+        ".params['bert']['encoder']['layer_0']['intermediate_dense']"
+        "['bias']") == P("model")
+    assert tp_pspec_for_path(
+        ".params['bert']['encoder']['layer_0']['output_dense']"
+        "['kernel']") == P("model", None)
+    # attention-internal output_dense stays replicated
+    assert tp_pspec_for_path(
+        ".params['bert']['encoder']['layer_0']['attention']"
+        "['output_dense']['kernel']") == P()
+    # optimizer moments mirror the rules
+    assert tp_pspec_for_path(
+        ".opt_state[0].mu['transformer']['layer_1']['ff']['layer_1']"
+        "['kernel']") == P(None, "model")
+    assert tp_pspec_for_path(
+        ".opt_state[0].nu['transformer']['layer_1']['ff']['layer_2']"
+        "['kernel']") == P("model", None)
+    assert tp_pspec_for_path(".params['classifier']['kernel']") == P()
+
+
+def _ffn_kernel_leaf(params):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        s = jax.tree_util.keystr(path)
+        if (("['intermediate_dense']" in s or "['layer_1']" in s)
+                and s.endswith("['kernel']")):
+            return leaf
+    raise AssertionError("no FFN kernel found")
+
+
+def _losses_for_meshes(model, batch, mesh_cfgs):
+    out = []
+    for cfg in mesh_cfgs:
+        tr = Trainer(model=model, tx=optax.adam(1e-3),
+                     mesh=make_mesh(cfg), donate=False)
+        st = tr.init_state(jax.random.PRNGKey(0), batch)
+        if cfg.model_parallel > 1:
+            # the FFN kernels must actually BE sharded over 'model' —
+            # a replicated fallback would make the loss check vacuous
+            leaf = _ffn_kernel_leaf(st.params)
+            assert leaf.sharding.spec == P(None, "model"), leaf.sharding
+        new_st, loss = tr._train_step(st, tr._put_batch(batch))
+        if cfg.model_parallel > 1:
+            leaf = _ffn_kernel_leaf(new_st.params)
+            assert leaf.sharding.spec == P(None, "model"), leaf.sharding
+        # second step exercises sharded optimizer state end-to-end
+        _, loss2 = tr._train_step(new_st, tr._put_batch(batch))
+        out.append((float(loss), float(loss2)))
+    return out
+
+
+def test_bert_tp_matches_single_device():
+    cfg = BertConfig.tiny()
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1)
+    model = MagBertForSequenceClassification(cfg, mm, visual_dim=DV,
+                                             acoustic_dim=DA)
+    batch = make_batch(cfg.vocab_size)
+    ref, tp, tpdp = _losses_for_meshes(
+        model, batch,
+        [MeshConfig(data_parallel=1),
+         MeshConfig(data_parallel=1, model_parallel=8),
+         MeshConfig(data_parallel=2, model_parallel=4)])
+    np.testing.assert_allclose(tp, ref, rtol=1e-6)
+    np.testing.assert_allclose(tpdp, ref, rtol=1e-6)
+
+
+def test_bert_tp_with_fused_attention():
+    # fused Pallas attention (interpret mode off-TPU) with TP FFN: the
+    # kernel operands are replicated over 'model', sharded over 'data'.
+    cfg = dataclasses.replace(BertConfig.tiny(), attention_impl="fused",
+                              attention_probs_dropout_prob=0.0)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1)
+    model = MagBertForSequenceClassification(cfg, mm, visual_dim=DV,
+                                             acoustic_dim=DA)
+    batch = make_batch(cfg.vocab_size)
+    ref, tpdp = _losses_for_meshes(
+        model, batch,
+        [MeshConfig(data_parallel=1),
+         MeshConfig(data_parallel=2, model_parallel=4)])
+    np.testing.assert_allclose(tpdp, ref, rtol=1e-6)
+
+
+def test_xlnet_tp_matches_single_device():
+    cfg = XLNetConfig.tiny()
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1,
+                          injection_index=1)
+    model = MagXLNetForSequenceClassification(cfg, mm, visual_dim=DV,
+                                              acoustic_dim=DA)
+    batch = make_batch(cfg.vocab_size)
+    ref, tpdp = _losses_for_meshes(
+        model, batch,
+        [MeshConfig(data_parallel=1),
+         MeshConfig(data_parallel=2, model_parallel=4)])
+    np.testing.assert_allclose(tpdp, ref, rtol=1e-6)
