@@ -136,3 +136,34 @@ def test_xlnet_tp_matches_single_device():
         [MeshConfig(data_parallel=1),
          MeshConfig(data_parallel=2, model_parallel=4)])
     np.testing.assert_allclose(tpdp, ref, rtol=1e-6)
+
+
+def test_tp_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore preserves TP shardings (StandardRestore against
+    a sharded template) and training continues identically."""
+    from bert_multimodal_transformer_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    cfg = BertConfig.tiny()
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1)
+    model = MagBertForSequenceClassification(cfg, mm, visual_dim=DV,
+                                             acoustic_dim=DA)
+    batch = make_batch(cfg.vocab_size)
+    mesh_cfg = MeshConfig(data_parallel=2, model_parallel=4)
+    tr = Trainer(model=model, tx=optax.adam(1e-3),
+                 mesh=make_mesh(mesh_cfg), donate=False)
+    st = tr.init_state(jax.random.PRNGKey(0), batch)
+    st, _ = tr._train_step(st, tr._put_batch(batch))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(st, 1, wait=True)
+    _, loss_cont = tr._train_step(st, tr._put_batch(batch))
+
+    tr2 = Trainer(model=model, tx=optax.adam(1e-3),
+                  mesh=make_mesh(mesh_cfg), donate=False)
+    template = tr2.init_state(jax.random.PRNGKey(99), batch)
+    restored = CheckpointManager(str(tmp_path / "ckpt")).restore(template, 1)
+    leaf = _ffn_kernel_leaf(restored.params)
+    assert leaf.sharding.spec == P(None, "model"), leaf.sharding
+    _, loss_restored = tr2._train_step(restored, tr2._put_batch(batch))
+    np.testing.assert_allclose(float(loss_restored), float(loss_cont),
+                               rtol=1e-6)
