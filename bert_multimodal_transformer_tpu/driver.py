@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the FFN Megatron-style over the 'model' axis "
                         "(parallel/tp.py); data axis gets the remaining "
                         "devices")
+    p.add_argument("--tp_shard_attention", action="store_true",
+                   help="With --model_parallel > 1: also head-shard the "
+                        "XLNet relative-attention weights (requires the "
+                        "einsum attention path and n_head %% mp == 0)")
     p.add_argument("--rng_impl", type=str, default="rbg",
                    choices=["threefry2x32", "rbg"],
                    help="Dropout PRNG: rbg uses the TPU hardware RNG "
@@ -220,7 +224,8 @@ def main(argv=None) -> int:
     mesh = make_mesh(MeshConfig(data_parallel=-1,
                                 model_parallel=args.model_parallel))
     trainer = Trainer(model=model, tx=tx, mesh=mesh,
-                      grad_accum=args.gradient_accumulation_step)
+                      grad_accum=args.gradient_accumulation_step,
+                      tp_shard_attention=args.tp_shard_attention)
 
     sample = next(iter(train_it))[0]
     state = trainer.init_state(rng, sample)

@@ -37,12 +37,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bert_multimodal_transformer_tpu.parallel.mesh import MODEL_AXIS
 
 
-def tp_pspec_for_path(path: str) -> P:
+def tp_pspec_for_path(path: str, *, shard_xlnet_attention: bool = False) -> P:
     """PartitionSpec for one parameter (or optimizer-moment) leaf.
 
     ``path`` is ``jax.tree_util.keystr`` of the leaf's path — optimizer
     moments (mu/nu) mirror the param tree, so the same suffix rules
     apply wherever the leaf sits in the state pytree.
+
+    ``shard_xlnet_attention`` additionally head-shards the XLNet
+    relative-attention weights (clean through GSPMD because the flat
+    ``[D, H·Dh]`` packing is head-major, so a contiguous model-axis
+    chunk is whole heads). Requires the einsum attention path — the
+    fused Pallas kernel has no partitioning rule for sharded heads —
+    and n_head divisible by the model-axis size.
     """
     ffn_in = ("['intermediate_dense']" in path
               or "['ff']['layer_1']" in path)
@@ -55,17 +62,29 @@ def tp_pspec_for_path(path: str) -> P:
         return P(MODEL_AXIS)
     if ffn_out and path.endswith("['kernel']"):
         return P(MODEL_AXIS, None)
+    if shard_xlnet_attention and "['rel_attn']" in path:
+        # q/k/v/r: column-parallel on the flat head axis; o: row-parallel
+        # (its contraction axis IS the flat head axis, also axis 1).
+        if path.endswith(("['q']", "['k']", "['v']", "['r']", "['o']")):
+            return P(None, MODEL_AXIS)
+        if path.endswith(("['r_w_bias']", "['r_r_bias']", "['r_s_bias']")):
+            return P(MODEL_AXIS, None)             # [H, Dh] — shard heads
+        if path.endswith("['seg_embed']"):
+            return P(None, MODEL_AXIS, None)       # [2, H, Dh]
     # ffn_out bias is added AFTER the psum — replicated, like the rest
     return P()
 
 
-def make_state_shardings(state: Any, mesh: Mesh) -> Any:
+def make_state_shardings(state: Any, mesh: Mesh, *,
+                         shard_xlnet_attention: bool = False) -> Any:
     """NamedSharding pytree for a TrainState (params + optimizer moments
     sharded per tp rules, everything else replicated)."""
 
     def leaf_sharding(path, leaf):
         del leaf
-        spec = tp_pspec_for_path(jax.tree_util.keystr(path))
+        spec = tp_pspec_for_path(
+            jax.tree_util.keystr(path),
+            shard_xlnet_attention=shard_xlnet_attention)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, state)

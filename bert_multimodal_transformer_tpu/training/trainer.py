@@ -148,6 +148,10 @@ class Trainer:
     mesh: Optional[Mesh] = None
     grad_accum: int = 1
     donate: bool = True
+    # Under TP (model axis > 1), additionally head-shard the XLNet
+    # relative-attention weights (einsum attention path only —
+    # parallel/tp.py docstring).
+    tp_shard_attention: bool = False
 
     def __post_init__(self):
         if self.mesh is None:
@@ -184,7 +188,9 @@ class Trainer:
             return self._rep
         from bert_multimodal_transformer_tpu.parallel.tp import (
             make_state_shardings)
-        return make_state_shardings(state, self.mesh)
+        return make_state_shardings(
+            state, self.mesh,
+            shard_xlnet_attention=self.tp_shard_attention)
 
     def init_state(self, rng: jax.Array, sample_batch: Tuple) -> TrainState:
         input_ids, visual, acoustic, input_mask, segment_ids, _ = sample_batch

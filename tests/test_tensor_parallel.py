@@ -167,3 +167,41 @@ def test_tp_checkpoint_roundtrip(tmp_path):
     _, loss_restored = tr2._train_step(restored, tr2._put_batch(batch))
     np.testing.assert_allclose(float(loss_restored), float(loss_cont),
                                rtol=1e-6)
+
+
+def test_xlnet_attention_tp_matches_single_device():
+    """Opt-in head-sharded XLNet attention (einsum path): q/k/v/r/o and
+    the rel biases sharded over 'model'; GSPMD keeps whole heads per
+    shard (flat head-major packing) and the loss matches exactly."""
+    cfg = XLNetConfig.tiny()                   # n_head=2 → mp=2
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1,
+                          injection_index=1)
+    model = MagXLNetForSequenceClassification(cfg, mm, visual_dim=DV,
+                                              acoustic_dim=DA)
+    batch = make_batch(cfg.vocab_size)
+    tr_ref = Trainer(model=model, tx=optax.adam(1e-3),
+                     mesh=make_mesh(MeshConfig(data_parallel=1)),
+                     donate=False)
+    st = tr_ref.init_state(jax.random.PRNGKey(0), batch)
+    st1, l1 = tr_ref._train_step(st, tr_ref._put_batch(batch))
+    _, l2 = tr_ref._train_step(st1, tr_ref._put_batch(batch))
+
+    tr_tp = Trainer(model=model, tx=optax.adam(1e-3),
+                    mesh=make_mesh(MeshConfig(data_parallel=4,
+                                              model_parallel=2)),
+                    donate=False, tp_shard_attention=True)
+    stt = tr_tp.init_state(jax.random.PRNGKey(0), batch)
+    # the attention weights must actually be sharded
+    q_leaf = stt.params["transformer"]["layer_0"]["rel_attn"]["q"]
+    assert q_leaf.sharding.spec == P(None, "model"), q_leaf.sharding
+    stt1, lt1 = tr_tp._train_step(stt, tr_tp._put_batch(batch))
+    _, lt2 = tr_tp._train_step(stt1, tr_tp._put_batch(batch))
+    np.testing.assert_allclose([float(lt1), float(lt2)],
+                               [float(l1), float(l2)], rtol=1e-6)
+    # eval/predict paths under TP shardings
+    valid = np.ones((B,), np.float32)
+    s_err, s_n = tr_tp._eval_step(stt1, tr_tp._put_batch(batch),
+                                  jax.device_put(valid, tr_tp._bsh))
+    assert np.isfinite(float(s_err)) and float(s_n) == B
+    preds, labels = tr_tp._predict_step(stt1, tr_tp._put_batch(batch))
+    assert np.asarray(preds).shape == (B,)
