@@ -107,6 +107,7 @@ def main(argv=None) -> int:
     from bert_multimodal_transformer_tpu.config import (
         BertConfig,
         DatasetConfig,
+        MeshConfig,
         MultimodalConfig,
         XLNetConfig,
     )
@@ -220,7 +221,23 @@ def main(argv=None) -> int:
     tx = make_optimizer(
         learning_rate=args.learning_rate, num_train_steps=max(num_steps, 1),
         warmup_proportion=args.warmup_proportion)
-    from bert_multimodal_transformer_tpu.config import MeshConfig
+    if args.tp_shard_attention:
+        if args.model_parallel <= 1:
+            print("error: --tp_shard_attention requires --model_parallel"
+                  " > 1", file=sys.stderr)
+            return 2
+        if args.attention_impl != "einsum":
+            print("error: --tp_shard_attention requires the einsum "
+                  "attention path (the fused kernel has no partition "
+                  "rule for sharded heads)", file=sys.stderr)
+            return 2
+        n_head = getattr(cfg, "n_head", getattr(cfg, "num_attention_heads",
+                                                0))
+        if n_head % args.model_parallel != 0:
+            print(f"error: --tp_shard_attention needs n_head ({n_head}) "
+                  f"divisible by --model_parallel "
+                  f"({args.model_parallel})", file=sys.stderr)
+            return 2
     mesh = make_mesh(MeshConfig(data_parallel=-1,
                                 model_parallel=args.model_parallel))
     trainer = Trainer(model=model, tx=tx, mesh=mesh,
@@ -237,7 +254,12 @@ def main(argv=None) -> int:
 
         params = load_pretrained_into_params(
             state.params, args.pretrained_checkpoint, family=family)
-        state = state.replace(params=jax.device_put(params, trainer._rep))
+        # place loaded params with the state's shardings (under TP these
+        # are per-leaf model-axis shardings, not plain replication)
+        param_shardings = jax.tree_util.tree_map(
+            lambda a: a.sharding, state.params)
+        state = state.replace(
+            params=jax.device_put(params, param_shardings))
 
     if args.predict_only:
         import json as _json

@@ -30,7 +30,14 @@ def make_mesh(config: Optional[MeshConfig] = None,
     model = max(1, config.model_parallel)
     data = config.data_parallel
     if data == -1:
+        if n % model != 0:
+            raise ValueError(
+                f"model_parallel={model} does not divide the {n} available "
+                f"devices; with data_parallel=-1 every device must be used "
+                f"(pick model_parallel from the divisors of {n})")
         data = n // model
+    if data < 1:
+        raise ValueError(f"mesh needs data axis >= 1, got {data}")
     if data * model > n:
         raise ValueError(
             f"mesh {data}x{model} needs more than the {n} available devices")

@@ -205,3 +205,58 @@ def test_xlnet_attention_tp_matches_single_device():
     assert np.isfinite(float(s_err)) and float(s_n) == B
     preds, labels = tr_tp._predict_step(stt1, tr_tp._put_batch(batch))
     assert np.asarray(preds).shape == (B,)
+
+
+def test_make_mesh_validation():
+    import pytest
+
+    # model_parallel must divide device count when data_parallel=-1
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(MeshConfig(data_parallel=-1, model_parallel=3))
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(data_parallel=-1, model_parallel=16))
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(data_parallel=4, model_parallel=4))
+
+
+def test_tp_warm_start_preserves_shardings(tmp_path):
+    """Loading a pretrained checkpoint into a TP trainer must keep the
+    FFN params model-sharded (driver warm-start path regression)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from bert_multimodal_transformer_tpu.utils.convert import (
+        load_pretrained_into_params)
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, attn_implementation="eager")
+    torch.manual_seed(0)
+    tm = transformers.BertModel(hf_cfg).eval()
+    ckpt = tmp_path / "pytorch_model.bin"
+    torch.save(tm.state_dict(), ckpt)
+
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=64)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1)
+    model = MagBertForSequenceClassification(cfg, mm, visual_dim=DV,
+                                             acoustic_dim=DA)
+    batch = make_batch(cfg.vocab_size)
+    tr = Trainer(model=model, tx=optax.adam(1e-3),
+                 mesh=make_mesh(MeshConfig(data_parallel=2,
+                                           model_parallel=4)),
+                 donate=False)
+    state = tr.init_state(jax.random.PRNGKey(0), batch)
+    params = load_pretrained_into_params(state.params, str(ckpt),
+                                         family="bert")
+    # the driver places loaded params with the state's own shardings
+    param_shardings = jax.tree_util.tree_map(lambda a: a.sharding,
+                                             state.params)
+    state = state.replace(params=jax.device_put(params, param_shardings))
+    leaf = _ffn_kernel_leaf(state.params)
+    assert leaf.sharding.spec == P(None, "model"), leaf.sharding
+    _, loss = tr._train_step(state, tr._put_batch(batch))
+    assert np.isfinite(float(loss))
