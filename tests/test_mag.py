@@ -139,6 +139,93 @@ def test_mag_grads_finite(params, inputs):
         assert np.isfinite(np.asarray(g)).all(), k
 
 
+class _TorchRefMAG:
+    """The reference gate instantiated in ACTUAL torch (modeling.py:6-51),
+    not a numpy transcription: nn.Linear layers with the reference's
+    concat order (visual-first at modeling.py:27, acoustic-first at :28),
+    torch.norm / torch.where / clamp(max=1) guards (:32-43), and
+    torch-default nn.LayerNorm eps=1e-5 (:22). Dropout off (eval mode).
+    """
+
+    def __init__(self, d, dv, da, beta_shift=1.0):
+        import torch
+
+        self.W_hv = torch.nn.Linear(dv + d, d)
+        self.W_ha = torch.nn.Linear(da + d, d)
+        self.W_v = torch.nn.Linear(dv, d)
+        self.W_a = torch.nn.Linear(da, d)
+        self.LayerNorm = torch.nn.LayerNorm(d)
+        self.beta_shift = beta_shift
+
+    def load_split_params(self, params):
+        """Transplant the repo's split-param layout (ops/mag.py:64-68)
+        into the reference's fused [out, in] nn.Linear layout."""
+        import torch
+
+        def t(x):
+            return torch.from_numpy(np.asarray(x, np.float32))
+
+        with torch.no_grad():
+            self.W_hv.weight.copy_(
+                t(np.concatenate([params["w_hv_v"], params["w_hv_t"]], 0).T))
+            self.W_hv.bias.copy_(t(params["b_hv"]))
+            self.W_ha.weight.copy_(
+                t(np.concatenate([params["w_ha_a"], params["w_ha_t"]], 0).T))
+            self.W_ha.bias.copy_(t(params["b_ha"]))
+            self.W_v.weight.copy_(t(params["w_v"].T))
+            self.W_v.bias.copy_(t(params["b_v"]))
+            self.W_a.weight.copy_(t(params["w_a"].T))
+            self.W_a.bias.copy_(t(params["b_a"]))
+            self.LayerNorm.weight.copy_(t(params["ln_gamma"]))
+            self.LayerNorm.bias.copy_(t(params["ln_beta"]))
+
+    def __call__(self, text, visual, acoustic):
+        import torch
+
+        eps = 1e-6
+        weight_v = torch.relu(self.W_hv(torch.cat((visual, text), dim=-1)))
+        weight_a = torch.relu(self.W_ha(torch.cat((acoustic, text), dim=-1)))
+        h_m = weight_v * self.W_v(visual) + weight_a * self.W_a(acoustic)
+        em_norm = text.norm(2, dim=-1)
+        hm_norm = h_m.norm(2, dim=-1)
+        hm_norm = torch.where(hm_norm == 0, torch.ones_like(hm_norm), hm_norm)
+        thresh_hold = (em_norm / (hm_norm + eps)) * self.beta_shift
+        alpha = torch.clamp(thresh_hold, max=1.0).unsqueeze(-1)
+        return self.LayerNorm(alpha * h_m + text)
+
+
+@pytest.mark.parametrize("beta_shift", [1.0, 1e-3, 1e9])
+def test_mag_matches_torch_reference(beta_shift):
+    """North-star golden: bit-level (≤1e-6 fp32) agreement of the JAX gate
+    AND the fused Pallas kernel with the gate run in actual PyTorch —
+    reference modeling.py:25-51 — at MOSI geometry (768/47/74)."""
+    import torch
+
+    from bert_multimodal_transformer_tpu.ops.mag_pallas import mag_gate_fused
+
+    d, dv, da = 768, 47, 74
+    params = jax.device_get(init_mag_params(jax.random.PRNGKey(3), d, dv, da))
+    ref = _TorchRefMAG(d, dv, da, beta_shift=beta_shift)
+    ref.load_split_params(params)
+
+    rng = np.random.RandomState(7)
+    text = rng.randn(3, 11, d).astype(np.float32)
+    visual = rng.randn(3, 11, dv).astype(np.float32)
+    acoustic = rng.randn(3, 11, da).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(text), torch.from_numpy(visual),
+                   torch.from_numpy(acoustic)).numpy()
+
+    got = np.asarray(mag_gate(params, text, visual, acoustic,
+                              beta_shift=beta_shift))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=2e-6)
+
+    fused = np.asarray(mag_gate_fused(params, text, visual, acoustic,
+                                      beta_shift=beta_shift))
+    np.testing.assert_allclose(fused, want, rtol=1e-6, atol=2e-6)
+
+
 def test_mag_mosei_dims():
     """MOSEI preset dims (visual 35, acoustic 74 — global_configs.py:14-17)
     flow through the gate; odd (non-lane-aligned) dims must work."""

@@ -1,0 +1,44 @@
+"""Guard the harness multichip entry point (`__graft_entry__.dryrun_multichip`).
+
+Round-1 postmortem: the driver invokes ``dryrun_multichip(8)`` in its
+default environment, where the active backend exposes a single device, and
+the entry point crashed because it assumed the caller had already forced a
+virtual 8-device CPU mesh (MULTICHIP_r01.json: ok=false). The entry point
+is now self-bootstrapping; this test invokes it exactly the way the harness
+does — a fresh subprocess whose backend sees ONE device — and asserts it
+completes.
+
+(The subprocess forces a 1-device CPU backend rather than the 1-device TPU
+tunnel: same insufficient-device condition, no TPU serialization hazard in
+CI.)
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_bootstraps_from_one_device():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # Strip the conftest's virtual 8-device flag: the harness environment
+    # has exactly one device, and the entry point must cope on its own.
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", "")).strip()
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu'; "
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "assert len(jax.devices()) == 1, jax.devices(); "
+        "import __graft_entry__ as g; g.dryrun_multichip(8); "
+        "print('HARNESS-STYLE OK')"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "HARNESS-STYLE OK" in proc.stdout
+    assert "DRYRUN OK" in proc.stdout
