@@ -64,6 +64,66 @@ def decay_mask(params: Any) -> Any:
         lambda path, _: not _no_decay(path), params)
 
 
+def adamw_hf(
+    schedule: optax.Schedule,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.01,
+    mask=None,
+) -> optax.GradientTransformation:
+    """AdamW with the exact update rule of the reference's optimizer
+    (``transformers.AdamW`` from 3.0.2, multimodal_driver.py:345), which
+    differs from ``optax.adamw`` in two ways:
+
+    1. eps is added to sqrt(v) BEFORE bias correction — the step is
+       ``lr·√(1−β₂ᵗ)/(1−β₁ᵗ) · m/(√v + eps)``, so the effective epsilon is
+       larger during early steps (optax uses ``m̂/(√v̂ + eps)``);
+    2. decoupled weight decay is applied to the POST-adam-update parameter
+       (``p ← p_adam − lr·wd·p_adam``), not the pre-update one.
+
+    Returns additive updates (chain-compatible); state is
+    ``optax.ScaleByAdamState`` so opt-state pytrees stay checkpointable.
+    """
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32), mu=zeros,
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("adamw_hf requires params")
+        # Schedule index = completed updates (reference: scheduler.step()
+        # called AFTER optimizer.step() → update k uses λ(k−1)).
+        lr = schedule(state.count)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g),
+            state.nu, grads)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        step_size = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+
+        decay_on = (mask(params) if mask is not None
+                    else jax.tree_util.tree_map(lambda _: True, params))
+
+        def leaf_update(m, v, p, dec):
+            adam = -step_size * m / (jnp.sqrt(v) + eps)
+            p_mid = p + adam
+            if dec and weight_decay > 0.0:
+                return adam - lr * weight_decay * p_mid
+            return adam
+
+        updates = jax.tree_util.tree_map(
+            leaf_update, mu, nu, params, decay_on)
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     learning_rate: float,
     num_train_steps: int,
@@ -77,13 +137,16 @@ def make_optimizer(
     """AdamW with HF defaults (betas 0.9/0.999, eps 1e-6 — HF AdamW default,
     used by the reference at multimodal_driver.py:345) and warmup schedule.
 
+    Uses the HF-exact update rule (``adamw_hf``) so training trajectories
+    match the reference step for step (tests/test_trajectory_torch.py).
+
     ``max_grad_norm`` adds optional clipping (the reference never clips;
     default 0 = off)."""
     schedule = linear_warmup_decay_schedule(
         learning_rate, int(warmup_proportion * num_train_steps),
         num_train_steps)
-    tx = optax.adamw(
-        learning_rate=schedule,
+    tx = adamw_hf(
+        schedule,
         b1=b1, b2=b2, eps=eps,
         weight_decay=weight_decay,
         mask=decay_mask,
