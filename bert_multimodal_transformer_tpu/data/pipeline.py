@@ -308,10 +308,15 @@ def set_up_data_loaders(
     num_train_optimization_steps = int(
         len(splits["train"]) / train_batch_size
         / gradient_accumulation_step) * n_epochs
+    # drop_remainder=False: the reference trains on the ragged final batch
+    # (multimodal_driver.py:269-279,358-386); the Trainer routes it through
+    # the masked step (zero-padded to shape, masked-mean loss — same math,
+    # static compiled shapes). MOSI-scale effect of dropping it instead
+    # would be ~33/1281 examples (2.6%) untrained per epoch.
     train_it = BatchIterator(
         splits["train"],
         train_batch_size * gradient_accumulation_step,
-        shuffle=True, drop_remainder=True, seed=seed)
+        shuffle=True, drop_remainder=False, seed=seed)
     dev_it = BatchIterator(splits["dev"], dev_batch_size, shuffle=False,
                            drop_remainder=False)
     test_it = BatchIterator(splits["test"], test_batch_size, shuffle=False,

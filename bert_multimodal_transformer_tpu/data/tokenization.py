@@ -307,9 +307,13 @@ class SimpleUnigramTokenizer:
 
 
 class SentencePieceTokenizer:
-    """XLNet tokenizer over a real SentencePiece ``.model`` file. Requires
-    the ``sentencepiece`` package (gated import; absent in this image —
-    SimpleUnigramTokenizer covers tests)."""
+    """XLNet tokenizer over a real SentencePiece ``.model`` file.
+
+    Uses the ``sentencepiece`` wheel when installed; otherwise delegates to
+    the dependency-free native unigram implementation
+    (data/sentencepiece_native.py: proto reader + Viterbi segmentation), so
+    the reference's XLNet tokenizer path (multimodal_driver.py:208-218)
+    works in this image."""
 
     cls_token = "<cls>"
     sep_token = "<sep>"
@@ -319,11 +323,13 @@ class SentencePieceTokenizer:
     def __init__(self, model_path: str, do_lower_case: bool = False):
         try:
             import sentencepiece as spm
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                "sentencepiece is required for SentencePieceTokenizer; "
-                "use SimpleUnigramTokenizer instead") from e
-        self.sp = spm.SentencePieceProcessor()
+
+            self.sp = spm.SentencePieceProcessor()
+        except ImportError:
+            from bert_multimodal_transformer_tpu.data.sentencepiece_native \
+                import PurePythonSentencePiece
+
+            self.sp = PurePythonSentencePiece()
         self.sp.Load(model_path)
         self.do_lower_case = do_lower_case
         # The canonical xlnet spiece.model already contains the specials

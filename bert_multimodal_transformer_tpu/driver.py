@@ -179,6 +179,16 @@ def main(argv=None) -> int:
         injection_index=1 if is_xlnet else 0,
         use_fused_kernel=args.use_fused_mag)
 
+    # mesh before the model: --tp_shard_attention threads it into the
+    # model config (tp_attention_mesh) for the head-sharded attention
+    # constraints / shard_map'd fused kernels.
+    try:
+        mesh = make_mesh(MeshConfig(data_parallel=-1,
+                                    model_parallel=args.model_parallel))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
     vocab_size = getattr(tokenizer, "vocab_size", 30522)
     if is_xlnet:
         from bert_multimodal_transformer_tpu.models.xlnet import (
@@ -191,10 +201,18 @@ def main(argv=None) -> int:
         if args.synthetic and not args.tiny:
             # shrink vocab to the synthetic tokenizer's, keep geometry
             cfg = dataclasses.replace(cfg, vocab_size=max(vocab_size, 128))
-        if args.attention_impl not in ("einsum", "flash"):
-            # "flash" is a BERT-only backend; XLNet supports einsum/fused
+        if args.attention_impl == "flash":
+            # "flash" is a BERT-only backend; erroring beats silently
+            # benchmarking einsum under a flash flag.
+            print("error: --attention_impl flash is not available for the "
+                  "XLNet family (rel-attention needs the ebias-streamed "
+                  "fused kernel); use einsum or fused", file=sys.stderr)
+            return 2
+        if args.attention_impl != "einsum":
             cfg = dataclasses.replace(cfg,
                                       attention_impl=args.attention_impl)
+        if args.tp_shard_attention:
+            cfg = dataclasses.replace(cfg, tp_attention_mesh=mesh)
         model = MagXLNetForSequenceClassification(
             cfg, mm, visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
             dtype=dtype, remat=args.remat)
@@ -209,6 +227,8 @@ def main(argv=None) -> int:
         if args.attention_impl != "einsum":
             cfg = dataclasses.replace(cfg,
                                       attention_impl=args.attention_impl)
+        if args.tp_shard_attention:
+            cfg = dataclasses.replace(cfg, tp_attention_mesh=mesh)
         from bert_multimodal_transformer_tpu.models.bert import (
             MagBertForSequenceClassification,
         )
@@ -226,10 +246,9 @@ def main(argv=None) -> int:
             print("error: --tp_shard_attention requires --model_parallel"
                   " > 1", file=sys.stderr)
             return 2
-        if args.attention_impl != "einsum":
-            print("error: --tp_shard_attention requires the einsum "
-                  "attention path (the fused kernel has no partition "
-                  "rule for sharded heads)", file=sys.stderr)
+        if args.attention_impl == "flash":
+            print("error: --tp_shard_attention supports einsum and fused "
+                  "attention, not flash", file=sys.stderr)
             return 2
         n_head = getattr(cfg, "n_head", getattr(cfg, "num_attention_heads",
                                                 0))
@@ -238,8 +257,6 @@ def main(argv=None) -> int:
                   f"divisible by --model_parallel "
                   f"({args.model_parallel})", file=sys.stderr)
             return 2
-    mesh = make_mesh(MeshConfig(data_parallel=-1,
-                                model_parallel=args.model_parallel))
     trainer = Trainer(model=model, tx=tx, mesh=mesh,
                       grad_accum=args.gradient_accumulation_step,
                       tp_shard_attention=args.tp_shard_attention)

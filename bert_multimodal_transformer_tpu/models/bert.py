@@ -103,7 +103,8 @@ class BertSelfAttention(nn.Module):
     def __call__(self, hidden: jax.Array, attn_bias: Optional[jax.Array],
                  head_mask: Optional[jax.Array] = None,
                  attention_mask_2d: Optional[jax.Array] = None,
-                 *, deterministic: bool = True) -> jax.Array:
+                 *, deterministic: bool = True,
+                 output_attentions: bool = False):
         cfg = self.config
         d = cfg.hidden_size
         h = cfg.num_attention_heads
@@ -114,13 +115,51 @@ class BertSelfAttention(nn.Module):
         qkv = nn.Dense(3 * d, dtype=self.dtype, kernel_init=init,
                        name="qkv")(hidden)
 
+        probs = None
+        tp_mesh = cfg.tp_attention_mesh
         # fused short-seq kernel: softmax + prob-dropout in VMEM with a
         # fused backward (ops/fused_attention.py). The packed variant
         # consumes the raw QKV projection and emits [B,S,D] directly —
         # no [B,S,H,Dh]↔[B,H,S,Dh] transposes in either pass; training
-        # dropout uses the TPU hardware PRNG. head_mask still falls back.
-        use_fused = cfg.attention_impl == "fused" and head_mask is None
-        if use_fused:
+        # dropout uses the TPU hardware PRNG. head_mask still falls back,
+        # as does output_attentions (the kernel never materializes probs).
+        use_fused = (cfg.attention_impl == "fused" and head_mask is None
+                     and not output_attentions)
+        if use_fused and tp_mesh is not None:
+            # TP: heads sharded over the mesh model axis. The packed
+            # kernel's q|k|v column blocks cannot be head-aligned by a
+            # contiguous model-axis chunk, so TP uses the split-tensor
+            # kernel under shard_map (ops/fused_attention.py TP wrappers)
+            # with explicit head-sharding constraints on the activations.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from bert_multimodal_transformer_tpu.ops.fused_attention import (
+                fused_attention_tp,
+            )
+
+            qkv5 = qkv.reshape(b, s, 3, h, dh)
+            qkv5 = jax.lax.with_sharding_constraint(
+                qkv5, NamedSharding(tp_mesh, P("data", None, None,
+                                               "model", None)))
+            q, k, v = [jnp.moveaxis(qkv5[:, :, i], 2, 1) for i in range(3)]
+            rate = cfg.attention_probs_dropout_prob
+            dropout_rng = None
+            if not deterministic and rate > 0:
+                dropout_rng = self.make_rng("dropout")
+            ctx = fused_attention_tp(
+                q, k, v, attention_mask_2d,
+                mesh=tp_mesh,
+                scale=1.0 / (dh ** 0.5),
+                dropout_rate=rate,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+            )
+            ctx = jnp.moveaxis(ctx, 1, 2).reshape(b, s, d)
+            # head-flat ctx stays model-sharded into the row-parallel
+            # output projection (kernel P("model", None), parallel/tp.py)
+            ctx = jax.lax.with_sharding_constraint(
+                ctx, NamedSharding(tp_mesh, P("data", None, "model")))
+        elif use_fused:
             rate = cfg.attention_probs_dropout_prob
             dropout_rng = None
             if not deterministic and rate > 0:
@@ -135,11 +174,20 @@ class BertSelfAttention(nn.Module):
             )
         else:
             qkv = qkv.reshape(b, s, 3, h, dh)
+            if tp_mesh is not None:
+                # einsum path under TP: GSPMD head-shards the whole
+                # attention from these constraints (no shard_map needed)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                qkv = jax.lax.with_sharding_constraint(
+                    qkv, NamedSharding(tp_mesh, P("data", None, None,
+                                                  "model", None)))
             q, k, v = [jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)]
             # flash kernel has no attention-prob dropout: only take it
             # when it cannot change semantics (eval, or dropout == 0).
             use_flash = (cfg.attention_impl == "flash"
                          and head_mask is None and s % 128 == 0
+                         and not output_attentions
                          and (deterministic
                               or cfg.attention_probs_dropout_prob == 0.0))
             if use_flash:
@@ -157,8 +205,16 @@ class BertSelfAttention(nn.Module):
                     dropout_rng=dropout_rng,
                     deterministic=deterministic,
                     head_mask=head_mask,
+                    return_probs=output_attentions,
                 )
+                if output_attentions:
+                    ctx, probs = ctx
             ctx = jnp.moveaxis(ctx, 1, 2).reshape(b, s, d)
+            if tp_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                ctx = jax.lax.with_sharding_constraint(
+                    ctx, NamedSharding(tp_mesh, P("data", None, "model")))
 
         out = nn.Dense(d, dtype=self.dtype, kernel_init=init,
                        name="output_dense")(ctx)
@@ -166,6 +222,8 @@ class BertSelfAttention(nn.Module):
             out, deterministic=deterministic)
         out = LayerNorm(epsilon=cfg.layer_norm_eps, name="output_LayerNorm")(
             out + hidden)
+        if output_attentions:
+            return out, probs
         return out
 
 
@@ -180,14 +238,19 @@ class BertLayer(nn.Module):
     def __call__(self, hidden: jax.Array, attn_bias: Optional[jax.Array],
                  head_mask: Optional[jax.Array] = None,
                  attention_mask_2d: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 output_attentions: bool = False):
         # NOTE: deterministic is positional (not kw-only) so nn.remat can
         # mark it static (static_argnums) for the rematerialized stack.
         cfg = self.config
         init = nn.initializers.normal(stddev=cfg.initializer_range)
         attn_out = BertSelfAttention(cfg, self.dtype, name="attention")(
             hidden, attn_bias, head_mask, attention_mask_2d,
-            deterministic=deterministic)
+            deterministic=deterministic,
+            output_attentions=output_attentions)
+        probs = None
+        if output_attentions:
+            attn_out, probs = attn_out
         x = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                      kernel_init=init, name="intermediate_dense")(attn_out)
         x = ACT2FN[cfg.hidden_act](x)
@@ -197,6 +260,8 @@ class BertLayer(nn.Module):
             x, deterministic=deterministic)
         x = LayerNorm(epsilon=cfg.layer_norm_eps, name="output_LayerNorm")(
             x + attn_out)
+        if output_attentions:
+            return x, probs
         return x
 
 
@@ -213,11 +278,18 @@ class BertEncoder(nn.Module):
     def __call__(self, hidden: jax.Array, attn_bias: Optional[jax.Array],
                  head_mask: Optional[jax.Array] = None,
                  attention_mask_2d: Optional[jax.Array] = None,
-                 *, deterministic: bool = True) -> jax.Array:
+                 *, deterministic: bool = True,
+                 output_hidden_states: bool = False,
+                 output_attentions: bool = False):
+        if output_attentions and self.remat:
+            raise ValueError(
+                "output_attentions is incompatible with remat (the "
+                "rematerialized stack discards per-layer probs)")
         layer_cls = BertLayer
         if self.remat:
-            # deterministic must be static; flax remat counts the module
-            # itself as args[0], so it is args[5] after attention_mask_2d.
+            # deterministic/output_attentions must be static; flax remat
+            # counts the module itself as args[0], so they are
+            # args[5]/args[6] after attention_mask_2d.
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.checkpoint_dots
             elif self.remat_policy == "full":
@@ -226,16 +298,34 @@ class BertEncoder(nn.Module):
                 raise ValueError(
                     f"remat_policy must be 'full' or 'dots', got "
                     f"{self.remat_policy!r}")
-            layer_cls = nn.remat(BertLayer, static_argnums=(5,),
+            layer_cls = nn.remat(BertLayer, static_argnums=(5, 6),
                                  policy=policy)
+        all_hidden = [] if output_hidden_states else None
+        all_attn = [] if output_attentions else None
         for i in range(self.config.num_hidden_layers):
+            if output_hidden_states:
+                # per-layer INPUT states + final output, HF BertEncoder
+                # semantics (reference surfaces them via bert.py:233-237)
+                all_hidden.append(hidden)
             # head_mask: [L, H] per-layer rows or [H] shared (HF
             # get_head_mask contract, reference bert.py:208-209).
             hm = None
             if head_mask is not None:
                 hm = head_mask[i] if head_mask.ndim == 2 else head_mask
-            hidden = layer_cls(self.config, self.dtype, name=f"layer_{i}")(
-                hidden, attn_bias, hm, attention_mask_2d, deterministic)
+            out = layer_cls(self.config, self.dtype, name=f"layer_{i}")(
+                hidden, attn_bias, hm, attention_mask_2d, deterministic,
+                output_attentions)
+            if output_attentions:
+                hidden, probs = out
+                all_attn.append(probs)
+            else:
+                hidden = out
+        if output_hidden_states:
+            all_hidden.append(hidden)
+        if output_hidden_states or output_attentions:
+            return (hidden,
+                    tuple(all_hidden) if output_hidden_states else None,
+                    tuple(all_attn) if output_attentions else None)
         return hidden
 
 
@@ -279,7 +369,9 @@ class MagBertModel(nn.Module):
         inputs_embeds: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
-    ) -> Tuple[jax.Array, jax.Array]:
+        output_hidden_states: bool = False,
+        output_attentions: bool = False,
+    ):
         cfg = self.config
         if (input_ids is None) == (inputs_embeds is None):
             raise ValueError(
@@ -309,13 +401,26 @@ class MagBertModel(nn.Module):
         )(emb, visual.astype(self.dtype), acoustic.astype(self.dtype),
           deterministic=deterministic)
 
-        seq_out = BertEncoder(cfg, self.dtype, remat=self.remat,
+        enc_out = BertEncoder(cfg, self.dtype, remat=self.remat,
                               remat_policy=self.remat_policy,
                               name="encoder")(
             fused, attn_bias, head_mask, attention_mask,
-            deterministic=deterministic)
+            deterministic=deterministic,
+            output_hidden_states=output_hidden_states,
+            output_attentions=output_attentions)
+        if output_hidden_states or output_attentions:
+            seq_out, all_hidden, all_attn = enc_out
+        else:
+            seq_out, all_hidden, all_attn = enc_out, None, None
         pooled = BertPooler(cfg, self.dtype, name="pooler")(seq_out)
-        return seq_out, pooled
+        outputs = (seq_out, pooled)
+        # reference: "add hidden_states and attentions if they are here"
+        # (bert.py:233-237)
+        if output_hidden_states:
+            outputs = outputs + (all_hidden,)
+        if output_attentions:
+            outputs = outputs + (all_attn,)
+        return outputs
 
 
 class MagBertForSequenceClassification(nn.Module):
@@ -344,14 +449,20 @@ class MagBertForSequenceClassification(nn.Module):
         labels: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
+        output_hidden_states: bool = False,
+        output_attentions: bool = False,
     ):
         cfg = self.config
-        _, pooled = MagBertModel(
+        bert_out = MagBertModel(
             cfg, self.multimodal_config, self.visual_dim, self.acoustic_dim,
             self.dtype, self.remat, self.remat_policy, name="bert")(
             input_ids, visual, acoustic, attention_mask, token_type_ids,
             position_ids, head_mask, inputs_embeds,
-            deterministic=deterministic)
+            deterministic=deterministic,
+            output_hidden_states=output_hidden_states,
+            output_attentions=output_attentions)
+        pooled = bert_out[1]
+        extras = bert_out[2:]  # hidden_states/attentions when requested
         pooled = nn.Dropout(rate=cfg.hidden_dropout_prob)(
             pooled, deterministic=deterministic)
         init = nn.initializers.normal(stddev=cfg.initializer_range)
@@ -366,5 +477,8 @@ class MagBertForSequenceClassification(nn.Module):
 
             loss = sequence_classification_loss(logits, labels,
                                                 cfg.num_labels)
-            return loss, logits
+            return (loss, logits) + extras
+        if extras:
+            # reference: (logits,) + outputs[2:] (bert.py:304-311)
+            return (logits,) + extras
         return logits

@@ -19,6 +19,12 @@ Design departures for TPU:
   * Two-stream attention (query stream, target_mapping, perm_mask) is fully
     supported for capability parity even though the fine-tuning driver path
     only exercises the content stream.
+
+Checkpoint-format note: q/k/v/o/r attention params are stored FLAT
+[D, H·Dh] (see XLNetRelativeAttention.setup). Orbax checkpoints written
+before this layout change (round-1 pre-flattening builds) do not restore
+against the current template; re-convert from the HF .bin via
+utils/convert.py instead. No released checkpoint used the old layout.
 """
 
 from __future__ import annotations
@@ -143,17 +149,24 @@ class XLNetRelativeAttention(nn.Module):
         self.out_dropout = nn.Dropout(rate=cfg.dropout)
 
     def _rel_attn_core(self, q_head, k_head, v_head, k_head_r, seg_mat,
-                       attn_mask, deterministic, head_mask=None):
-        """q_head [B,Q,H,Dh]; k/v_head [B,K,H,Dh]; k_head_r [P,H,Dh];
-        seg_mat [B,Q,K,2] or None; attn_mask [B,1,Q,K] float 1=masked."""
+                       attn_mask, deterministic, head_mask=None,
+                       output_attentions=False):
+        """q_head [B,Q,H,Dh]; k/v_head [B,K,H,Dh]; k_head_r [P,H,Dh] (or
+        [B,P,H,Dh] under bi_data's per-half position streams);
+        seg_mat [B,Q,K,2] or None; attn_mask [B,1,Q,K] float 1=masked.
+        With ``output_attentions`` returns (attn_vec, attn_prob)."""
         cfg = self.config
         scale = 1.0 / (cfg.d_head ** 0.5)
         klen = k_head.shape[1]
         f32 = jnp.float32
+        # batched position stream (bi_data): r carries a leading batch dim
+        bd_eq = ("bqhf,bphf->bhqp" if k_head_r.ndim == 4
+                 else "bqhf,phf->bhqp")
 
         rw = (q_head + self.r_w_bias).astype(self.dtype)
 
-        if cfg.attention_impl == "fused" and head_mask is None:
+        if (cfg.attention_impl == "fused" and head_mask is None
+                and not output_attentions):
             # Pallas rel-attention kernel (ops/fused_attention.py): the
             # QK dot, softmax, and prob-dropout run in VMEM; only ONE
             # [B,H,Q,K] tensor (ebias, differentiable) is streamed
@@ -164,7 +177,7 @@ class XLNetRelativeAttention(nn.Module):
             # halves the [B,H,Q,P] rel_shift traffic.
             dt = self.dtype
             rr = ((q_head + self.r_r_bias) * scale).astype(dt)
-            bd = jnp.einsum("bqhf,phf->bhqp", rr, k_head_r.astype(dt),
+            bd = jnp.einsum(bd_eq, rr, k_head_r.astype(dt),
                             preferred_element_type=f32).astype(dt)
             ebias = rel_shift(bd, klen)
             if seg_mat is not None:
@@ -182,21 +195,42 @@ class XLNetRelativeAttention(nn.Module):
             dropout_rng = None
             if not deterministic and cfg.dropout > 0:
                 dropout_rng = self.make_rng("dropout")
-            ctx = fused_rel_attention(
-                rw.reshape(bsz, qlen2, h * dh),
-                k_head.astype(dt).reshape(bsz, klen, h * dh),
-                v_head.astype(dt).reshape(bsz, klen, h * dh),
-                ebias,
-                n_heads=h,
-                scale=scale,
-                dropout_rate=cfg.dropout,
-                dropout_rng=dropout_rng,
-                deterministic=deterministic,
-            )
+            if cfg.tp_attention_mesh is not None:
+                # heads sharded over the mesh model axis: shard_map'd
+                # kernel (ops/fused_attention.py TP wrappers); the
+                # sharded q/k/v/r einsums already produced head-sharded
+                # operands, so entry is reshard-free.
+                from bert_multimodal_transformer_tpu.ops.fused_attention \
+                    import fused_rel_attention_tp
+
+                ctx = fused_rel_attention_tp(
+                    rw.reshape(bsz, qlen2, h * dh),
+                    k_head.astype(dt).reshape(bsz, klen, h * dh),
+                    v_head.astype(dt).reshape(bsz, klen, h * dh),
+                    ebias,
+                    mesh=cfg.tp_attention_mesh,
+                    n_heads=h,
+                    scale=scale,
+                    dropout_rate=cfg.dropout,
+                    dropout_rng=dropout_rng,
+                    deterministic=deterministic,
+                )
+            else:
+                ctx = fused_rel_attention(
+                    rw.reshape(bsz, qlen2, h * dh),
+                    k_head.astype(dt).reshape(bsz, klen, h * dh),
+                    v_head.astype(dt).reshape(bsz, klen, h * dh),
+                    ebias,
+                    n_heads=h,
+                    scale=scale,
+                    dropout_rate=cfg.dropout,
+                    dropout_rng=dropout_rng,
+                    deterministic=deterministic,
+                )
             return ctx.reshape(bsz, qlen2, h, dh)
 
         rr = (q_head + self.r_r_bias).astype(self.dtype)
-        bd = jnp.einsum("bqhf,phf->bhqp", rr,
+        bd = jnp.einsum(bd_eq, rr,
                         k_head_r.astype(self.dtype),
                         preferred_element_type=f32)
         bd = rel_shift(bd, klen)
@@ -219,8 +253,12 @@ class XLNetRelativeAttention(nn.Module):
         if head_mask is not None:
             # HF applies the head mask after attention dropout.
             probs = probs * head_mask.astype(probs.dtype).reshape(1, -1, 1, 1)
-        probs = probs.astype(self.dtype)
-        attn_vec = jnp.einsum("bhqk,bkhf->bqhf", probs, v_head)
+        attn_vec = jnp.einsum("bhqk,bkhf->bqhf", probs.astype(self.dtype),
+                              v_head)
+        if output_attentions:
+            # post-dropout, post-head-mask probs (HF rel_attn_core contract,
+            # reference surfaces them via xlnet.py:401-429).
+            return attn_vec, probs.astype(f32)
         return attn_vec
 
     def _post_attention(self, h, attn_vec, deterministic):
@@ -236,14 +274,15 @@ class XLNetRelativeAttention(nn.Module):
         g: Optional[jax.Array],            # [B, M, D] query stream or None
         attn_mask_h: Optional[jax.Array],  # [B, 1, Q, K]
         attn_mask_g: Optional[jax.Array],
-        r: jax.Array,                      # [P, D] pos emb
+        r: jax.Array,                      # [P, D] pos emb ([B, P, D] bi_data)
         seg_mat: Optional[jax.Array],      # [B, Q, K, 2]
         mems: Optional[jax.Array] = None,  # [B, mlen, D]
         target_mapping: Optional[jax.Array] = None,  # [B, M, Q]
         head_mask: Optional[jax.Array] = None,       # [H], 1=keep
         *,
         deterministic: bool = True,
-    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        output_attentions: bool = False,
+    ):
         dt = self.dtype
         cat = h if mems is None else jnp.concatenate(
             [mems.astype(dt), h], axis=1)
@@ -258,15 +297,24 @@ class XLNetRelativeAttention(nn.Module):
             bsz, klen, nh, dh)
         v_head = jnp.einsum("bkd,de->bke", cat, self.v.astype(dt)).reshape(
             bsz, klen, nh, dh)
-        k_head_r = jnp.einsum("pd,de->pe", r.astype(dt),
-                              self.r.astype(dt)).reshape(-1, nh, dh)
+        if r.ndim == 3:  # bi_data: per-example position stream [B, P, D]
+            k_head_r = jnp.einsum("bpd,de->bpe", r.astype(dt),
+                                  self.r.astype(dt)).reshape(
+                                      bsz, -1, nh, dh)
+        else:
+            k_head_r = jnp.einsum("pd,de->pe", r.astype(dt),
+                                  self.r.astype(dt)).reshape(-1, nh, dh)
 
-        attn_vec_h = self._rel_attn_core(
+        attn_out_h = self._rel_attn_core(
             q_head_h, k_head, v_head, k_head_r, seg_mat, attn_mask_h,
-            deterministic, head_mask)
+            deterministic, head_mask, output_attentions)
+        if output_attentions:
+            attn_vec_h, attn_prob_h = attn_out_h
+        else:
+            attn_vec_h, attn_prob_h = attn_out_h, None
         out_h = self._post_attention(h, attn_vec_h, deterministic)
 
-        out_g = None
+        out_g, attn_prob_g = None, None
         if g is not None:
             q_head_g = jnp.einsum("bmd,de->bme", g,
                                   self.q.astype(dt)).reshape(
@@ -275,17 +323,32 @@ class XLNetRelativeAttention(nn.Module):
                 # project query positions onto content positions
                 q_head_g = jnp.einsum("bmhf,bmq->bqhf", q_head_g,
                                       target_mapping.astype(dt))
-                attn_vec_g = self._rel_attn_core(
+                attn_out_g = self._rel_attn_core(
                     q_head_g, k_head, v_head, k_head_r, seg_mat,
-                    attn_mask_g, deterministic, head_mask)
+                    attn_mask_g, deterministic, head_mask,
+                    output_attentions)
+                if output_attentions:
+                    # HF returns the projected-q-space probs un-projected
+                    attn_vec_g, attn_prob_g = attn_out_g
+                else:
+                    attn_vec_g = attn_out_g
                 attn_vec_g = jnp.einsum("bqhf,bmq->bmhf", attn_vec_g,
                                         target_mapping.astype(dt))
             else:
-                attn_vec_g = self._rel_attn_core(
+                attn_out_g = self._rel_attn_core(
                     q_head_g, k_head, v_head, k_head_r, seg_mat,
-                    attn_mask_g, deterministic, head_mask)
+                    attn_mask_g, deterministic, head_mask,
+                    output_attentions)
+                if output_attentions:
+                    attn_vec_g, attn_prob_g = attn_out_g
+                else:
+                    attn_vec_g = attn_out_g
             out_g = self._post_attention(g, attn_vec_g, deterministic)
 
+        if output_attentions:
+            attn_prob = (attn_prob_h if attn_prob_g is None
+                         else (attn_prob_h, attn_prob_g))
+            return out_h, out_g, attn_prob
         return out_h, out_g
 
 
@@ -317,17 +380,24 @@ class XLNetLayer(nn.Module):
     @nn.compact
     def __call__(self, h, g, attn_mask_h, attn_mask_g, r, seg_mat,
                  mems=None, target_mapping=None, head_mask=None,
-                 deterministic=True):
+                 deterministic=True, output_attentions=False):
         # deterministic is positional (not kw-only) so nn.remat can mark it
         # static for the rematerialized stack.
-        out_h, out_g = XLNetRelativeAttention(
+        attn_out = XLNetRelativeAttention(
             self.config, self.dtype, name="rel_attn")(
             h, g, attn_mask_h, attn_mask_g, r, seg_mat, mems,
-            target_mapping, head_mask, deterministic=deterministic)
+            target_mapping, head_mask, deterministic=deterministic,
+            output_attentions=output_attentions)
+        if output_attentions:
+            out_h, out_g, attn_prob = attn_out
+        else:
+            out_h, out_g = attn_out
         ff = XLNetFeedForward(self.config, self.dtype, name="ff")
         out_h = ff(out_h, deterministic=deterministic)
         if out_g is not None:
             out_g = ff(out_g, deterministic=deterministic)
+        if output_attentions:
+            return out_h, out_g, attn_prob
         return out_h, out_g
 
 
@@ -359,8 +429,14 @@ class MagXLNetModel(nn.Module):
         use_cache: bool = False,
         *,
         deterministic: bool = True,
+        output_hidden_states: bool = False,
+        output_attentions: bool = False,
     ):
         cfg = self.config
+        if output_attentions and self.remat:
+            raise ValueError(
+                "output_attentions is incompatible with remat (the "
+                "rematerialized stack discards per-layer probs)")
         mm_cfg = self.multimodal_config
         if (input_ids is None) == (inputs_embeds is None):
             raise ValueError(
@@ -445,13 +521,22 @@ class MagXLNetModel(nn.Module):
             seg_mat = jax.nn.one_hot(diff.astype(jnp.int32), 2, dtype=f32)
 
         # ---- relative positions (xlnet.py:331-333) ----
-        if cfg.bi_data:
-            raise NotImplementedError(
-                "bi_data=True (fwd+bwd position streams) is a pretraining "
-                "feature; xlnet-base-cased fine-tuning uses bi_data=False")
         pos_emb = relative_positional_encoding(
             qlen, klen, cfg.d_model, cfg.attn_type, cfg.clamp_len,
-            bi_data=False, dtype=self.dtype)
+            bi_data=cfg.bi_data, dtype=self.dtype)
+        if cfg.bi_data:
+            # fwd/bwd position streams split over batch halves (reference
+            # xlnet.py:126-141 / HF relative_positional_encoding with
+            # bsz//2 per stream): first B/2 examples read forward
+            # positions, last B/2 read backward positions.
+            if b % 2 != 0:
+                raise ValueError(
+                    f"bi_data=True needs an even batch size, got {b}")
+            fwd = jnp.broadcast_to(pos_emb[0],
+                                   (b // 2,) + pos_emb[0].shape)
+            bwd = jnp.broadcast_to(pos_emb[1],
+                                   (b // 2,) + pos_emb[1].shape)
+            pos_emb = jnp.concatenate([fwd, bwd], axis=0)  # [B, P, D]
         pos_emb = dropout(pos_emb, deterministic=deterministic)
 
         # ---- MAG + layer stack (xlnet.py:362-388) ----
@@ -469,9 +554,12 @@ class MagXLNetModel(nn.Module):
 
         layer_cls = XLNetLayer
         if self.remat:
-            # deterministic is args[10] (flax remat counts self as args[0]).
-            layer_cls = nn.remat(XLNetLayer, static_argnums=(10,))
+            # deterministic/output_attentions are args[10]/args[11] (flax
+            # remat counts self as args[0]).
+            layer_cls = nn.remat(XLNetLayer, static_argnums=(10, 11))
 
+        hidden_states = [] if output_hidden_states else None
+        attentions = [] if output_attentions else None
         for i in range(cfg.n_layer):
             if keep_mems:
                 new_mems.append(self._cache_mem(output_h, mems[i]))
@@ -479,19 +567,37 @@ class MagXLNetModel(nn.Module):
                 output_h = mag(output_h, visual.astype(self.dtype),
                                acoustic.astype(self.dtype),
                                deterministic=deterministic)
+            if output_hidden_states:
+                # per-layer INPUT states, (h, g) pairs under two-stream
+                # (reference xlnet.py:401-429 / HF XLNetModel)
+                hidden_states.append(
+                    (output_h, output_g) if output_g is not None
+                    else output_h)
             hm = None
             if head_mask is not None:
                 hm = head_mask[i] if head_mask.ndim == 2 else head_mask
-            output_h, output_g = layer_cls(
+            layer_out = layer_cls(
                 cfg, self.dtype, name=f"layer_{i}")(
                 output_h, output_g, non_tgt_mask, attn_mask, pos_emb,
-                seg_mat, mems[i], target_mapping, hm, deterministic)
+                seg_mat, mems[i], target_mapping, hm, deterministic,
+                output_attentions)
+            if output_attentions:
+                output_h, output_g, attn_prob = layer_out
+                attentions.append(attn_prob)
+            else:
+                output_h, output_g = layer_out
+        if output_hidden_states:
+            hidden_states.append(
+                (output_h, output_g) if output_g is not None else output_h)
 
         output = dropout(output_g if output_g is not None else output_h,
                          deterministic=deterministic)
-        if keep_mems:
-            return output, tuple(new_mems)
-        return output, None
+        outputs = (output, tuple(new_mems) if keep_mems else None)
+        if output_hidden_states:
+            outputs = outputs + (tuple(hidden_states),)
+        if output_attentions:
+            outputs = outputs + (tuple(attentions),)
+        return outputs
 
     def _cache_mem(self, curr_out: jax.Array,
                    prev_mem: Optional[jax.Array]) -> jax.Array:
@@ -560,16 +666,21 @@ class MagXLNetForSequenceClassification(nn.Module):
         use_cache: bool = False,
         *,
         deterministic: bool = True,
+        output_hidden_states: bool = False,
+        output_attentions: bool = False,
     ):
         cfg = self.config
-        output, _new_mems = MagXLNetModel(
+        transformer_outputs = MagXLNetModel(
             cfg, self.multimodal_config, self.visual_dim, self.acoustic_dim,
             self.dtype, self.remat, name="transformer")(
             input_ids, visual, acoustic, attention_mask=attention_mask,
             mems=mems, perm_mask=perm_mask, target_mapping=target_mapping,
             token_type_ids=token_type_ids, input_mask=input_mask,
             head_mask=head_mask, inputs_embeds=inputs_embeds,
-            use_cache=use_cache, deterministic=deterministic)
+            use_cache=use_cache, deterministic=deterministic,
+            output_hidden_states=output_hidden_states,
+            output_attentions=output_attentions)
+        output = transformer_outputs[0]
         summary = SequenceSummary(cfg, self.dtype, name="sequence_summary")(
             output, deterministic=deterministic)
         logits = nn.Dense(cfg.num_labels, dtype=self.dtype,
@@ -577,6 +688,7 @@ class MagXLNetForSequenceClassification(nn.Module):
                               stddev=cfg.initializer_range),
                           name="logits_proj")(summary)
         logits = logits.astype(jnp.float32)
+        extras = transformer_outputs[2:]  # hidden_states/attentions if asked
         if labels is not None:
             # internal MSE/CE loss switch (reference xlnet.py:515-524)
             from bert_multimodal_transformer_tpu.training.losses import (
@@ -585,5 +697,9 @@ class MagXLNetForSequenceClassification(nn.Module):
 
             loss = sequence_classification_loss(logits, labels,
                                                 cfg.num_labels)
-            return loss, logits
+            return (loss, logits) + extras
+        if extras:
+            # reference returns (logits,) + transformer extras
+            # (xlnet.py:510-513)
+            return (logits,) + extras
         return logits

@@ -27,13 +27,17 @@ def dot_product_attention(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     head_mask: Optional[jax.Array] = None,  # [H] or broadcastable, 1=keep
-) -> jax.Array:
+    return_probs: bool = False,
+):
     """Masked scaled-dot-product attention with fp32 softmax.
 
     Matches HF BertSelfAttention semantics: scores = QKᵀ·scale + bias
     (bias is the additive −10000-style extended mask), softmax, dropout on
     the probabilities, optional multiplicative head_mask (HF get_head_mask
     contract, reference bert.py:208-209), then context = probs·V.
+    With ``return_probs`` also returns the (post-dropout, post-head-mask)
+    fp32 attention probabilities — the reference's output_attentions
+    surface (bert.py:233-237).
     """
     dtype = q.dtype
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -48,8 +52,10 @@ def dot_product_attention(
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     if head_mask is not None:
         probs = probs * head_mask.astype(probs.dtype).reshape(1, -1, 1, 1)
-    probs = probs.astype(dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v)
+    if return_probs:
+        return ctx, probs
+    return ctx
 
 
 def extended_attention_mask(attention_mask: jax.Array,

@@ -1095,7 +1095,14 @@ def fused_attention_packed(
         interpret = jax.default_backend() != "tpu"
     rate = 0.0 if deterministic else float(dropout_rate)
     b, s, d3 = qkv.shape
+    if d3 % 3 != 0:
+        raise ValueError(
+            f"packed QKV last dim must be 3·D, got {d3}")
     d = d3 // 3
+    if d % n_heads != 0:
+        # a mismatched n_heads would silently mis-slice head lanes
+        raise ValueError(
+            f"hidden dim {d} not divisible by n_heads={n_heads}")
     dh = d // n_heads
     if attention_mask is None:
         bias = jnp.zeros((b, 1, s), jnp.float32)
@@ -1159,6 +1166,10 @@ def fused_rel_attention(
         interpret = jax.default_backend() != "tpu"
     rate = 0.0 if deterministic else float(dropout_rate)
     b, q_len, d = q.shape
+    if d % n_heads != 0:
+        # a mismatched n_heads would silently mis-slice head lanes
+        raise ValueError(
+            f"hidden dim {d} not divisible by n_heads={n_heads}")
     dh = d // n_heads
     if rate > 0.0 and dropout_rng is None:
         raise ValueError("dropout_rate > 0 requires dropout_rng")
@@ -1186,3 +1197,115 @@ def fused_rel_attention(
     return _fused_rel_attention(q, k, v, ebias, seed, float(scale), rate,
                                 n_heads, bool(interpret),
                                 (nb_fwd, nb_bwd), save_probs)
+
+
+# --------------------------------------------------------------------------
+# Tensor-parallel (head-sharded) wrappers
+# --------------------------------------------------------------------------
+# pallas_call is opaque to XLA's SPMD partitioner: with head-sharded
+# operands GSPMD would all-gather and replicate the kernel per device.
+# These wrappers shard_map the kernels over the mesh's model axis instead:
+# each device runs the SAME kernel on its H/mp local heads (head-major
+# flat packing ⇒ a contiguous model-axis chunk of the last dim is whole
+# heads), so the sharded einsum projections around the kernel and the
+# kernel itself stay head-sharded end to end. Beyond the reference
+# (single-device, SURVEY §2d).
+
+def fused_rel_attention_tp(
+    q: jax.Array,               # [B, Q, D] head-major flat
+    k: jax.Array,               # [B, K, D]
+    v: jax.Array,               # [B, K, D]
+    ebias: jax.Array,           # [B, H, Q, K]
+    *,
+    mesh,
+    n_heads: int,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> jax.Array:
+    """fused_rel_attention with heads sharded over ``model_axis``.
+
+    q/k/v arrive sharded on their flat head axis (produced by einsums with
+    P(None, model)-sharded weights under --tp_shard_attention,
+    parallel/tp.py), ebias on its H axis — the shard_map in_specs match
+    those shardings so no resharding happens on entry.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    mp = mesh.shape[model_axis]
+    if n_heads % mp != 0:
+        raise ValueError(
+            f"n_heads={n_heads} not divisible by model axis size {mp}")
+    local_heads = n_heads // mp
+    rate = 0.0 if deterministic else float(dropout_rate)
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+    rng = dropout_rng if rate > 0.0 else jax.random.PRNGKey(0)
+
+    def local(q, k, v, ebias, rng):
+        # distinct dropout streams per head shard
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(model_axis))
+        return fused_rel_attention(
+            q, k, v, ebias, n_heads=local_heads, scale=scale,
+            dropout_rate=rate, dropout_rng=rng if rate > 0.0 else None,
+            deterministic=deterministic)
+
+    act = P(data_axis, None, model_axis)
+    # check_vma=False: pallas_call does not carry varying-mesh-axis
+    # metadata, so shard_map's replication checker cannot see through it
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(act, act, act, P(data_axis, model_axis, None, None),
+                  P()),
+        out_specs=act, check_vma=False)
+    return f(q, k, v, ebias, rng)
+
+
+def fused_attention_tp(
+    q: jax.Array,               # [B, H, S, Dh]
+    k: jax.Array,
+    v: jax.Array,
+    attention_mask: Optional[jax.Array],   # [B, S] {0,1}, 1 = real token
+    *,
+    mesh,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> jax.Array:
+    """fused_attention (split-tensor API) with heads sharded over
+    ``model_axis``. Used by the BERT TP-fused path — the packed-QKV
+    variant's q|k|v column blocks cannot be head-aligned by a contiguous
+    model-axis chunk, so TP takes the split layout."""
+    from jax.sharding import PartitionSpec as P
+
+    b, h, s, _ = q.shape
+    mp = mesh.shape[model_axis]
+    if h % mp != 0:
+        raise ValueError(
+            f"n_heads={h} not divisible by model axis size {mp}")
+    rate = 0.0 if deterministic else float(dropout_rate)
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+    rng = dropout_rng if rate > 0.0 else jax.random.PRNGKey(0)
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+
+    def local(q, k, v, mask, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(model_axis))
+        return fused_attention(
+            q, k, v, mask, scale=scale,
+            dropout_rate=rate, dropout_rng=rng if rate > 0.0 else None,
+            deterministic=deterministic)
+
+    act = P(data_axis, model_axis, None, None)
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(act, act, act, P(data_axis, None), P()),
+        out_specs=act, check_vma=False)
+    return f(q, k, v, attention_mask, rng)

@@ -117,6 +117,60 @@ def make_train_step(grad_accum: int = 1):
     return train_step
 
 
+def make_masked_train_step(grad_accum: int = 1):
+    """Train step for the final RAGGED batch: zero-padded to shape with a
+    per-example validity mask, loss = masked mean. The reference trains on
+    the ragged tail as a smaller torch batch (multimodal_driver.py:358-386);
+    a masked mean over the padded batch is numerically identical, and keeps
+    every compiled shape static. Full batches (valid all-ones) reduce to
+    exactly the unmasked step's math."""
+
+    def sum_loss_fn(params, apply_fn, micro, rng, valid):
+        logits, labels = _forward(apply_fn, params, micro, rng,
+                                  deterministic=False)
+        err = jnp.square(logits.reshape(-1).astype(jnp.float32)
+                         - labels.reshape(-1).astype(jnp.float32))
+        return jnp.sum(err * valid)
+
+    def train_step(state: TrainState, batch: Tuple, valid: jax.Array):
+        valid = valid.astype(jnp.float32)
+        rng, new_rng = jax.random.split(state.rng)
+        if grad_accum == 1:
+            loss_sum, grads = jax.value_and_grad(sum_loss_fn)(
+                state.params, state.apply_fn, batch, rng, valid)
+        else:
+            micro_batches = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
+                                    + x.shape[1:]),
+                batch)
+            micro_valid = valid.reshape(grad_accum, -1)
+            micro_rngs = jax.random.split(rng, grad_accum)
+
+            def scan_body(carry, inp):
+                acc_grads, acc_loss = carry
+                micro, mrng, mvalid = inp
+                loss, grads = jax.value_and_grad(sum_loss_fn)(
+                    state.params, state.apply_fn, micro, mrng, mvalid)
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                return (acc_grads, acc_loss + loss), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss_sum), _ = jax.lax.scan(
+                scan_body, (zero_grads, jnp.zeros(())),
+                (micro_batches, micro_rngs, micro_valid))
+        n = jnp.maximum(jnp.sum(valid), 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+        loss = loss_sum / n
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt_state, rng=new_rng)
+        return new_state, loss
+
+    return train_step
+
+
 def eval_step(state: TrainState, batch: Tuple, valid: jax.Array):
     """Masked dev-set MSE: returns (sum_sq_err, n_valid) so ragged final
     batches contribute exactly their real examples."""
@@ -156,6 +210,32 @@ class Trainer:
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = make_mesh()
+        if self.tp_shard_attention:
+            # Guard the preconditions the CLI enforces (driver.py) for
+            # direct Trainer users too.
+            mp = self.mesh.shape.get("model", 1)
+            cfg = getattr(self.model, "config", None)
+            impl = getattr(cfg, "attention_impl", "einsum")
+            if mp <= 1:
+                raise ValueError(
+                    "tp_shard_attention requires a mesh model axis > 1")
+            if impl == "flash":
+                raise ValueError(
+                    "tp_shard_attention supports einsum and fused "
+                    "attention, not flash")
+            if (impl == "fused"
+                    and getattr(cfg, "tp_attention_mesh", None) is None):
+                raise ValueError(
+                    "tp_shard_attention with the fused kernels needs the "
+                    "model built with tp_attention_mesh=<mesh> (the "
+                    "pallas_call is shard_map'd over the model axis; "
+                    "ops/fused_attention.py TP wrappers)")
+            n_head = getattr(cfg, "n_head",
+                             getattr(cfg, "num_attention_heads", 0))
+            if n_head % mp != 0:
+                raise ValueError(
+                    f"tp_shard_attention needs n_head ({n_head}) divisible "
+                    f"by the model-axis size ({mp})")
         self._bsh = batch_sharding(self.mesh)
         self._rep = replicated(self.mesh)
         # model-axis > 1 → tensor parallelism: params carry per-leaf
@@ -168,6 +248,15 @@ class Trainer:
         self._train_step = jax.jit(
             train_step,
             in_shardings=None if self._tp else (self._rep, self._bsh),
+            out_shardings=None if self._tp else (self._rep, self._rep),
+            donate_argnums=(0,) if self.donate else (),
+        )
+        # compiled lazily — only a training run whose final batch is
+        # actually ragged ever pays for this variant
+        self._train_step_masked = jax.jit(
+            make_masked_train_step(self.grad_accum),
+            in_shardings=None if self._tp else (self._rep, self._bsh,
+                                                self._bsh),
             out_shardings=None if self._tp else (self._rep, self._rep),
             donate_argnums=(0,) if self.donate else (),
         )
@@ -190,7 +279,7 @@ class Trainer:
             make_state_shardings)
         return make_state_shardings(
             state, self.mesh,
-            shard_xlnet_attention=self.tp_shard_attention)
+            shard_attention=self.tp_shard_attention)
 
     def init_state(self, rng: jax.Array, sample_batch: Tuple) -> TrainState:
         input_ids, visual, acoustic, input_mask, segment_ids, _ = sample_batch
@@ -212,10 +301,18 @@ class Trainer:
         return tuple(jax.device_put(np.asarray(a), self._bsh) for a in batch)
 
     def train_epoch(self, state: TrainState, loader) -> Tuple[TrainState, float]:
-        """Mirrors train_epoch (multimodal_driver.py:354-388): mean loss."""
+        """Mirrors train_epoch (multimodal_driver.py:354-388): mean loss.
+        A ragged final batch (loader with drop_remainder=False) trains via
+        the masked step — same semantics as the reference's smaller tail
+        batch, with static shapes."""
         losses = []
-        for batch, _valid in loader:
-            state, loss = self._train_step(state, self._put_batch(batch))
+        for batch, valid in loader:
+            if valid.all():
+                state, loss = self._train_step(state, self._put_batch(batch))
+            else:
+                state, loss = self._train_step_masked(
+                    state, self._put_batch(batch),
+                    jax.device_put(np.asarray(valid), self._bsh))
             losses.append(loss)
         return state, float(np.mean([jax.device_get(l) for l in losses]))
 

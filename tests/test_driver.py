@@ -53,6 +53,15 @@ def test_driver_requires_data_source(capsys):
     assert "provide --data_pickle or --synthetic" in capsys.readouterr().err
 
 
+def test_driver_rejects_flash_for_xlnet(capsys):
+    """--attention_impl flash + XLNet must error, not silently run einsum
+    (advisor finding, round 1)."""
+    rc = driver.main(["--model", "xlnet-base-cased", "--synthetic", "--tiny",
+                      "--attention_impl", "flash"])
+    assert rc == 2
+    assert "flash" in capsys.readouterr().err
+
+
 def test_driver_pretrained_warm_start(tmp_path):
     """--pretrained_checkpoint loads a local torch .bin through the full
     CLI path (reference prep_for_training contract)."""

@@ -81,6 +81,72 @@ def test_decay_mask_excludes_bias_and_layernorm():
             assert decays, names
 
 
+def test_masked_ragged_step_equals_exact_small_batch(dataset):
+    """The masked train step on a zero-padded ragged batch (4 real of 8)
+    must produce the same loss and params as the unmasked step on the
+    exact 4-example batch — the reference trains on the ragged tail
+    directly (multimodal_driver.py:358-386); VERDICT r1 item 9."""
+    import dataclasses
+
+    splits, _ = dataset
+    small = splits["train"].take(np.arange(4)).as_tuple()
+    padded = tuple(
+        np.concatenate([a, np.zeros((4,) + a.shape[1:], a.dtype)])
+        for a in small)
+    valid = np.zeros(8, bool)
+    valid[:4] = True
+
+    cfg_nodrop = dataclasses.replace(
+        BertConfig.tiny(vocab_size=64),
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    mm_nodrop = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0)
+    model = MagBertForSequenceClassification(
+        cfg_nodrop, mm_nodrop, visual_dim=DV, acoustic_dim=DA)
+    mesh = make_mesh(MeshConfig(data_parallel=1),
+                     devices=jax.devices()[:1])
+    tx = optax.sgd(0.1)
+
+    t_exact = Trainer(model=model, tx=tx, mesh=mesh, donate=False)
+    t_masked = Trainer(model=model, tx=tx, mesh=mesh, donate=False)
+    s_exact = t_exact.init_state(jax.random.PRNGKey(0), small)
+    s_masked = t_masked.init_state(jax.random.PRNGKey(0), padded)
+
+    s_exact, loss_exact = t_exact._train_step(
+        s_exact, t_exact._put_batch(small))
+    s_masked, loss_masked = t_masked._train_step_masked(
+        s_masked, t_masked._put_batch(padded),
+        jax.device_put(valid, t_masked._bsh))
+    np.testing.assert_allclose(float(loss_exact), float(loss_masked),
+                               rtol=1e-6)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(
+                jax.device_get(s_exact.params)),
+            jax.tree_util.tree_leaves_with_path(
+                jax.device_get(s_masked.params))):
+        assert p1 == p2
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7, err_msg=str(p1))
+
+
+def test_train_epoch_trains_on_ragged_tail(dataset):
+    """train_epoch with a drop_remainder=False loader consumes the ragged
+    final batch (params change on it) and reports its loss."""
+    splits, _ = dataset
+    # 12 examples, batch 8 → one full batch + ragged 4
+    sub = splits["train"].take(np.arange(12))
+    loader = BatchIterator(sub, 8, shuffle=False, drop_remainder=False)
+    assert len(loader) == 2
+    model = make_model()
+    mesh = make_mesh(MeshConfig(data_parallel=1),
+                     devices=jax.devices()[:1])
+    trainer = Trainer(model=model, tx=optax.sgd(0.1), mesh=mesh,
+                      donate=False)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               next(iter(loader))[0])
+    step0 = int(state.step)
+    state, _loss = trainer.train_epoch(state, loader)
+    assert int(state.step) == step0 + 2  # ragged tail stepped too
+
+
 def test_grad_accum_equivalent_to_full_batch(dataset):
     """accum=2 over B=8 must produce (numerically close) params to accum=1,
     dropout off (deterministic path uses same rng fold)."""
