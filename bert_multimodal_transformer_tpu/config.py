@@ -97,6 +97,13 @@ class BertConfig:
     # O(S) memory, for long sequences; no attention-prob dropout inside
     # the kernel).
     attention_impl: str = "einsum"
+    # Tensor-parallel attention: when set (a jax.sharding.Mesh with a
+    # "model" axis), self-attention shards heads over that axis — the
+    # fused kernel via shard_map, the einsum path via GSPMD sharding
+    # constraints (parallel/tp.py). None = attention replicated over the
+    # model axis (FFN-only TP).
+    tp_attention_mesh: Optional[object] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     @staticmethod
     def bert_base_uncased() -> "BertConfig":
@@ -148,6 +155,12 @@ class XLNetConfig:
     # kernel for the content stream: in-VMEM softmax + prob-dropout,
     # ebias-streamed scores — ops/fused_attention.py::fused_rel_attention)
     attention_impl: str = "einsum"
+    # Tensor-parallel attention mesh (see BertConfig.tp_attention_mesh):
+    # routes the fused rel-attention kernel through shard_map with heads
+    # sharded over the "model" axis. The einsum path needs no mesh here —
+    # GSPMD propagates the P(None, "model") weight shardings on its own.
+    tp_attention_mesh: Optional[object] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     @property
     def d_head(self) -> int:

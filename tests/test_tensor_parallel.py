@@ -207,6 +207,125 @@ def test_xlnet_attention_tp_matches_single_device():
     assert np.asarray(preds).shape == (B,)
 
 
+def _nodrop_xlnet_cfg(**kw):
+    return dataclasses.replace(XLNetConfig.tiny(), dropout=0.0,
+                               summary_last_dropout=0.0, **kw)
+
+
+def _nodrop_bert_cfg(**kw):
+    return dataclasses.replace(BertConfig.tiny(), hidden_dropout_prob=0.0,
+                               attention_probs_dropout_prob=0.0, **kw)
+
+
+def test_xlnet_FUSED_attention_tp_matches_single_device():
+    """TP × the fused Pallas rel-attention kernel: heads sharded over
+    'model' via shard_map (ops/fused_attention.py::fused_rel_attention_tp).
+    Dropout off — the TP kernel folds the shard index into its dropout
+    stream, so only the dropout-free math can match bit-level."""
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    cfg_ref = _nodrop_xlnet_cfg(attention_impl="fused")
+    cfg_tp = dataclasses.replace(cfg_ref, tp_attention_mesh=mesh)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0,
+                          injection_index=1)
+    batch = make_batch(cfg_ref.vocab_size)
+
+    m_ref = MagXLNetForSequenceClassification(cfg_ref, mm, visual_dim=DV,
+                                              acoustic_dim=DA)
+    tr_ref = Trainer(model=m_ref, tx=optax.adam(1e-3),
+                     mesh=make_mesh(MeshConfig(data_parallel=1)),
+                     donate=False)
+    st = tr_ref.init_state(jax.random.PRNGKey(0), batch)
+    st1, l1 = tr_ref._train_step(st, tr_ref._put_batch(batch))
+    _, l2 = tr_ref._train_step(st1, tr_ref._put_batch(batch))
+
+    m_tp = MagXLNetForSequenceClassification(cfg_tp, mm, visual_dim=DV,
+                                             acoustic_dim=DA)
+    tr_tp = Trainer(model=m_tp, tx=optax.adam(1e-3), mesh=mesh,
+                    donate=False, tp_shard_attention=True)
+    stt = tr_tp.init_state(jax.random.PRNGKey(0), batch)
+    q_leaf = stt.params["transformer"]["layer_0"]["rel_attn"]["q"]
+    assert q_leaf.sharding.spec == P(None, "model"), q_leaf.sharding
+    stt1, lt1 = tr_tp._train_step(stt, tr_tp._put_batch(batch))
+    _, lt2 = tr_tp._train_step(stt1, tr_tp._put_batch(batch))
+    np.testing.assert_allclose([float(lt1), float(lt2)],
+                               [float(l1), float(l2)], rtol=1e-5)
+
+
+def test_bert_FUSED_attention_tp_matches_single_device():
+    """TP × the fused BERT attention: split-tensor kernel under shard_map
+    with head-sharding constraints; attention output projection
+    row-parallel (P('model', None))."""
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    cfg_ref = _nodrop_bert_cfg(attention_impl="fused")
+    cfg_tp = dataclasses.replace(cfg_ref, tp_attention_mesh=mesh)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0)
+    batch = make_batch(cfg_ref.vocab_size)
+
+    m_ref = MagBertForSequenceClassification(cfg_ref, mm, visual_dim=DV,
+                                             acoustic_dim=DA)
+    tr_ref = Trainer(model=m_ref, tx=optax.adam(1e-3),
+                     mesh=make_mesh(MeshConfig(data_parallel=1)),
+                     donate=False)
+    st = tr_ref.init_state(jax.random.PRNGKey(0), batch)
+    st1, l1 = tr_ref._train_step(st, tr_ref._put_batch(batch))
+    _, l2 = tr_ref._train_step(st1, tr_ref._put_batch(batch))
+
+    m_tp = MagBertForSequenceClassification(cfg_tp, mm, visual_dim=DV,
+                                            acoustic_dim=DA)
+    tr_tp = Trainer(model=m_tp, tx=optax.adam(1e-3), mesh=mesh,
+                    donate=False, tp_shard_attention=True)
+    stt = tr_tp.init_state(jax.random.PRNGKey(0), batch)
+    o_leaf = stt.params["bert"]["encoder"]["layer_0"]["attention"][
+        "output_dense"]["kernel"]
+    assert o_leaf.sharding.spec == P("model", None), o_leaf.sharding
+    stt1, lt1 = tr_tp._train_step(stt, tr_tp._put_batch(batch))
+    _, lt2 = tr_tp._train_step(stt1, tr_tp._put_batch(batch))
+    np.testing.assert_allclose([float(lt1), float(lt2)],
+                               [float(l1), float(l2)], rtol=1e-5)
+
+
+def test_bert_einsum_attention_tp_matches_single_device():
+    """TP einsum BERT attention: GSPMD head sharding from the model-side
+    constraints + row-parallel output projection (new in r2; previously
+    XLNet-only)."""
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    cfg_ref = _nodrop_bert_cfg()
+    cfg_tp = dataclasses.replace(cfg_ref, tp_attention_mesh=mesh)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0)
+    batch = make_batch(cfg_ref.vocab_size)
+
+    m_ref = MagBertForSequenceClassification(cfg_ref, mm, visual_dim=DV,
+                                             acoustic_dim=DA)
+    tr_ref = Trainer(model=m_ref, tx=optax.adam(1e-3),
+                     mesh=make_mesh(MeshConfig(data_parallel=1)),
+                     donate=False)
+    st = tr_ref.init_state(jax.random.PRNGKey(0), batch)
+    _, l1 = tr_ref._train_step(st, tr_ref._put_batch(batch))
+
+    m_tp = MagBertForSequenceClassification(cfg_tp, mm, visual_dim=DV,
+                                            acoustic_dim=DA)
+    tr_tp = Trainer(model=m_tp, tx=optax.adam(1e-3), mesh=mesh,
+                    donate=False, tp_shard_attention=True)
+    stt = tr_tp.init_state(jax.random.PRNGKey(0), batch)
+    _, lt1 = tr_tp._train_step(stt, tr_tp._put_batch(batch))
+    np.testing.assert_allclose(float(lt1), float(l1), rtol=1e-5)
+
+
+def test_trainer_guards_fused_tp_without_mesh():
+    """Trainer must reject tp_shard_attention+fused when the model was not
+    built with tp_attention_mesh (the kernel would be GSPMD-opaque)."""
+    import pytest
+
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    cfg = _nodrop_bert_cfg(attention_impl="fused")  # no tp_attention_mesh
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0)
+    model = MagBertForSequenceClassification(cfg, mm, visual_dim=DV,
+                                             acoustic_dim=DA)
+    with pytest.raises(ValueError, match="tp_attention_mesh"):
+        Trainer(model=model, tx=optax.adam(1e-3), mesh=mesh,
+                donate=False, tp_shard_attention=True)
+
+
 def test_make_mesh_validation():
     import pytest
 
