@@ -43,6 +43,13 @@ def main():
         float(os.environ.get("BENCH_TIMEOUT_S", "1800")))
     import jax
 
+    # Persistent compilation cache: cold compiles through the tunnel take
+    # 10-25 min; cached reruns start in seconds. Steps are timed after
+    # warmup, so caching never affects the measurement.
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     # Hardware PRNG for dropout: threefry costs ~25% of the train step at
     # this geometry; rbg recovers most of it (same statistics, different
     # stream). Override with BENCH_RNG=threefry.

@@ -86,9 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(parallel/tp.py); data axis gets the remaining "
                         "devices")
     p.add_argument("--tp_shard_attention", action="store_true",
-                   help="With --model_parallel > 1: also head-shard the "
-                        "XLNet relative-attention weights (requires the "
-                        "einsum attention path and n_head %% mp == 0)")
+                   help="With --model_parallel > 1: also head-shard "
+                        "attention over the model axis (both families; "
+                        "einsum via GSPMD, fused via shard_map'd Pallas "
+                        "kernels; needs n_head %% mp == 0)")
     p.add_argument("--rng_impl", type=str, default="rbg",
                    choices=["threefry2x32", "rbg"],
                    help="Dropout PRNG: rbg uses the TPU hardware RNG "
@@ -102,6 +103,10 @@ def main(argv=None) -> int:
     import jax
 
     jax.config.update("jax_default_prng_impl", args.rng_impl)
+    # Persistent compilation cache (cold tunnel compiles are minutes).
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
 
     from bert_multimodal_transformer_tpu.config import (

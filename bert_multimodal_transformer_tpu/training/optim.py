@@ -64,6 +64,73 @@ def decay_mask(params: Any) -> Any:
         lambda path, _: not _no_decay(path), params)
 
 
+def _scale_by_adam_hf(b1: float, b2: float,
+                      eps: float) -> optax.GradientTransformation:
+    """optax.scale_by_adam with the reference's eps placement.
+
+    transformers-3.0.2 AdamW computes ``√bc₂/bc₁ · m/(√v + eps)`` — eps
+    added BEFORE bias correction. That is exactly the standard
+    bias-corrected form ``m̂/(√v̂ + eps_t)`` with a step-dependent
+    ``eps_t = eps/√bc₂`` (larger during early steps), which is how it is
+    written here so the lowering matches optax.scale_by_adam's dataflow.
+    """
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g),
+            state.nu, grads)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+        eps_t = eps / jnp.sqrt(bc2)
+        updates = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps_t), mu, nu)
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _add_hf_decayed_weights(schedule: optax.Schedule, weight_decay: float,
+                            mask=None) -> optax.GradientTransformation:
+    """The reference's decoupled weight decay, which applies to the
+    POST-adam-update parameter: p′ = (p − lr·u)(1 − lr·wd). As an additive
+    term before the final −lr scaling that is
+    ``u ← u·(1 − lr·wd) + wd·p`` (then −lr·(·) reproduces it exactly).
+    Needs lr, so it tracks the schedule with its own count, like optax's
+    schedule-aware transforms."""
+
+    def init(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros((), jnp.int32))
+
+    def update(updates, state, params):
+        if params is None:
+            raise ValueError("adamw_hf requires params")
+        c = schedule(state.count) * weight_decay
+        decay_on = (mask(params) if mask is not None
+                    else jax.tree_util.tree_map(lambda _: True, params))
+
+        def leaf(u, p, dec):
+            if dec and weight_decay > 0.0:
+                return u * (1.0 - c) + weight_decay * p
+            return u
+
+        new = jax.tree_util.tree_map(leaf, updates, params, decay_on)
+        return new, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
 def adamw_hf(
     schedule: optax.Schedule,
     b1: float = 0.9,
@@ -82,46 +149,18 @@ def adamw_hf(
     2. decoupled weight decay is applied to the POST-adam-update parameter
        (``p ← p_adam − lr·wd·p_adam``), not the pre-update one.
 
-    Returns additive updates (chain-compatible); state is
-    ``optax.ScaleByAdamState`` so opt-state pytrees stay checkpointable.
+    Built as the same 3-transform chain as optax.adamw (scale_by_adam →
+    decayed-weights → scale_by_learning_rate) so XLA lowers it
+    identically; both differences live in the transforms' scalar math.
+    The schedule index is the count of completed updates — the
+    reference calls scheduler.step() AFTER optimizer.step(), so update k
+    uses λ(k−1), which is optax's native convention too.
     """
-
-    def init(params):
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-        return optax.ScaleByAdamState(
-            count=jnp.zeros((), jnp.int32), mu=zeros,
-            nu=jax.tree_util.tree_map(jnp.zeros_like, params))
-
-    def update(grads, state, params):
-        if params is None:
-            raise ValueError("adamw_hf requires params")
-        # Schedule index = completed updates (reference: scheduler.step()
-        # called AFTER optimizer.step() → update k uses λ(k−1)).
-        lr = schedule(state.count)
-        mu = jax.tree_util.tree_map(
-            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads)
-        nu = jax.tree_util.tree_map(
-            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g),
-            state.nu, grads)
-        count = state.count + 1
-        t = count.astype(jnp.float32)
-        step_size = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
-
-        decay_on = (mask(params) if mask is not None
-                    else jax.tree_util.tree_map(lambda _: True, params))
-
-        def leaf_update(m, v, p, dec):
-            adam = -step_size * m / (jnp.sqrt(v) + eps)
-            p_mid = p + adam
-            if dec and weight_decay > 0.0:
-                return adam - lr * weight_decay * p_mid
-            return adam
-
-        updates = jax.tree_util.tree_map(
-            leaf_update, mu, nu, params, decay_on)
-        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
-
-    return optax.GradientTransformation(init, update)
+    return optax.chain(
+        _scale_by_adam_hf(b1, b2, eps),
+        _add_hf_decayed_weights(schedule, weight_decay, mask),
+        optax.scale_by_learning_rate(schedule),
+    )
 
 
 def make_optimizer(
