@@ -201,14 +201,24 @@ def main():
     watchdog.cancel()
     model_name = {"xlnet": "xlnet-base",
                   "bert-large": "bert-large"}.get(family, "bert-base")
-    print(json.dumps({
+    record = {
         "metric": f"MOSI MAG-{family.upper()} fine-tune train-step "
                   f"throughput ({model_name}, batch {batch}, seq {seq}, "
                   f"bf16, {n_dev} chip(s))",
         "value": round(per_chip, 2),
         "unit": "examples/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-    }))
+    }
+    if vs_baseline:
+        # Keep the multiple honest: the measured baseline is the torch
+        # reference on THIS box's CPU (the repo publishes no GPU numbers,
+        # BASELINE.md); vs a typical 2019-era single GPU fine-tuning
+        # bert-base (~150-400 ex/s) this config is ~8-22x (BENCHMARKS.md).
+        record["baseline_note"] = (
+            "torch reference on this host's CPU "
+            "(BASELINE_measured.json); est. 2019-GPU band ~"
+            f"{per_chip / 400:.0f}-{per_chip / 150:.0f}x")
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
