@@ -150,11 +150,21 @@ class XLNetRelativeAttention(nn.Module):
 
     def _rel_attn_core(self, q_head, k_head, v_head, k_head_r, seg_mat,
                        attn_mask, deterministic, head_mask=None,
-                       output_attentions=False):
+                       output_attentions=False, mask_bias=None,
+                       seg_diff=None):
         """q_head [B,Q,H,Dh]; k/v_head [B,K,H,Dh]; k_head_r [P,H,Dh] (or
         [B,P,H,Dh] under bi_data's per-half position streams);
         seg_mat [B,Q,K,2] or None; attn_mask [B,1,Q,K] float 1=masked.
-        With ``output_attentions`` returns (attn_vec, attn_prob)."""
+        With ``output_attentions`` returns (attn_vec, attn_prob).
+
+        ``mask_bias``/``seg_diff`` are optional precomputed forms used by
+        the fused path (MagXLNetModel hoists them out of the layer loop —
+        they are layer-independent, so converting per layer wasted
+        ~0.2 ms/layer of copies at b256): mask_bias = −1e30·mask already
+        at the compute dtype; seg_diff = the [B,1,Q,K] bool behind
+        seg_mat's one-hot. Both reduce to exactly the same ebias values
+        (mask_bias is the same product with the sign folded; the one-hot
+        contraction over {same,diff} IS a select)."""
         cfg = self.config
         scale = 1.0 / (cfg.d_head ** 0.5)
         klen = k_head.shape[1]
@@ -162,8 +172,6 @@ class XLNetRelativeAttention(nn.Module):
         # batched position stream (bi_data): r carries a leading batch dim
         bd_eq = ("bqhf,bphf->bhqp" if k_head_r.ndim == 4
                  else "bqhf,phf->bhqp")
-
-        rw = (q_head + self.r_w_bias).astype(self.dtype)
 
         if (cfg.attention_impl == "fused" and head_mask is None
                 and not output_attentions):
@@ -176,6 +184,12 @@ class XLNetRelativeAttention(nn.Module):
             # dtype with the scale folded into rr/rs — at bf16 this
             # halves the [B,H,Q,P] rel_shift traffic.
             dt = self.dtype
+            bsz, qlen2, h, dh = q_head.shape
+            # rw feeds only the kernel's flat q input: add the bias FLAT
+            # so no [B,Q,H,Dh] (64-lane, tile-padded) tensor is
+            # materialized for it. Same element pairing as the 4D add.
+            rw = (q_head.reshape(bsz, qlen2, h * dh)
+                  + self.r_w_bias.reshape(-1)).astype(dt)
             rr = ((q_head + self.r_r_bias) * scale).astype(dt)
             bd = jnp.einsum(bd_eq, rr, k_head_r.astype(dt),
                             preferred_element_type=f32).astype(dt)
@@ -185,13 +199,22 @@ class XLNetRelativeAttention(nn.Module):
                 ef_raw = jnp.einsum("bqhf,shf->bhqs", rs,
                                     self.seg_embed.astype(dt),
                                     preferred_element_type=f32)
-                ef = jnp.einsum("bqks,bhqs->bhqk", seg_mat.astype(f32),
-                                ef_raw).astype(dt)
+                if seg_diff is not None:
+                    # one-hot contraction == select (seg_mat is one-hot
+                    # over {same, diff}): picks identical values, fuses
+                    # into the ebias assembly instead of a [B,H,Q,K]
+                    # einsum materialization per layer.
+                    ef = jnp.where(seg_diff, ef_raw[..., 1:2],
+                                   ef_raw[..., 0:1]).astype(dt)
+                else:
+                    ef = jnp.einsum("bqks,bhqs->bhqk", seg_mat.astype(f32),
+                                    ef_raw).astype(dt)
                 ebias = ebias + ef
-            if attn_mask is not None:
+            if mask_bias is not None:
+                ebias = ebias + mask_bias
+            elif attn_mask is not None:
                 ebias = ebias - (MASK_VERY_NEG
                                  * attn_mask.astype(f32)).astype(dt)
-            bsz, qlen2, h, dh = q_head.shape
             dropout_rng = None
             if not deterministic and cfg.dropout > 0:
                 dropout_rng = self.make_rng("dropout")
@@ -229,6 +252,7 @@ class XLNetRelativeAttention(nn.Module):
                 )
             return ctx.reshape(bsz, qlen2, h, dh)
 
+        rw = (q_head + self.r_w_bias).astype(self.dtype)
         rr = (q_head + self.r_r_bias).astype(self.dtype)
         bd = jnp.einsum(bd_eq, rr,
                         k_head_r.astype(self.dtype),
@@ -282,6 +306,9 @@ class XLNetRelativeAttention(nn.Module):
         *,
         deterministic: bool = True,
         output_attentions: bool = False,
+        mask_bias_h: Optional[jax.Array] = None,  # [B,1,Q,K] −1e30·mask @ dt
+        mask_bias_g: Optional[jax.Array] = None,
+        seg_diff: Optional[jax.Array] = None,      # [B,1,Q,K] bool
     ):
         dt = self.dtype
         cat = h if mems is None else jnp.concatenate(
@@ -307,7 +334,8 @@ class XLNetRelativeAttention(nn.Module):
 
         attn_out_h = self._rel_attn_core(
             q_head_h, k_head, v_head, k_head_r, seg_mat, attn_mask_h,
-            deterministic, head_mask, output_attentions)
+            deterministic, head_mask, output_attentions,
+            mask_bias=mask_bias_h, seg_diff=seg_diff)
         if output_attentions:
             attn_vec_h, attn_prob_h = attn_out_h
         else:
@@ -326,7 +354,8 @@ class XLNetRelativeAttention(nn.Module):
                 attn_out_g = self._rel_attn_core(
                     q_head_g, k_head, v_head, k_head_r, seg_mat,
                     attn_mask_g, deterministic, head_mask,
-                    output_attentions)
+                    output_attentions, mask_bias=mask_bias_g,
+                    seg_diff=seg_diff)
                 if output_attentions:
                     # HF returns the projected-q-space probs un-projected
                     attn_vec_g, attn_prob_g = attn_out_g
@@ -338,7 +367,8 @@ class XLNetRelativeAttention(nn.Module):
                 attn_out_g = self._rel_attn_core(
                     q_head_g, k_head, v_head, k_head_r, seg_mat,
                     attn_mask_g, deterministic, head_mask,
-                    output_attentions)
+                    output_attentions, mask_bias=mask_bias_g,
+                    seg_diff=seg_diff)
                 if output_attentions:
                     attn_vec_g, attn_prob_g = attn_out_g
                 else:
@@ -380,14 +410,18 @@ class XLNetLayer(nn.Module):
     @nn.compact
     def __call__(self, h, g, attn_mask_h, attn_mask_g, r, seg_mat,
                  mems=None, target_mapping=None, head_mask=None,
-                 deterministic=True, output_attentions=False):
+                 deterministic=True, output_attentions=False,
+                 mask_bias_h=None, mask_bias_g=None, seg_diff=None):
         # deterministic is positional (not kw-only) so nn.remat can mark it
-        # static for the rematerialized stack.
+        # static for the rematerialized stack; the precomputed fused-path
+        # forms (mask_bias_*/seg_diff, see _rel_attn_core) trail it so the
+        # static argnums stay (10, 11).
         attn_out = XLNetRelativeAttention(
             self.config, self.dtype, name="rel_attn")(
             h, g, attn_mask_h, attn_mask_g, r, seg_mat, mems,
             target_mapping, head_mask, deterministic=deterministic,
-            output_attentions=output_attentions)
+            output_attentions=output_attentions, mask_bias_h=mask_bias_h,
+            mask_bias_g=mask_bias_g, seg_diff=seg_diff)
         if output_attentions:
             out_h, out_g, attn_prob = attn_out
         else:
@@ -510,7 +544,7 @@ class MagXLNetModel(nn.Module):
             output_g = dropout(word_emb_q, deterministic=deterministic)
 
         # ---- segment matrix (xlnet.py:315-329) ----
-        seg_mat = None
+        seg_mat, seg_diff = None, None
         if token_type_ids is not None:
             if mlen > 0:
                 mem_pad = jnp.zeros((b, mlen), token_type_ids.dtype)
@@ -519,6 +553,7 @@ class MagXLNetModel(nn.Module):
                 cat_ids = token_type_ids
             diff = (token_type_ids[:, :, None] != cat_ids[:, None, :])
             seg_mat = jax.nn.one_hot(diff.astype(jnp.int32), 2, dtype=f32)
+            seg_diff = diff[:, None]  # [B,1,Q,K] bool behind the one-hot
 
         # ---- relative positions (xlnet.py:331-333) ----
         pos_emb = relative_positional_encoding(
@@ -545,6 +580,24 @@ class MagXLNetModel(nn.Module):
                   beta_shift=mm_cfg.beta_shift,
                   dropout_prob=mm_cfg.dropout_prob,
                   use_fused_kernel=mm_cfg.use_fused_kernel, name="MAG")
+
+        # Hoist the fused path's layer-independent ebias ingredients out of
+        # the layer loop (see XLNetRelativeAttention._rel_attn_core): the
+        # −1e30·mask product and the seg one-hot→select conversion are the
+        # same for all n_layer layers, and remat boundaries stop XLA from
+        # CSE-ing them across layers (~0.2 ms/layer of copies at b256).
+        mask_bias_h = mask_bias_g = None
+        fused_path = (cfg.attention_impl == "fused" and head_mask is None
+                      and not output_attentions)
+        if fused_path:
+            if non_tgt_mask is not None:
+                mask_bias_h = (-(MASK_VERY_NEG * non_tgt_mask)).astype(
+                    self.dtype)
+            if attn_mask is not None and target_mapping is not None:
+                mask_bias_g = (-(MASK_VERY_NEG * attn_mask)).astype(
+                    self.dtype)
+        else:
+            seg_diff = None
 
         if mems is None:
             mems = [None] * cfg.n_layer
@@ -580,7 +633,7 @@ class MagXLNetModel(nn.Module):
                 cfg, self.dtype, name=f"layer_{i}")(
                 output_h, output_g, non_tgt_mask, attn_mask, pos_emb,
                 seg_mat, mems[i], target_mapping, hm, deterministic,
-                output_attentions)
+                output_attentions, mask_bias_h, mask_bias_g, seg_diff)
             if output_attentions:
                 output_h, output_g, attn_prob = layer_out
                 attentions.append(attn_prob)

@@ -52,7 +52,9 @@ def main():
             cfg, MultimodalConfig(1.0, 0.5, injection_index=1),
             visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16)
     else:
-        cfg = BertConfig.bert_base_uncased()
+        cfg = (BertConfig.bert_large_uncased()
+               if os.environ.get("BENCH_MODEL") == "bert-large"
+               else BertConfig.bert_base_uncased())
         attn = os.environ.get("BENCH_ATTN", "fused")  # match bench.py
         if attn != "einsum":
             import dataclasses
