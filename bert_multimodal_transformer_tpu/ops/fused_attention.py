@@ -81,177 +81,198 @@ def _softmax_f32(scores: jax.Array) -> jax.Array:
 
 
 def _attn_fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref,
-                     *maybe_prob_refs,
+                     *rest,
                      scale: float, rate: float, n_heads: int, nb: int,
                      save: bool = False):
     # save=True additionally writes the (pre-dropout) probs p and, when
     # dropout is active, the dropped/scaled probs pd — both bf16 — so the
     # backward can skip the QK-dot + softmax recompute (55% of its time,
     # tools/exp_bwd_variants.py).
+    # The elementwise chain (scale+bias, softmax, PRNG, select) runs once
+    # per row on the [H, S, S] scratch across all heads — per-head [50,50]
+    # tiles are a fraction of a VPU issue, so H separate chains were
+    # issue-overhead-dominated (tools/exp_attn_vpu_batching.py: the packed
+    # twin measured 1.00 → 0.60 ms/call at bert-base b256).
+    s_ref = rest[-1]                                        # [H,S,S] f32
     f32 = jnp.float32
     if save:
-        p_ref = maybe_prob_refs[0]
-        pd_ref = maybe_prob_refs[1] if rate > 0.0 else None
+        p_ref = rest[0]
+        pd_ref = rest[1] if rate > 0.0 else None
     if rate > 0.0:
         thresh = np.uint32(_dropout_threshold(rate))
         inv_keep = 1.0 / (1.0 - rate)
     for b in range(nb):
-        if rate > 0.0:
-            # Seed per GLOBAL batch row (not per program): forward and
-            # backward may run with different nb blockings, and the mask
-            # replay must not depend on the partitioning.
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
         bias = bias_ref[b].astype(f32)                      # [1, S]
         for h in range(n_heads):
             q = q_ref[b, h]                                 # [S, Dh]
             k = k_ref[b, h]
-            v = v_ref[b, h]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=f32)  # [S, S]
-            s = s * scale + bias
-            p = _softmax_f32(s)
+            s_ref[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # [S, S]
+        p = _softmax_f32(s_ref[:] * scale + bias[None])     # [H, S, S]
+        if save:
+            p_ref[b] = p.astype(p_ref.dtype)
+        if rate > 0.0:
+            # Seed per GLOBAL batch row (not per program): forward and
+            # backward may run with different nb blockings, and the mask
+            # replay must not depend on the partitioning. One [H, S, S]
+            # draw per row; the backward replays the same single draw.
+            # (prng_random_bits returns *int32* on this JAX version —
+            # bitcast to uint32 or the >= threshold test is vacuous.)
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
             if save:
-                p_ref[b, h] = p.astype(p_ref.dtype)
-            if rate > 0.0:
-                # prng_random_bits returns *int32* on this JAX version —
-                # bitcast to uint32 or the >= threshold test is vacuous.
-                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
-                                     jnp.uint32)             # [S, S]
-                p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
-                if save:
-                    pd_ref[b, h] = p.astype(pd_ref.dtype)
-            o = jax.lax.dot_general(p.astype(q.dtype), v,
+                pd_ref[b] = p.astype(pd_ref.dtype)
+        pc = p.astype(q_ref.dtype)
+        for h in range(n_heads):
+            o = jax.lax.dot_general(pc[h], v_ref[b, h],
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=f32)
             o_ref[b, h] = o.astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref,
-                     dq_ref, dk_ref, dv_ref, *,
+                     dq_ref, dk_ref, dv_ref, s_ref, t_ref, *,
                      scale: float, rate: float, n_heads: int, nb: int):
+    """Recompute backward. s_ref/t_ref are [H,S,S] f32 scratch; the
+    softmax recompute and ds chain run once per row across all heads,
+    replaying the forward's single per-row [H,S,S] PRNG draw (identical
+    per-global-row seeding, so the keep-mask replays exactly even when
+    fwd/bwd use different nb blockings)."""
     f32 = jnp.float32
     if rate > 0.0:
         thresh = np.uint32(_dropout_threshold(rate))
         inv_keep = 1.0 / (1.0 - rate)
     for b in range(nb):
-      if rate > 0.0:
-          # Identical per-global-row seeding + per-head draw order to the
-          # forward kernel: the hardware PRNG replays the exact keep-mask
-          # even when fwd/bwd use different nb blockings.
-          pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
-      bias = bias_ref[b].astype(f32)
-      for h in range(n_heads):
-          q = q_ref[b, h]
-          k = k_ref[b, h]
-          v = v_ref[b, h]
-          g = g_ref[b, h]
-          s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=f32)
-          s = s * scale + bias
-          p = _softmax_f32(s)                                  # [Sq, Sk] f32
-          if rate > 0.0:
-              bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
-                                   jnp.uint32)
-              keepf = jnp.where(bits >= thresh, inv_keep, 0.0)  # f32
-              pd = p * keepf
-          else:
-              pd = p
-          pd_c = pd.astype(q.dtype)
-          # dV = pdᵀ · g                                        [Sk, Dh]
-          dv = jax.lax.dot_general(pd_c, g, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=f32)
-          dv_ref[b, h] = dv.astype(dv_ref.dtype)
-          # d(pd) = g · Vᵀ                                      [Sq, Sk]
-          dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=f32)
-          # softmax VJP through the dropout, algebraically compacted:
-          # dp = dpd⊙keepf, and p⊙dp = (p⊙keepf)⊙dpd = pd⊙dpd =: t, so
-          #   ds = p ⊙ (dp − Σ_k dp⊙p) = t − p ⊙ Σ_k t
-          # — the dp tensor never needs to be built.
-          t = pd * dpd
-          ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
-          ds_c = ds.astype(q.dtype)
-          # dQ = ds · K                                         [Sq, Dh]
-          dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=f32)
-          dq_ref[b, h] = dq.astype(dq_ref.dtype)
-          # dK = dsᵀ · Q                                        [Sk, Dh]
-          dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=f32)
-          dk_ref[b, h] = dk.astype(dk_ref.dtype)
-
-
-def _attn_bwd_saved_kernel(p_ref, pd_ref, q_ref, k_ref, v_ref, g_ref,
-                           dq_ref, dk_ref, dv_ref, *,
-                           scale: float, n_heads: int, nb: int):
-    """Backward from saved probs: no QK dot, no softmax, no PRNG.
-    pd_ref is the dropped/scaled probs (== p_ref when dropout was off —
-    the caller passes the same array twice in that case)."""
-    f32 = jnp.float32
-    for b in range(nb):
+        bias = bias_ref[b].astype(f32)
         for h in range(n_heads):
-            q = q_ref[b, h]
-            k = k_ref[b, h]
-            v = v_ref[b, h]
+            s_ref[h] = jax.lax.dot_general(
+                q_ref[b, h], k_ref[b, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        p = _softmax_f32(s_ref[:] * scale + bias[None])     # [H, S, S]
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            pd = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+        else:
+            pd = p
+        pd_c = pd.astype(q_ref.dtype)
+        for h in range(n_heads):
             g = g_ref[b, h]
-            p = p_ref[b, h].astype(f32)
-            pd_c = pd_ref[b, h]                               # bf16
-            dv = jax.lax.dot_general(pd_c, g, (((0,), (0,)), ((), ())),
+            # dV = pdᵀ · g                                    [Sk, Dh]
+            dv = jax.lax.dot_general(pd_c[h], g, (((0,), (0,)), ((), ())),
                                      preferred_element_type=f32)
             dv_ref[b, h] = dv.astype(dv_ref.dtype)
-            dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=f32)
-            # ds = t − p ⊙ Σ_k t with t = pd⊙dpd (see _attn_bwd_kernel)
-            t = pd_c.astype(f32) * dpd
-            ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
-            ds_c = ds.astype(q.dtype)
-            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
+            # d(pd) = g · Vᵀ                                  [Sq, Sk]
+            t_ref[h] = jax.lax.dot_general(
+                g, v_ref[b, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        # softmax VJP through the dropout, algebraically compacted:
+        # dp = dpd⊙keepf, and p⊙dp = (p⊙keepf)⊙dpd = pd⊙dpd =: t, so
+        #   ds = p ⊙ (dp − Σ_k dp⊙p) = t − p ⊙ Σ_k t
+        # — the dp tensor never needs to be built.
+        t = pd * t_ref[:]
+        ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
+        ds_c = ds.astype(q_ref.dtype)
+        for h in range(n_heads):
+            # dQ = ds · K                                     [Sq, Dh]
+            dq = jax.lax.dot_general(ds_c[h], k_ref[b, h],
+                                     (((1,), (0,)), ((), ())),
                                      preferred_element_type=f32)
             dq_ref[b, h] = dq.astype(dq_ref.dtype)
-            dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+            # dK = dsᵀ · Q                                    [Sk, Dh]
+            dk = jax.lax.dot_general(ds_c[h], q_ref[b, h],
+                                     (((0,), (0,)), ((), ())),
                                      preferred_element_type=f32)
             dk_ref[b, h] = dk.astype(dk_ref.dtype)
 
 
-def _attn_fwd_packed_kernel(seed_ref, bias_ref, qkv_ref, o_ref,
-                            *maybe_prob_refs,
+def _attn_bwd_saved_kernel(p_ref, pd_ref, q_ref, k_ref, v_ref, g_ref,
+                           dq_ref, dk_ref, dv_ref, t_ref, *,
+                           scale: float, n_heads: int, nb: int):
+    """Backward from saved probs: no QK dot, no softmax, no PRNG.
+    pd_ref is the dropped/scaled probs (== p_ref when dropout was off —
+    the caller passes the same array twice in that case). t_ref is
+    [H,S,S] f32 scratch; the ds chain runs once per row across heads."""
+    f32 = jnp.float32
+    for b in range(nb):
+        for h in range(n_heads):
+            g = g_ref[b, h]
+            dv = jax.lax.dot_general(pd_ref[b, h], g,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dv_ref[b, h] = dv.astype(dv_ref.dtype)
+            t_ref[h] = jax.lax.dot_general(                  # dpd
+                g, v_ref[b, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        # ds = t − p ⊙ Σ_k t with t = pd⊙dpd (see _attn_bwd_kernel)
+        p = p_ref[b].astype(f32)                             # [H, S, S]
+        t = pd_ref[b].astype(f32) * t_ref[:]
+        ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
+        ds_c = ds.astype(q_ref.dtype)
+        for h in range(n_heads):
+            dq = jax.lax.dot_general(ds_c[h], k_ref[b, h],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dq_ref[b, h] = dq.astype(dq_ref.dtype)
+            dk = jax.lax.dot_general(ds_c[h], q_ref[b, h],
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dk_ref[b, h] = dk.astype(dk_ref.dtype)
+
+
+def _attn_fwd_packed_kernel(seed_ref, bias_ref, qkv_ref, o_ref, *rest,
                             scale: float, rate: float, n_heads: int,
                             dh: int, nb: int, save: bool = False):
     """Packed-layout forward: qkv_ref is the raw QKV projection output
     [nb, S, 3·D] (column packing i·D + h·Dh + c, i.e. reshape(S,3,H,Dh)),
     o_ref is [nb, S, D]. Heads are static lane slices — the [B,S,H,Dh]
     ↔ [B,H,S,Dh] HBM transposes (7.1+4.9+3.4 ms/step at bert-base b256,
-    tools/analyze_trace.py) never happen."""
+    tools/analyze_trace.py) never happen.
+
+    The elementwise chain (scale+bias, softmax, PRNG, select) runs ONCE
+    per row on the whole [H, S, S] score scratch instead of per head:
+    the per-head [50, 50] tiles are a fraction of a VPU issue, so the
+    per-op overhead of H separate chains dominated the kernel (measured
+    1.00 → 0.60 ms/call at bert-base b256, tools/exp_attn_vpu_batching
+    .py). Dropout accordingly draws one [H, S, S] block per row, seeded
+    per (grid row) exactly like before — the recompute backward replays
+    the identical stream."""
+    s_ref = rest[-1]                                        # [H,S,S] f32
     f32 = jnp.float32
     d = n_heads * dh
     if save:
-        p_ref = maybe_prob_refs[0]
-        pd_ref = maybe_prob_refs[1] if rate > 0.0 else None
+        p_ref = rest[0]
+        pd_ref = rest[1] if rate > 0.0 else None
     if rate > 0.0:
         thresh = np.uint32(_dropout_threshold(rate))
         inv_keep = 1.0 / (1.0 - rate)
     for b in range(nb):
-        if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
         bias = bias_ref[b].astype(f32)                      # [1, S]
-        outs = []
         for h in range(n_heads):
             q = qkv_ref[b, :, h * dh:(h + 1) * dh]          # [S, Dh]
             k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
-            v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=f32)  # [S, S]
-            s = s * scale + bias
-            p = _softmax_f32(s)
+            s_ref[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # [S, S]
+        p = _softmax_f32(s_ref[:] * scale + bias[None])     # [H, S, S]
+        if save:
+            p_ref[b] = p.astype(p_ref.dtype)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
             if save:
-                p_ref[b, h] = p.astype(p_ref.dtype)
-            if rate > 0.0:
-                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
-                                     jnp.uint32)
-                p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
-                if save:
-                    pd_ref[b, h] = p.astype(pd_ref.dtype)
-            o = jax.lax.dot_general(p.astype(q.dtype), v,
+                pd_ref[b] = p.astype(pd_ref.dtype)
+        pc = p.astype(qkv_ref.dtype)
+        outs = []
+        for h in range(n_heads):
+            v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            o = jax.lax.dot_general(pc[h], v,
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=f32)
             outs.append(o.astype(o_ref.dtype))
@@ -259,89 +280,102 @@ def _attn_fwd_packed_kernel(seed_ref, bias_ref, qkv_ref, o_ref,
 
 
 def _attn_bwd_packed_kernel(seed_ref, bias_ref, qkv_ref, g_ref, dqkv_ref,
+                            s_ref, t_ref,
                             *, scale: float, rate: float, n_heads: int,
                             dh: int, nb: int):
     """Packed-layout recompute backward: g_ref [nb, S, D] (ctx grad in
     natural layout), dqkv_ref [nb, S, 3·D]. Same per-row seeding and
-    per-head draw order as the packed forward."""
+    single [H,S,S] draw as the packed forward (stream replay).
+    s_ref/t_ref are [H,S,S] f32 scratch: the softmax recompute and the
+    ds chain run once per row across all heads (see fwd docstring)."""
     f32 = jnp.float32
     d = n_heads * dh
     if rate > 0.0:
         thresh = np.uint32(_dropout_threshold(rate))
         inv_keep = 1.0 / (1.0 - rate)
     for b in range(nb):
-        if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
         bias = bias_ref[b].astype(f32)
-        dqs, dks, dvs = [], [], []
         for h in range(n_heads):
             q = qkv_ref[b, :, h * dh:(h + 1) * dh]
             k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
+            s_ref[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        p = _softmax_f32(s_ref[:] * scale + bias[None])     # [H, S, S]
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            pd = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+        else:
+            pd = p
+        pd_c = pd.astype(qkv_ref.dtype)
+        dvs = []
+        for h in range(n_heads):
             v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
             g = g_ref[b, :, h * dh:(h + 1) * dh]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=f32)
-            s = s * scale + bias
-            p = _softmax_f32(s)
-            if rate > 0.0:
-                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
-                                     jnp.uint32)
-                keepf = jnp.where(bits >= thresh, inv_keep, 0.0)
-                pd = p * keepf
-            else:
-                pd = p
-            pd_c = pd.astype(q.dtype)
-            dv = jax.lax.dot_general(pd_c, g, (((0,), (0,)), ((), ())),
+            dv = jax.lax.dot_general(pd_c[h], g, (((0,), (0,)), ((), ())),
                                      preferred_element_type=f32)
-            dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=f32)
-            t = pd * dpd
-            ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
-            ds_c = ds.astype(q.dtype)
-            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
+            dvs.append(dv.astype(dqkv_ref.dtype))
+            t_ref[h] = jax.lax.dot_general(                 # dpd
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        t = pd * t_ref[:]
+        ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
+        ds_c = ds.astype(qkv_ref.dtype)
+        dqs, dks = [], []
+        for h in range(n_heads):
+            q = qkv_ref[b, :, h * dh:(h + 1) * dh]
+            k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
+            dq = jax.lax.dot_general(ds_c[h], k, (((1,), (0,)), ((), ())),
                                      preferred_element_type=f32)
-            dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+            dk = jax.lax.dot_general(ds_c[h], q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=f32)
             dqs.append(dq.astype(dqkv_ref.dtype))
             dks.append(dk.astype(dqkv_ref.dtype))
-            dvs.append(dv.astype(dqkv_ref.dtype))
         dqkv_ref[b] = jnp.concatenate(dqs + dks + dvs, axis=-1)
 
 
 def _attn_bwd_packed_saved_kernel(p_ref, pd_ref, qkv_ref, g_ref, dqkv_ref,
+                                  t_ref,
                                   *, scale: float, n_heads: int, dh: int,
                                   nb: int):
-    """Packed-layout backward from saved probs (no QK dot, softmax, PRNG)."""
+    """Packed-layout backward from saved probs (no QK dot, softmax, PRNG).
+    t_ref is [H,S,S] f32 scratch; the ds chain runs once per row across
+    all heads (see fwd docstring)."""
     f32 = jnp.float32
     d = n_heads * dh
     for b in range(nb):
-        dqs, dks, dvs = [], [], []
+        dvs = []
+        for h in range(n_heads):
+            v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            g = g_ref[b, :, h * dh:(h + 1) * dh]
+            dv = jax.lax.dot_general(pd_ref[b, h], g,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dvs.append(dv.astype(dqkv_ref.dtype))
+            t_ref[h] = jax.lax.dot_general(                 # dpd
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        p = p_ref[b].astype(f32)                            # [H, S, S]
+        t = pd_ref[b].astype(f32) * t_ref[:]
+        ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
+        ds_c = ds.astype(qkv_ref.dtype)
+        dqs, dks = [], []
         for h in range(n_heads):
             q = qkv_ref[b, :, h * dh:(h + 1) * dh]
             k = qkv_ref[b, :, d + h * dh:d + (h + 1) * dh]
-            v = qkv_ref[b, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
-            g = g_ref[b, :, h * dh:(h + 1) * dh]
-            p = p_ref[b, h].astype(f32)
-            pd_c = pd_ref[b, h]
-            dv = jax.lax.dot_general(pd_c, g, (((0,), (0,)), ((), ())),
+            dq = jax.lax.dot_general(ds_c[h], k, (((1,), (0,)), ((), ())),
                                      preferred_element_type=f32)
-            dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=f32)
-            t = pd_c.astype(f32) * dpd
-            ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
-            ds_c = ds.astype(q.dtype)
-            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=f32)
-            dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+            dk = jax.lax.dot_general(ds_c[h], q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=f32)
             dqs.append(dq.astype(dqkv_ref.dtype))
             dks.append(dk.astype(dqkv_ref.dtype))
-            dvs.append(dv.astype(dqkv_ref.dtype))
         dqkv_ref[b] = jnp.concatenate(dqs + dks + dvs, axis=-1)
 
 
 def _attn_fwd_rel_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref, o_ref,
-                         *maybe_prob_refs,
+                         *rest,
                          scale: float, rate: float, n_heads: int,
                          dh: int, nb: int, save: bool = False):
     """Packed-layout forward with a full per-head additive score bias
@@ -350,36 +384,40 @@ def _attn_fwd_rel_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref, o_ref,
     of the einsum path's ac/bd/ef/score/probs/keep-mask family).
     q_ref [nb,Q,D]; k_ref/v_ref [nb,K,D]; ebias_ref [nb,H,Q,K] f32.
       s = (q_h · k_hᵀ)·scale + ebias[h] ; softmax ; dropout ; ·v_h
-    """
+    The elementwise chain runs once per row on the [H,Q,K] scratch —
+    see _attn_fwd_packed_kernel's docstring; the single [H,Q,K] dropout
+    draw per row is replayed identically by the recompute backward."""
+    s_ref = rest[-1]                                        # [H,Q,K] f32
     f32 = jnp.float32
-    d = n_heads * dh
     if save:
-        p_ref = maybe_prob_refs[0]
-        pd_ref = maybe_prob_refs[1] if rate > 0.0 else None
+        p_ref = rest[0]
+        pd_ref = rest[1] if rate > 0.0 else None
     if rate > 0.0:
         thresh = np.uint32(_dropout_threshold(rate))
         inv_keep = 1.0 / (1.0 - rate)
     for b in range(nb):
-        if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
-        outs = []
         for h in range(n_heads):
             q = q_ref[b, :, h * dh:(h + 1) * dh]            # [Q, Dh]
             k = k_ref[b, :, h * dh:(h + 1) * dh]            # [K, Dh]
-            v = v_ref[b, :, h * dh:(h + 1) * dh]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=f32)  # [Q, K]
-            s = s * scale + ebias_ref[b, h].astype(f32)
-            p = _softmax_f32(s)
+            s_ref[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # [Q, K]
+        p = _softmax_f32(s_ref[:] * scale
+                         + ebias_ref[b].astype(f32))        # [H, Q, K]
+        if save:
+            p_ref[b] = p.astype(p_ref.dtype)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
             if save:
-                p_ref[b, h] = p.astype(p_ref.dtype)
-            if rate > 0.0:
-                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
-                                     jnp.uint32)
-                p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
-                if save:
-                    pd_ref[b, h] = p.astype(pd_ref.dtype)
-            o = jax.lax.dot_general(p.astype(q.dtype), v,
+                pd_ref[b] = p.astype(pd_ref.dtype)
+        pc = p.astype(q_ref.dtype)
+        outs = []
+        for h in range(n_heads):
+            v = v_ref[b, :, h * dh:(h + 1) * dh]
+            o = jax.lax.dot_general(pc[h], v,
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=f32)
             outs.append(o.astype(o_ref.dtype))
@@ -387,86 +425,97 @@ def _attn_fwd_rel_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _attn_bwd_rel_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref, g_ref,
-                         dq_ref, dk_ref, dv_ref, debias_ref, *,
-                         scale: float, rate: float, n_heads: int,
+                         dq_ref, dk_ref, dv_ref, debias_ref, s_ref, t_ref,
+                         *, scale: float, rate: float, n_heads: int,
                          dh: int, nb: int):
     """Recompute backward for the rel-bias kernel. Emits debias = dscore
-    so the (bd, ef, mask) assembly outside differentiates through XLA."""
+    so the (bd, ef, mask) assembly outside differentiates through XLA.
+    s_ref/t_ref are [H,Q,K] f32 scratch: softmax recompute + ds chain run
+    once per row; the dropout stream replays the fwd's [H,Q,K] draw."""
     f32 = jnp.float32
     if rate > 0.0:
         thresh = np.uint32(_dropout_threshold(rate))
         inv_keep = 1.0 / (1.0 - rate)
     for b in range(nb):
-        if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
-        dqs, dks, dvs = [], [], []
         for h in range(n_heads):
             q = q_ref[b, :, h * dh:(h + 1) * dh]
             k = k_ref[b, :, h * dh:(h + 1) * dh]
+            s_ref[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        p = _softmax_f32(s_ref[:] * scale
+                         + ebias_ref[b].astype(f32))        # [H, Q, K]
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            pd = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+        else:
+            pd = p
+        pd_c = pd.astype(q_ref.dtype)
+        dvs = []
+        for h in range(n_heads):
             v = v_ref[b, :, h * dh:(h + 1) * dh]
             g = g_ref[b, :, h * dh:(h + 1) * dh]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=f32)
-            s = s * scale + ebias_ref[b, h].astype(f32)
-            p = _softmax_f32(s)
-            if rate > 0.0:
-                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
-                                     jnp.uint32)
-                keepf = jnp.where(bits >= thresh, inv_keep, 0.0)
-                pd = p * keepf
-            else:
-                pd = p
-            pd_c = pd.astype(q.dtype)
-            dv = jax.lax.dot_general(pd_c, g, (((0,), (0,)), ((), ())),
+            dv = jax.lax.dot_general(pd_c[h], g, (((0,), (0,)), ((), ())),
                                      preferred_element_type=f32)
-            dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=f32)
-            t = pd * dpd
-            ds = t - p * jnp.sum(t, axis=-1, keepdims=True)   # dscore
-            debias_ref[b, h] = ds.astype(debias_ref.dtype)
-            ds_c = (ds * scale).astype(q.dtype)
-            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
+            dvs.append(dv.astype(dv_ref.dtype))
+            t_ref[h] = jax.lax.dot_general(                 # dpd
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        t = pd * t_ref[:]
+        ds = t - p * jnp.sum(t, axis=-1, keepdims=True)     # dscore
+        debias_ref[b] = ds.astype(debias_ref.dtype)
+        ds_c = (ds * scale).astype(q_ref.dtype)
+        dqs, dks = [], []
+        for h in range(n_heads):
+            q = q_ref[b, :, h * dh:(h + 1) * dh]
+            k = k_ref[b, :, h * dh:(h + 1) * dh]
+            dq = jax.lax.dot_general(ds_c[h], k, (((1,), (0,)), ((), ())),
                                      preferred_element_type=f32)
-            dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+            dk = jax.lax.dot_general(ds_c[h], q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=f32)
             dqs.append(dq.astype(dq_ref.dtype))
             dks.append(dk.astype(dk_ref.dtype))
-            dvs.append(dv.astype(dv_ref.dtype))
         dq_ref[b] = jnp.concatenate(dqs, axis=-1)
         dk_ref[b] = jnp.concatenate(dks, axis=-1)
         dv_ref[b] = jnp.concatenate(dvs, axis=-1)
 
 
 def _attn_bwd_rel_saved_kernel(p_ref, pd_ref, q_ref, k_ref, v_ref, g_ref,
-                               dq_ref, dk_ref, dv_ref, debias_ref, *,
-                               scale: float, n_heads: int, dh: int,
+                               dq_ref, dk_ref, dv_ref, debias_ref, t_ref,
+                               *, scale: float, n_heads: int, dh: int,
                                nb: int):
-    """Saved-probs backward for the rel-bias kernel."""
+    """Saved-probs backward for the rel-bias kernel. t_ref is [H,Q,K]
+    f32 scratch; the ds chain runs once per row across all heads."""
     f32 = jnp.float32
     for b in range(nb):
-        dqs, dks, dvs = [], [], []
+        dvs = []
+        for h in range(n_heads):
+            v = v_ref[b, :, h * dh:(h + 1) * dh]
+            g = g_ref[b, :, h * dh:(h + 1) * dh]
+            dv = jax.lax.dot_general(pd_ref[b, h], g,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dvs.append(dv.astype(dv_ref.dtype))
+            t_ref[h] = jax.lax.dot_general(                 # dpd
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        p = p_ref[b].astype(f32)                            # [H, Q, K]
+        t = pd_ref[b].astype(f32) * t_ref[:]
+        ds = t - p * jnp.sum(t, axis=-1, keepdims=True)
+        debias_ref[b] = ds.astype(debias_ref.dtype)
+        ds_c = (ds * scale).astype(q_ref.dtype)
+        dqs, dks = [], []
         for h in range(n_heads):
             q = q_ref[b, :, h * dh:(h + 1) * dh]
             k = k_ref[b, :, h * dh:(h + 1) * dh]
-            v = v_ref[b, :, h * dh:(h + 1) * dh]
-            g = g_ref[b, :, h * dh:(h + 1) * dh]
-            p = p_ref[b, h].astype(f32)
-            pd_c = pd_ref[b, h]
-            dv = jax.lax.dot_general(pd_c, g, (((0,), (0,)), ((), ())),
+            dq = jax.lax.dot_general(ds_c[h], k, (((1,), (0,)), ((), ())),
                                      preferred_element_type=f32)
-            dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=f32)
-            t = pd_c.astype(f32) * dpd
-            ds = t - p * jnp.sum(t, axis=-1, keepdims=True)
-            debias_ref[b, h] = ds.astype(debias_ref.dtype)
-            ds_c = (ds * scale).astype(q.dtype)
-            dq = jax.lax.dot_general(ds_c, k, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=f32)
-            dk = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+            dk = jax.lax.dot_general(ds_c[h], q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=f32)
             dqs.append(dq.astype(dq_ref.dtype))
             dks.append(dk.astype(dk_ref.dtype))
-            dvs.append(dv.astype(dv_ref.dtype))
         dq_ref[b] = jnp.concatenate(dqs, axis=-1)
         dk_ref[b] = jnp.concatenate(dks, axis=-1)
         dv_ref[b] = jnp.concatenate(dvs, axis=-1)
@@ -527,6 +576,7 @@ def _fwd_pallas(q, k, v, bias, seed, *, scale, rate, interpret, nb=None,
         in_specs=[seed_spec, bias_spec, qkv_spec, qkv_spec, qkv_spec],
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((h, s, s), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * s * dh + flops_sm,
@@ -552,6 +602,8 @@ def _bwd_pallas(q, k, v, bias, seed, g, *, scale, rate, interpret, nb=None):
         out_specs=(qkv_spec, qkv_spec, qkv_spec),
         out_shape=tuple(jax.ShapeDtypeStruct(q.shape, q.dtype)
                         for _ in range(3)),
+        scratch_shapes=[pltpu.VMEM((h, s, s), jnp.float32),
+                        pltpu.VMEM((h, s, s), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=10 * b * h * s * s * dh + 12 * b * h * s * s,
@@ -579,6 +631,7 @@ def _bwd_saved_pallas(p, pd, q, k, v, g, *, scale, interpret, nb=None):
         out_specs=(qkv_spec, qkv_spec, qkv_spec),
         out_shape=tuple(jax.ShapeDtypeStruct(q.shape, q.dtype)
                         for _ in range(3)),
+        scratch_shapes=[pltpu.VMEM((h, s, s), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=8 * b * h * s * s * dh + 8 * b * h * s * s,
@@ -652,6 +705,7 @@ def _fwd_packed_pallas(qkv, bias, seed, *, scale, rate, n_heads, interpret,
         in_specs=[seed_spec, bias_spec, qkv_spec],
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((n_heads, s, s), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n_heads * s * s * dh + 8 * b * n_heads * s * s,
@@ -681,6 +735,8 @@ def _bwd_packed_pallas(qkv, bias, seed, g, *, scale, rate, n_heads,
         in_specs=[seed_spec, bias_spec, qkv_spec, out_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((n_heads, s, s), jnp.float32),
+                        pltpu.VMEM((n_heads, s, s), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=10 * b * n_heads * s * s * dh + 12 * b * n_heads * s * s,
@@ -708,6 +764,7 @@ def _bwd_packed_saved_pallas(p, pd, qkv, g, *, scale, n_heads, interpret,
         in_specs=[prob_spec, prob_spec, qkv_spec, out_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((n_heads, s, s), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=8 * b * n_heads * s * s * dh + 8 * b * n_heads * s * s,
@@ -774,6 +831,7 @@ def _fwd_rel_pallas(q, k, v, ebias, seed, *, scale, rate, n_heads,
         in_specs=[seed_spec, eb_spec, q_spec, kv_spec, kv_spec],
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((n_heads, q_len, k_len), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n_heads * q_len * k_len * dh
@@ -813,6 +871,8 @@ def _bwd_rel_pallas(q, k, v, ebias, seed, g, *, scale, rate, n_heads,
                    jax.ShapeDtypeStruct(v.shape, v.dtype),
                    jax.ShapeDtypeStruct((b, n_heads, q_len, k_len),
                                         ebias.dtype)),
+        scratch_shapes=[pltpu.VMEM((n_heads, q_len, k_len), jnp.float32),
+                        pltpu.VMEM((n_heads, q_len, k_len), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=10 * b * n_heads * q_len * k_len * dh
@@ -850,6 +910,7 @@ def _bwd_rel_saved_pallas(p, pd, q, k, v, g, *, scale, n_heads, interpret,
                    jax.ShapeDtypeStruct(v.shape, v.dtype),
                    jax.ShapeDtypeStruct((b, n_heads, q_len, k_len),
                                         q.dtype)),
+        scratch_shapes=[pltpu.VMEM((n_heads, q_len, k_len), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=8 * b * n_heads * q_len * k_len * dh
