@@ -149,6 +149,102 @@ def _fwd_kernel(seed_ref, maskb_ref, segd_ref, ed_ref, rw_ref, rr_ref,
         o_ref[b] = jnp.concatenate(outs, axis=-1)
 
 
+def _fwd_save_kernel(seed_ref, maskb_ref, segd_ref, ed_ref, rw_ref,
+                     rr_ref, r_ref, k_ref, v_ref, o_ref, p_ref, pd_ref,
+                     s_ref, b2_ref, *, rate):
+    """Forward that also writes pre/post-dropout probs (bf16) so the
+    backward can skip the ac/bd dots, log-shift, softmax and PRNG."""
+    thresh = _thresh(rate)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0 else 1.0
+    for b in range(NB):
+        for h in range(H):
+            rw = rw_ref[b, :, h * DH:(h + 1) * DH]
+            kh = k_ref[b, :, h * DH:(h + 1) * DH]
+            s_ref[h] = jax.lax.dot_general(
+                rw, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            rr = rr_ref[b, :, h * DH:(h + 1) * DH]
+            rh = r_ref[:, h * DH:(h + 1) * DH]
+            b2_ref[h] = jax.lax.dot_general(
+                rr, rh, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        sh = _log_shift(b2_ref[:])
+        ed = ed_ref[b].astype(f32)[:, :, None]
+        segd = segd_ref[b].astype(f32)[None]
+        maskb = maskb_ref[b].astype(f32)[None]
+        s = s_ref[:] * SCALE + sh + ed * segd + maskb
+        p = jax.nn.softmax(s, axis=-1)
+        p_ref[b] = p.astype(p_ref.dtype)
+        if rate > 0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * NB + b)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+        pd_ref[b] = p.astype(pd_ref.dtype)
+        pc = p.astype(rw_ref.dtype)
+        outs = []
+        for h in range(H):
+            v = v_ref[b, :, h * DH:(h + 1) * DH]
+            o = jax.lax.dot_general(pc[h], v, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+            outs.append(o.astype(o_ref.dtype))
+        o_ref[b] = jnp.concatenate(outs, axis=-1)
+
+
+def _bwd_saved_kernel(p_ref, pd_ref, segd_ref, rw_ref, rr_ref, r_ref,
+                      k_ref, v_ref, g_ref,
+                      drw_ref, drr_ref, dk_ref, dv_ref, ded_ref, dr_ref,
+                      t_ref):
+    """Saved-probs backward: no ac/bd dots, no shift, no softmax, no
+    PRNG — just the ds chain, unshift, and the six grad dot families."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dr_ref[...] = jnp.zeros_like(dr_ref)
+
+    for b in range(NB):
+        dvs = []
+        for h in range(H):
+            v = v_ref[b, :, h * DH:(h + 1) * DH]
+            g = g_ref[b, :, h * DH:(h + 1) * DH]
+            dv = jax.lax.dot_general(pd_ref[b, h], g,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dvs.append(dv.astype(dv_ref.dtype))
+            t_ref[h] = jax.lax.dot_general(                  # dpd
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        dv_ref[b] = jnp.concatenate(dvs, axis=-1)
+        p = p_ref[b].astype(f32)
+        t = pd_ref[b].astype(f32) * t_ref[:]
+        ds = t - p * jnp.sum(t, axis=-1, keepdims=True)      # [H,Q,K] f32
+        segd = segd_ref[b].astype(f32)[None]
+        ded_ref[b] = jnp.sum(ds * segd, axis=-1).astype(ded_ref.dtype)
+        z = _log_unshift(ds).astype(rw_ref.dtype)            # [H,Q,P]
+        dsc = (ds * SCALE).astype(rw_ref.dtype)
+        drws, drrs, dks = [], [], []
+        for h in range(H):
+            kh = k_ref[b, :, h * DH:(h + 1) * DH]
+            rw = rw_ref[b, :, h * DH:(h + 1) * DH]
+            rr = rr_ref[b, :, h * DH:(h + 1) * DH]
+            rh = r_ref[:, h * DH:(h + 1) * DH]
+            drw = jax.lax.dot_general(dsc[h], kh, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+            dk = jax.lax.dot_general(dsc[h], rw, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            drr = jax.lax.dot_general(z[h], rh, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+            dr = jax.lax.dot_general(z[h], rr, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dr_ref[:, h * DH:(h + 1) * DH] += dr
+            drws.append(drw.astype(drw_ref.dtype))
+            drrs.append(drr.astype(drr_ref.dtype))
+            dks.append(dk.astype(dk_ref.dtype))
+        drw_ref[b] = jnp.concatenate(drws, axis=-1)
+        drr_ref[b] = jnp.concatenate(drrs, axis=-1)
+        dk_ref[b] = jnp.concatenate(dks, axis=-1)
+
+
 def _bwd_kernel(seed_ref, maskb_ref, segd_ref, ed_ref, rw_ref, rr_ref,
                 r_ref, k_ref, v_ref, g_ref,
                 drw_ref, drr_ref, dk_ref, dv_ref, ded_ref, dr_ref,
@@ -290,22 +386,89 @@ def _bwd_pallas(rw, rr, r, k, v, ed, segd, maskb, seed, g, rate):
     )(seed, maskb, segd, ed, rw, rr, r, k, v, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def rel_attn_inkernel(rw, rr, r, k, v, ed, segd, maskb, rate, seed):
+@functools.partial(jax.jit, static_argnames=("rate",))
+def _fwd_save_pallas(rw, rr, r, k, v, ed, segd, maskb, seed, rate):
+    seed_spec, qk_spec, ed_spec, row_spec, r_spec = _specs()
+    prob_spec = pl.BlockSpec((NB, H, Q, K), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    prob_shape = jax.ShapeDtypeStruct((B, H, Q, K), rw.dtype)
+    return pl.pallas_call(
+        functools.partial(_fwd_save_kernel, rate=rate),
+        grid=(B // NB,),
+        in_specs=[seed_spec, qk_spec, qk_spec, ed_spec, row_spec,
+                  row_spec, r_spec, row_spec, row_spec],
+        out_specs=(row_spec, prob_spec, prob_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, Q, D), rw.dtype),
+                   prob_shape, prob_shape),
+        scratch_shapes=[pltpu.VMEM((H, Q, K), f32),
+                        pltpu.VMEM((H, Q, P), f32)],
+        interpret=INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Q * (K + P + K) * DH + 8 * B * H * Q * K,
+            bytes_accessed=rw.dtype.itemsize * B * Q * 4 * D,
+            transcendentals=B * H * Q * K,
+        ),
+    )(seed, maskb, segd, ed, rw, rr, r, k, v)
+
+
+@jax.jit
+def _bwd_saved_pallas(p, pd, rw, rr, r, k, v, segd, g):
+    _, qk_spec, ed_spec, row_spec, r_spec = _specs()
+    prob_spec = pl.BlockSpec((NB, H, Q, K), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dr_spec = pl.BlockSpec((P, D), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bwd_saved_kernel,
+        grid=(B // NB,),
+        in_specs=[prob_spec, prob_spec, qk_spec, row_spec, row_spec,
+                  r_spec, row_spec, row_spec, row_spec],
+        out_specs=(row_spec, row_spec, row_spec, row_spec, ed_spec,
+                   dr_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, Q, D), rw.dtype),
+                   jax.ShapeDtypeStruct((B, Q, D), rw.dtype),
+                   jax.ShapeDtypeStruct((B, K, D), rw.dtype),
+                   jax.ShapeDtypeStruct((B, K, D), rw.dtype),
+                   jax.ShapeDtypeStruct((B, H, Q), rw.dtype),
+                   jax.ShapeDtypeStruct((P, D), f32)),
+        scratch_shapes=[pltpu.VMEM((H, Q, K), f32)],
+        interpret=INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Q * (K + P) * DH * 2 + 8 * B * H * Q * K,
+            bytes_accessed=rw.dtype.itemsize * B * Q * 9 * D,
+            transcendentals=0,
+        ),
+    )(p, pd, segd, rw, rr, r, k, v, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def rel_attn_inkernel(rw, rr, r, k, v, ed, segd, maskb, rate, save,
+                      seed):
     return _fwd_pallas(rw, rr, r, k, v, ed, segd, maskb, seed, rate)
 
 
-def _ik_fwd(rw, rr, r, k, v, ed, segd, maskb, rate, seed):
+def _ik_fwd(rw, rr, r, k, v, ed, segd, maskb, rate, save, seed):
+    if save:
+        out, p, pd = _fwd_save_pallas(rw, rr, r, k, v, ed, segd, maskb,
+                                      seed, rate)
+        return out, (rw, rr, r, k, v, segd, p, pd)
     out = _fwd_pallas(rw, rr, r, k, v, ed, segd, maskb, seed, rate)
     return out, (rw, rr, r, k, v, ed, segd, maskb, seed)
 
 
-def _ik_bwd(rate, res, g):
-    rw, rr, r, k, v, ed, segd, maskb, seed = res
-    drw, drr, dk, dv, ded, dr = _bwd_pallas(
-        rw, rr, r, k, v, ed, segd, maskb, seed, g, rate)
+def _ik_bwd(rate, save, res, g):
+    if save:
+        rw, rr, r, k, v, segd, p, pd = res
+        drw, drr, dk, dv, ded, dr = _bwd_saved_pallas(
+            p, pd, rw, rr, r, k, v, segd, g)
+        maskb_zero = jnp.zeros((B, Q, K), rw.dtype)
+    else:
+        rw, rr, r, k, v, ed, segd, maskb, seed = res
+        drw, drr, dk, dv, ded, dr = _bwd_pallas(
+            rw, rr, r, k, v, ed, segd, maskb, seed, g, rate)
+        maskb_zero = jnp.zeros_like(maskb)
     return (drw, drr, dr.astype(r.dtype), dk, dv, ded,
-            jnp.zeros_like(segd), jnp.zeros_like(maskb),
+            jnp.zeros_like(segd), maskb_zero,
             np.zeros((1, 1), jax.dtypes.float0))
 
 
@@ -342,8 +505,8 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # ---- parity (dropout off): fwd + grads vs the streamed twin ----
-    def loss_ik(args):
-        return jnp.sum(rel_attn_inkernel(*args, segd, maskb, 0.0,
+    def loss_ik(args, save=False):
+        return jnp.sum(rel_attn_inkernel(*args, segd, maskb, 0.0, save,
                                          seed).astype(f32))
 
     def loss_st(args):
@@ -352,15 +515,17 @@ def main():
 
     args = (rw, rr, r, k, v, ed)
     names = ("rw", "rr", "r", "k", "v", "ed")
-    y_ik, g_ik = jax.value_and_grad(loss_ik)(args)
     y_st, g_st = jax.value_and_grad(loss_st)(args)
-    print(f"fwd sum: inkernel {y_ik:.4f} stream {y_st:.4f} "
-          f"rel {abs(y_ik - y_st) / abs(y_st):.2e}")
-    for n, a, b_ in zip(names, g_ik, g_st):
-        a, b_ = a.astype(f32), b_.astype(f32)
-        denom = float(jnp.max(jnp.abs(b_))) or 1.0
-        print(f"  d{n:3s} max|Δ|/max|g| = "
-              f"{float(jnp.max(jnp.abs(a - b_))) / denom:.2e}")
+    for save in (False, True):
+        y_ik, g_ik = jax.value_and_grad(
+            functools.partial(loss_ik, save=save))(args)
+        print(f"fwd sum (save={save}): inkernel {y_ik:.4f} stream "
+              f"{y_st:.4f} rel {abs(y_ik - y_st) / abs(y_st):.2e}")
+        for n, a, b_ in zip(names, g_ik, g_st):
+            a, b_ = a.astype(f32), b_.astype(f32)
+            denom = float(jnp.max(jnp.abs(b_))) or 1.0
+            print(f"  d{n:3s} max|Δ|/max|g| = "
+                  f"{float(jnp.max(jnp.abs(a - b_))) / denom:.2e}")
 
     if INTERPRET:
         print("interpret mode: parity only, no timing")
@@ -390,8 +555,8 @@ def main():
         print(f"{name:10s} {ms:7.3f} ms/layer (fwd+bwd, {LAYERS} chained)")
         return ms
 
-    def loss_ik_d(args):
-        return jnp.sum(rel_attn_inkernel(*args, segd, maskb, RATE,
+    def loss_ik_d(args, save=False):
+        return jnp.sum(rel_attn_inkernel(*args, segd, maskb, RATE, save,
                                          seed).astype(f32))
 
     def loss_st_d(args):
@@ -401,6 +566,7 @@ def main():
     for _ in range(2):
         bench("stream", loss_st_d)
         bench("inkernel", loss_ik_d)
+        bench("ik_save", functools.partial(loss_ik_d, save=True))
 
 
 if __name__ == "__main__":
