@@ -88,10 +88,15 @@ def main():
         cfg = XLNetConfig.xlnet_base_cased()
         # Fused Pallas rel-attention kernel is the fastest validated
         # XLNet path; BENCH_ATTN=einsum restores the plain path.
+        # BENCH_REL_BIAS=inkernel assembles the score bias in VMEM
+        # (fused_rel_attention_ingredients) instead of streaming ebias.
         attn = os.environ.get("BENCH_ATTN", "fused")
+        import dataclasses
         if attn != "einsum":
-            import dataclasses
             cfg = dataclasses.replace(cfg, attention_impl=attn)
+        relb = os.environ.get("BENCH_REL_BIAS", "stream")
+        if relb != "stream":
+            cfg = dataclasses.replace(cfg, rel_bias_impl=relb)
         model = MagXLNetForSequenceClassification(
             cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
             remat=os.environ.get("BENCH_REMAT", "0") == "1")

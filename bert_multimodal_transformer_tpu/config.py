@@ -155,6 +155,13 @@ class XLNetConfig:
     # kernel for the content stream: in-VMEM softmax + prob-dropout,
     # ebias-streamed scores — ops/fused_attention.py::fused_rel_attention)
     attention_impl: str = "einsum"
+    # Fused-path score-bias assembly: "stream" materializes the [B,H,Q,K]
+    # ebias in XLA and streams it through HBM; "inkernel" hands the raw
+    # ingredients to the kernel, which assembles bd/rel-shift/segment/mask
+    # in VMEM (ops/fused_attention.py::fused_rel_attention_ingredients).
+    # "inkernel" applies to the single-device bi-attention content path
+    # (TP, bi_data, and uni attention fall back to "stream" forms).
+    rel_bias_impl: str = "stream"
     # Tensor-parallel attention mesh (see BertConfig.tp_attention_mesh):
     # routes the fused rel-attention kernel through shard_map with heads
     # sharded over the "model" axis. The einsum path needs no mesh here —

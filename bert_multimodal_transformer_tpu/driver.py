@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(in-VMEM softmax+dropout, fused bwd); "
                         "flash = blockwise kernel for long sequences "
                         "(seq %% 128 == 0)")
+    p.add_argument("--rel_bias_impl", type=str, default="stream",
+                   choices=["stream", "inkernel"],
+                   help="XLNet fused-attention score-bias assembly: "
+                        "stream the [B,H,Q,K] ebias from XLA, or "
+                        "assemble bd/rel-shift/segment/mask in VMEM "
+                        "(inkernel; single-device bi attention)")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="Model (tensor-parallel) mesh axis size: shards "
                         "the FFN Megatron-style over the 'model' axis "
@@ -216,6 +222,9 @@ def main(argv=None) -> int:
         if args.attention_impl != "einsum":
             cfg = dataclasses.replace(cfg,
                                       attention_impl=args.attention_impl)
+        if args.rel_bias_impl != "stream":
+            cfg = dataclasses.replace(cfg,
+                                      rel_bias_impl=args.rel_bias_impl)
         if args.tp_shard_attention:
             cfg = dataclasses.replace(cfg, tp_attention_mesh=mesh)
         model = MagXLNetForSequenceClassification(

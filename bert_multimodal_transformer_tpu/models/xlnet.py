@@ -190,6 +190,57 @@ class XLNetRelativeAttention(nn.Module):
             # materialized for it. Same element pairing as the 4D add.
             rw = (q_head.reshape(bsz, qlen2, h * dh)
                   + self.r_w_bias.reshape(-1)).astype(dt)
+            if (cfg.rel_bias_impl == "inkernel"
+                    and cfg.tp_attention_mesh is None
+                    and k_head_r.ndim == 3
+                    and k_head_r.shape[0] >= qlen2 + klen):
+                # Ingredients-fused path: no [B,H,Q,P]/[B,H,Q,K] HBM
+                # tensors at all — bd, rel-shift, segment and mask biases
+                # assemble in VMEM (fused_rel_attention_ingredients).
+                # Eligibility mirrors the kernel's wraparound-safety bound
+                # P ≥ Q+K (bi attention; uni's P=K+1 streams instead) and
+                # excludes the bi_data per-example position stream.
+                from bert_multimodal_transformer_tpu.ops.fused_attention \
+                    import fused_rel_attention_ingredients
+
+                rr = ((q_head.reshape(bsz, qlen2, h * dh)
+                       + self.r_r_bias.reshape(-1)) * scale).astype(dt)
+                if seg_mat is not None:
+                    rs = ((q_head + self.r_s_bias) * scale).astype(dt)
+                    sdelta = (self.seg_embed[1]
+                              - self.seg_embed[0]).astype(dt)
+                    ed = jnp.einsum("bqhf,hf->bhq", rs, sdelta,
+                                    preferred_element_type=f32).astype(dt)
+                    segd = (seg_diff[:, 0].astype(dt)
+                            if seg_diff is not None
+                            else seg_mat[..., 1].astype(dt))
+                else:
+                    ed = jnp.zeros((bsz, h, qlen2), dt)
+                    segd = jnp.zeros((bsz, qlen2, klen), dt)
+                if mask_bias is not None:
+                    maskb = mask_bias[:, 0]
+                elif attn_mask is not None:
+                    maskb = (-(MASK_VERY_NEG
+                               * attn_mask.astype(f32))).astype(dt)[:, 0]
+                else:
+                    maskb = jnp.zeros((bsz, qlen2, klen), dt)
+                dropout_rng = None
+                if not deterministic and cfg.dropout > 0:
+                    dropout_rng = self.make_rng("dropout")
+                ctx = fused_rel_attention_ingredients(
+                    rw,
+                    rr,
+                    k_head_r.astype(dt).reshape(-1, h * dh),
+                    k_head.astype(dt).reshape(bsz, klen, h * dh),
+                    v_head.astype(dt).reshape(bsz, klen, h * dh),
+                    ed, segd, maskb,
+                    n_heads=h,
+                    scale=scale,
+                    dropout_rate=cfg.dropout,
+                    dropout_rng=dropout_rng,
+                    deterministic=deterministic,
+                )
+                return ctx.reshape(bsz, qlen2, h, dh)
             rr = ((q_head + self.r_r_bias) * scale).astype(dt)
             bd = jnp.einsum(bd_eq, rr, k_head_r.astype(dt),
                             preferred_element_type=f32).astype(dt)

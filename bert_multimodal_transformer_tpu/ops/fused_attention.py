@@ -1261,6 +1261,544 @@ def fused_rel_attention(
 
 
 # --------------------------------------------------------------------------
+# Ingredients-fused rel attention: bias assembly inside the kernel
+# --------------------------------------------------------------------------
+# The streamed-ebias path above still materializes, per layer, the
+# [B,H,Q,P] bd einsum output, the rel_shift relayout, and the [B,H,Q,K]
+# ebias/debias streams in HBM (device-trace attribution: the assembly
+# family is ~15% of the XLNet step at b256). This variant takes the raw
+# ingredients instead and assembles the score bias in VMEM:
+#
+#   rw  [B,Q,D]  q + r_w_bias                      (content term)
+#   rr  [B,Q,D]  (q + r_r_bias)·scale              (position query)
+#   r   [P,D]    k_head_r = pos_emb·W_r            (shared across batch)
+#   ed  [B,H,Q]  scale·(q+r_s_bias)·(seg₁−seg₀)    (segment-ef delta)
+#   segd  [B,Q,K]  seg-difference mask (0/1)
+#   maskb [B,Q,K]  additive mask bias (−1e30·mask), non-differentiable
+#
+# The relative shift out[q,k] = bd[q, Q−q+k] (the pad/reshape trick of
+# models/xlnet.py::rel_shift, reference HF XLNetRelativeAttention) runs
+# as a LOG-SHIFT: the per-row amount a_q = Q−q decomposes into its bits,
+# each bit one masked lane-roll of the whole [H,Q,P] block. Wraparound
+# is provably harmless (k < K ≤ P−a_q for P ≥ Q+K). The backward
+# transposes it by right-rolling the zero-padded ds (wrapped elements
+# come from the zero tail) and ACCUMULATES d_r across the grid into one
+# [P,D] block (constant out index_map; grid steps are sequential).
+#
+# The reference ef term selects between ef₀ (seg-same) and ef₁
+# (seg-diff) per (h,q,k); ef₀ is constant along k ⇒ softmax-invariant
+# with exactly-zero gradient (softmax-VJP rows sum to 0), so only the
+# delta ed·segd enters. Outputs differ from the streamed path only by
+# fp rounding of the dropped constant (tools/exp_rel_inkernel.py: 1e-7
+# rel at fp32). Dropout seeding/draws are identical to the streamed
+# kernel (one [H,Q,K] draw per global row).
+
+
+def _shift_bits(q_len: int):
+    """Bit decomposition steps for per-row shift amounts in [1, q_len]."""
+    return [1 << i for i in range(q_len.bit_length())]
+
+
+def _log_shift(x, q_len: int, k_len: int):
+    """x [H, Q, P] → [H, Q, K] with out[h,q,k] = x[h,q, (Q−q)+k]."""
+    qidx = jax.lax.broadcasted_iota(jnp.int32, (1, q_len, 1), 1)
+    a = q_len - qidx
+    for amt in _shift_bits(q_len):
+        rolled = jnp.concatenate([x[..., amt:], x[..., :amt]], axis=-1)
+        x = jnp.where((a & amt) != 0, rolled, x)
+    return x[..., :k_len]
+
+
+def _log_unshift(ds, q_len: int, p_len: int):
+    """Transpose of _log_shift: ds [H, Q, K] → z [H, Q, P] with
+    z[h,q,(Q−q)+k] = ds[h,q,k], zeros elsewhere."""
+    h, _, k_len = ds.shape
+    z = jnp.concatenate(
+        [ds, jnp.zeros((h, q_len, p_len - k_len), ds.dtype)], axis=-1)
+    qidx = jax.lax.broadcasted_iota(jnp.int32, (1, q_len, 1), 1)
+    a = q_len - qidx
+    for amt in _shift_bits(q_len):
+        rolled = jnp.concatenate(
+            [z[..., p_len - amt:], z[..., :p_len - amt]], axis=-1)
+        z = jnp.where((a & amt) != 0, rolled, z)
+    return z
+
+
+def _relik_scores(b, maskb_ref, segd_ref, ed_ref, rw_ref, rr_ref, r_ref,
+                  k_ref, s_ref, b2_ref, *, scale, n_heads, dh, q_len,
+                  k_len):
+    """Shared fwd/bwd score assembly for one grid row: ac and bd dots
+    into scratch, log-shift, segment/mask bias adds. Returns probs."""
+    f32 = jnp.float32
+    for h in range(n_heads):
+        rw = rw_ref[b, :, h * dh:(h + 1) * dh]
+        kh = k_ref[b, :, h * dh:(h + 1) * dh]
+        s_ref[h] = jax.lax.dot_general(
+            rw, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        rr = rr_ref[b, :, h * dh:(h + 1) * dh]
+        rh = r_ref[:, h * dh:(h + 1) * dh]
+        b2_ref[h] = jax.lax.dot_general(
+            rr, rh, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+    sh = _log_shift(b2_ref[:], q_len, k_len)
+    ed = ed_ref[b].astype(f32)[:, :, None]                   # [H, Q, 1]
+    segd = segd_ref[b].astype(f32)[None]                     # [1, Q, K]
+    maskb = maskb_ref[b].astype(f32)[None]
+    s = s_ref[:] * scale + sh + ed * segd + maskb
+    return _softmax_f32(s)                                   # [H, Q, K]
+
+
+def _attn_fwd_relik_kernel(seed_ref, maskb_ref, segd_ref, ed_ref, rw_ref,
+                           rr_ref, r_ref, k_ref, v_ref, o_ref, *rest,
+                           scale: float, rate: float, n_heads: int,
+                           dh: int, nb: int, save: bool = False):
+    s_ref, b2_ref = rest[-2], rest[-1]
+    q_len, k_len = s_ref.shape[1], s_ref.shape[2]
+    if save:
+        p_ref = rest[0]
+        pd_ref = rest[1] if rate > 0.0 else None
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    for b in range(nb):
+        p = _relik_scores(b, maskb_ref, segd_ref, ed_ref, rw_ref, rr_ref,
+                          r_ref, k_ref, s_ref, b2_ref, scale=scale,
+                          n_heads=n_heads, dh=dh, q_len=q_len,
+                          k_len=k_len)
+        if save:
+            p_ref[b] = p.astype(p_ref.dtype)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+            if save:
+                pd_ref[b] = p.astype(pd_ref.dtype)
+        pc = p.astype(rw_ref.dtype)
+        outs = []
+        for h in range(n_heads):
+            v = v_ref[b, :, h * dh:(h + 1) * dh]
+            o = jax.lax.dot_general(pc[h], v, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            outs.append(o.astype(o_ref.dtype))
+        o_ref[b] = jnp.concatenate(outs, axis=-1)
+
+
+def _relik_grads(b, ds, segd, rw_ref, rr_ref, r_ref, k_ref,
+                 v_ref, g_ref, drw_ref, drr_ref, dk_ref, dv_ref, ded_ref,
+                 dr_ref, *, scale, n_heads, dh, q_len, p_len):
+    """Shared bwd tail from ds (unscaled dscore): segment-delta grad,
+    unshift, and the grad dot families. dv/t are handled by callers
+    (they differ between saved and recompute variants)."""
+    ded_ref[b] = jnp.sum(ds * segd, axis=-1).astype(ded_ref.dtype)
+    z = _log_unshift(ds, q_len, p_len).astype(rw_ref.dtype)  # [H,Q,P]
+    dsc = (ds * scale).astype(rw_ref.dtype)
+    drws, drrs, dks = [], [], []
+    for h in range(n_heads):
+        kh = k_ref[b, :, h * dh:(h + 1) * dh]
+        rw = rw_ref[b, :, h * dh:(h + 1) * dh]
+        rr = rr_ref[b, :, h * dh:(h + 1) * dh]
+        rh = r_ref[:, h * dh:(h + 1) * dh]
+        drw = jax.lax.dot_general(dsc[h], kh, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(dsc[h], rw, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        drr = jax.lax.dot_general(z[h], rh, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dr = jax.lax.dot_general(z[h], rr, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dr_ref[:, h * dh:(h + 1) * dh] += dr
+        drws.append(drw.astype(drw_ref.dtype))
+        drrs.append(drr.astype(drr_ref.dtype))
+        dks.append(dk.astype(dk_ref.dtype))
+    drw_ref[b] = jnp.concatenate(drws, axis=-1)
+    drr_ref[b] = jnp.concatenate(drrs, axis=-1)
+    dk_ref[b] = jnp.concatenate(dks, axis=-1)
+
+
+def _attn_bwd_relik_kernel(seed_ref, maskb_ref, segd_ref, ed_ref, rw_ref,
+                           rr_ref, r_ref, k_ref, v_ref, g_ref,
+                           drw_ref, drr_ref, dk_ref, dv_ref, ded_ref,
+                           dr_ref, s_ref, b2_ref, t_ref, *,
+                           scale: float, rate: float, n_heads: int,
+                           dh: int, nb: int):
+    """Recompute backward: replays the forward's per-row [H,Q,K] draw."""
+    f32 = jnp.float32
+    q_len, k_len = s_ref.shape[1], s_ref.shape[2]
+    p_len = b2_ref.shape[2]
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dr_ref[...] = jnp.zeros_like(dr_ref)
+
+    for b in range(nb):
+        p = _relik_scores(b, maskb_ref, segd_ref, ed_ref, rw_ref, rr_ref,
+                          r_ref, k_ref, s_ref, b2_ref, scale=scale,
+                          n_heads=n_heads, dh=dh, q_len=q_len,
+                          k_len=k_len)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            pd = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+        else:
+            pd = p
+        pd_c = pd.astype(rw_ref.dtype)
+        dvs = []
+        for h in range(n_heads):
+            v = v_ref[b, :, h * dh:(h + 1) * dh]
+            g = g_ref[b, :, h * dh:(h + 1) * dh]
+            dv = jax.lax.dot_general(pd_c[h], g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dvs.append(dv.astype(dv_ref.dtype))
+            t_ref[h] = jax.lax.dot_general(                  # dpd
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        dv_ref[b] = jnp.concatenate(dvs, axis=-1)
+        t = pd * t_ref[:]
+        ds = t - p * jnp.sum(t, axis=-1, keepdims=True)      # [H,Q,K]
+        _relik_grads(b, ds, segd_ref[b].astype(f32)[None], rw_ref,
+                     rr_ref, r_ref, k_ref, v_ref, g_ref, drw_ref,
+                     drr_ref, dk_ref, dv_ref, ded_ref, dr_ref,
+                     scale=scale, n_heads=n_heads, dh=dh, q_len=q_len,
+                     p_len=p_len)
+
+
+def _attn_bwd_relik_saved_kernel(p_ref, pd_ref, segd_ref, rw_ref, rr_ref,
+                                 r_ref, k_ref, v_ref, g_ref,
+                                 drw_ref, drr_ref, dk_ref, dv_ref,
+                                 ded_ref, dr_ref, t_ref, *,
+                                 scale: float, n_heads: int, dh: int,
+                                 nb: int, p_len: int):
+    """Saved-probs backward: no ac/bd dots, no shift, no softmax/PRNG."""
+    f32 = jnp.float32
+    q_len = t_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dr_ref[...] = jnp.zeros_like(dr_ref)
+
+    for b in range(nb):
+        dvs = []
+        for h in range(n_heads):
+            v = v_ref[b, :, h * dh:(h + 1) * dh]
+            g = g_ref[b, :, h * dh:(h + 1) * dh]
+            dv = jax.lax.dot_general(pd_ref[b, h], g,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dvs.append(dv.astype(dv_ref.dtype))
+            t_ref[h] = jax.lax.dot_general(                  # dpd
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        dv_ref[b] = jnp.concatenate(dvs, axis=-1)
+        p = p_ref[b].astype(f32)
+        t = pd_ref[b].astype(f32) * t_ref[:]
+        ds = t - p * jnp.sum(t, axis=-1, keepdims=True)
+        _relik_grads(b, ds, segd_ref[b].astype(f32)[None],
+                     rw_ref, rr_ref, r_ref, k_ref, v_ref, g_ref, drw_ref,
+                     drr_ref, dk_ref, dv_ref, ded_ref, dr_ref,
+                     scale=scale, n_heads=n_heads, dh=dh, q_len=q_len,
+                     p_len=p_len)
+
+
+def _relik_specs(nb, q_len, k_len, d, h, p_len):
+    seed = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    qk = pl.BlockSpec((nb, q_len, k_len), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    ed = pl.BlockSpec((nb, h, q_len), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((nb, q_len, d), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    kv = pl.BlockSpec((nb, k_len, d), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    r = pl.BlockSpec((p_len, d), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+    return seed, qk, ed, row, kv, r
+
+
+def _relik_row_bytes(q_len, k_len, p_len, d, h, n_prob, itemsize):
+    subq = (q_len + 15) // 16 * 16
+    subk = (k_len + 15) // 16 * 16
+    lane_k = (k_len + 127) // 128 * 128
+    lane_p = (p_len + 127) // 128 * 128
+    return (2 * subq * d + 2 * subk * d) * itemsize \
+        + h * subq * (lane_k + lane_p) * 4 \
+        + n_prob * h * subq * lane_k * itemsize
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads",
+                                    "interpret", "nb", "save"))
+def _fwd_relik_pallas(rw, rr, r, k, v, ed, segd, maskb, seed, *, scale,
+                      rate, n_heads, interpret, nb=None, save=False):
+    b, q_len, d = rw.shape
+    k_len, p_len = k.shape[1], r.shape[0]
+    dh = d // n_heads
+    n_prob = (2 if rate > 0.0 else 1) if save else 0
+    if nb is None:
+        nb = _pick_nb_packed(
+            b, _relik_row_bytes(q_len, k_len, p_len, d, n_heads, n_prob,
+                                rw.dtype.itemsize))
+    seed_spec, qk_spec, ed_spec, row_spec, kv_spec, r_spec = _relik_specs(
+        nb, q_len, k_len, d, n_heads, p_len)
+    out_specs, out_shape = row_spec, jax.ShapeDtypeStruct((b, q_len, d),
+                                                          rw.dtype)
+    if save:
+        prob_spec = pl.BlockSpec((nb, n_heads, q_len, k_len),
+                                 lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        prob_shape = jax.ShapeDtypeStruct((b, n_heads, q_len, k_len),
+                                          rw.dtype)
+        if rate > 0.0:
+            out_specs = (row_spec, prob_spec, prob_spec)
+            out_shape = (out_shape, prob_shape, prob_shape)
+        else:
+            out_specs = (row_spec, prob_spec)
+            out_shape = (out_shape, prob_shape)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_relik_kernel, scale=scale, rate=rate,
+                          n_heads=n_heads, dh=dh, nb=nb, save=save),
+        grid=(b // nb,),
+        in_specs=[seed_spec, qk_spec, qk_spec, ed_spec, row_spec,
+                  row_spec, r_spec, kv_spec, kv_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((n_heads, q_len, k_len), jnp.float32),
+                        pltpu.VMEM((n_heads, q_len, p_len), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_heads * q_len * (2 * k_len + p_len) * dh
+            + 12 * b * n_heads * q_len * k_len,
+            bytes_accessed=rw.dtype.itemsize * b * q_len * 5 * d,
+            transcendentals=b * n_heads * q_len * k_len,
+        ),
+    )(seed, maskb, segd, ed, rw, rr, r, k, v)
+
+
+def _relik_grad_shapes(rw, k, ed, r):
+    return (jax.ShapeDtypeStruct(rw.shape, rw.dtype),        # drw
+            jax.ShapeDtypeStruct(rw.shape, rw.dtype),        # drr
+            jax.ShapeDtypeStruct(k.shape, k.dtype),          # dk
+            jax.ShapeDtypeStruct(k.shape, k.dtype),          # dv
+            jax.ShapeDtypeStruct(ed.shape, ed.dtype),        # ded
+            jax.ShapeDtypeStruct(r.shape, jnp.float32))      # dr (accum)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads",
+                                    "interpret", "nb"))
+def _bwd_relik_pallas(rw, rr, r, k, v, ed, segd, maskb, seed, g, *,
+                      scale, rate, n_heads, interpret, nb=None):
+    b, q_len, d = rw.shape
+    k_len, p_len = k.shape[1], r.shape[0]
+    dh = d // n_heads
+    if nb is None:
+        nb = _pick_nb_packed(
+            b, 2 * _relik_row_bytes(q_len, k_len, p_len, d, n_heads, 1,
+                                    rw.dtype.itemsize))
+    seed_spec, qk_spec, ed_spec, row_spec, kv_spec, r_spec = _relik_specs(
+        nb, q_len, k_len, d, n_heads, p_len)
+    dr_spec = pl.BlockSpec((p_len, d), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_relik_kernel, scale=scale, rate=rate,
+                          n_heads=n_heads, dh=dh, nb=nb),
+        grid=(b // nb,),
+        in_specs=[seed_spec, qk_spec, qk_spec, ed_spec, row_spec,
+                  row_spec, r_spec, kv_spec, kv_spec, row_spec],
+        out_specs=(row_spec, row_spec, kv_spec, kv_spec, ed_spec,
+                   dr_spec),
+        out_shape=_relik_grad_shapes(rw, k, ed, r),
+        scratch_shapes=[pltpu.VMEM((n_heads, q_len, k_len), jnp.float32),
+                        pltpu.VMEM((n_heads, q_len, p_len), jnp.float32),
+                        pltpu.VMEM((n_heads, q_len, k_len), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * n_heads * q_len * (k_len + p_len) * dh
+            + 16 * b * n_heads * q_len * k_len,
+            bytes_accessed=rw.dtype.itemsize * b * q_len * 10 * d,
+            transcendentals=b * n_heads * q_len * k_len,
+        ),
+    )(seed, maskb, segd, ed, rw, rr, r, k, v, g)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "n_heads", "interpret",
+                                    "nb"))
+def _bwd_relik_saved_pallas(p, pd, rw, rr, r, k, v, segd, g, *, scale,
+                            n_heads, interpret, nb=None):
+    b, q_len, d = rw.shape
+    k_len, p_len = k.shape[1], r.shape[0]
+    dh = d // n_heads
+    if nb is None:
+        nb = _pick_nb_packed(
+            b, 2 * _relik_row_bytes(q_len, k_len, p_len, d, n_heads, 2,
+                                    rw.dtype.itemsize))
+    _, qk_spec, ed_spec, row_spec, kv_spec, r_spec = _relik_specs(
+        nb, q_len, k_len, d, n_heads, p_len)
+    prob_spec = pl.BlockSpec((nb, n_heads, q_len, k_len),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dr_spec = pl.BlockSpec((p_len, d), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    ed_shape = jax.ShapeDtypeStruct((b, n_heads, q_len), rw.dtype)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_relik_saved_kernel, scale=scale,
+                          n_heads=n_heads, dh=dh, nb=nb, p_len=p_len),
+        grid=(b // nb,),
+        in_specs=[prob_spec, prob_spec, qk_spec, row_spec, row_spec,
+                  r_spec, kv_spec, kv_spec, row_spec],
+        out_specs=(row_spec, row_spec, kv_spec, kv_spec, ed_spec,
+                   dr_spec),
+        out_shape=(jax.ShapeDtypeStruct(rw.shape, rw.dtype),
+                   jax.ShapeDtypeStruct(rw.shape, rw.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   ed_shape,
+                   jax.ShapeDtypeStruct(r.shape, jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((n_heads, q_len, k_len), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_heads * q_len * (k_len + p_len) * dh
+            + 10 * b * n_heads * q_len * k_len,
+            bytes_accessed=rw.dtype.itemsize * b * q_len * 10 * d,
+            transcendentals=0,
+        ),
+    )(p, pd, segd, rw, rr, r, k, v, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13,
+                                                    14))
+def _fused_rel_attention_ik(rw, rr, r, k, v, ed, segd, maskb, seed,
+                            scale, rate, n_heads, interpret, nb_fwd_bwd,
+                            save):
+    return _fwd_relik_pallas(rw, rr, r, k, v, ed, segd, maskb, seed,
+                             scale=scale, rate=rate, n_heads=n_heads,
+                             interpret=interpret, nb=nb_fwd_bwd[0])
+
+
+def _frelik_fwd(rw, rr, r, k, v, ed, segd, maskb, seed, scale, rate,
+                n_heads, interpret, nb_fwd_bwd, save):
+    if save:
+        outs = _fwd_relik_pallas(rw, rr, r, k, v, ed, segd, maskb, seed,
+                                 scale=scale, rate=rate, n_heads=n_heads,
+                                 interpret=interpret, nb=nb_fwd_bwd[0],
+                                 save=True)
+        if rate > 0.0:
+            out, p, pd = outs
+        else:
+            out, p = outs
+            pd = p
+        return out, (rw, rr, r, k, v, segd, p, pd,
+                     jnp.zeros((0,), ed.dtype),
+                     jnp.zeros((0,), maskb.dtype))
+    out = _fwd_relik_pallas(rw, rr, r, k, v, ed, segd, maskb, seed,
+                            scale=scale, rate=rate, n_heads=n_heads,
+                            interpret=interpret, nb=nb_fwd_bwd[0])
+    return out, (rw, rr, r, k, v, ed, segd, maskb, seed)
+
+
+def _frelik_bwd(scale, rate, n_heads, interpret, nb_fwd_bwd, save,
+                residuals, g):
+    if save:
+        rw, rr, r, k, v, segd, p, pd, ed_token, maskb_token = residuals
+        drw, drr, dk, dv, ded, dr = _bwd_relik_saved_pallas(
+            p, pd, rw, rr, r, k, v, segd, g, scale=scale,
+            n_heads=n_heads, interpret=interpret, nb=nb_fwd_bwd[1])
+        ded = ded.astype(ed_token.dtype)
+        maskb_zero = jnp.zeros((segd.shape), maskb_token.dtype)
+    else:
+        rw, rr, r, k, v, ed, segd, maskb, seed = residuals
+        drw, drr, dk, dv, ded, dr = _bwd_relik_pallas(
+            rw, rr, r, k, v, ed, segd, maskb, seed, g, scale=scale,
+            rate=rate, n_heads=n_heads, interpret=interpret,
+            nb=nb_fwd_bwd[1])
+        maskb_zero = jnp.zeros_like(maskb)
+    dseed = np.zeros((1, 1), jax.dtypes.float0)
+    return (drw, drr, dr.astype(r.dtype), dk, dv, ded,
+            jnp.zeros_like(segd), maskb_zero, dseed)
+
+
+_fused_rel_attention_ik.defvjp(_frelik_fwd, _frelik_bwd)
+
+
+def fused_rel_attention_ingredients(
+    rw: jax.Array,              # [B, Q, D]  q + r_w_bias (head-major flat)
+    rr: jax.Array,              # [B, Q, D]  (q + r_r_bias)·scale
+    r: jax.Array,               # [P, D]     k_head_r, P ≥ Q + K
+    k: jax.Array,               # [B, K, D]
+    v: jax.Array,               # [B, K, D]
+    ed: jax.Array,              # [B, H, Q]  scale·(q+r_s_bias)·(seg₁−seg₀)
+    segd: jax.Array,            # [B, Q, K]  seg-diff mask (0/1)
+    maskb: jax.Array,           # [B, Q, K]  additive mask bias (non-diff)
+    *,
+    n_heads: int,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    interpret: Optional[bool] = None,
+    nb_fwd: Optional[int] = None,
+    nb_bwd: Optional[int] = None,
+    save_probs: Optional[bool] = None,
+) -> jax.Array:
+    """XLNet relative attention with the score-bias assembly in VMEM.
+
+    Semantically fused_rel_attention with
+    ``ebias = rel_shift(rr·rᵀ) + ed·segd + maskb`` (and an irrelevant
+    per-(h,q) constant dropped — softmax-invariant, zero gradient; see
+    section comment). rw/rr/r/k/v/ed are differentiable; segd/maskb are
+    not. Reference semantics: HF XLNetRelativeAttention.rel_attn_core
+    via /root/reference/xlnet.py:330-390.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rate = 0.0 if deterministic else float(dropout_rate)
+    b, q_len, d = rw.shape
+    k_len, p_len = k.shape[1], r.shape[0]
+    if d % n_heads != 0:
+        raise ValueError(
+            f"hidden dim {d} not divisible by n_heads={n_heads}")
+    if p_len < q_len + k_len:
+        raise ValueError(
+            f"position stream P={p_len} < Q+K={q_len + k_len}: the "
+            "log-shift wraparound-safety bound needs P ≥ Q+K")
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+    if rate > 0.0 and interpret:
+        # Off-TPU dropout: plain einsum math, jax.random keep-mask.
+        dh = d // n_heads
+        bd = jnp.einsum("bqhf,phf->bhqp", rr.reshape(b, q_len, n_heads,
+                                                     dh),
+                        r.reshape(p_len, n_heads, dh),
+                        preferred_element_type=jnp.float32)
+        x = bd.reshape(b, n_heads, p_len, q_len)[:, :, 1:, :]
+        ebias = x.reshape(b, n_heads, q_len, p_len - 1)[..., :k_len]
+        ebias = (ebias + ed[:, :, :, None] * segd[:, None].astype(
+            ed.dtype) + maskb[:, None].astype(ed.dtype))
+        return fused_rel_attention(
+            rw, k, v, ebias, n_heads=n_heads, scale=scale,
+            dropout_rate=rate, dropout_rng=dropout_rng,
+            deterministic=False, interpret=True)
+    if rate > 0.0:
+        seed = jax.random.randint(dropout_rng, (1, 1), 0, 2**31 - 1,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1, 1), jnp.int32)
+    nb_fwd, nb_bwd, save_probs = _resolve_knobs(
+        b, n_heads, q_len, k_len, rate, rw.dtype.itemsize, nb_fwd,
+        nb_bwd, save_probs)
+    return _fused_rel_attention_ik(rw, rr, r, k, v, ed, segd, maskb,
+                                   seed, float(scale), rate, n_heads,
+                                   bool(interpret), (nb_fwd, nb_bwd),
+                                   save_probs)
+
+
+# --------------------------------------------------------------------------
 # Tensor-parallel (head-sharded) wrappers
 # --------------------------------------------------------------------------
 # pallas_call is opaque to XLA's SPMD partitioner: with head-sharded

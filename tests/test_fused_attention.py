@@ -223,7 +223,94 @@ def test_rel_attention_dropout_offtpu_fallback_runs():
     assert 0.5 < ratio < 2.0, ratio
 
 
-def test_xlnet_model_fused_equals_einsum_deterministic():
+@pytest.mark.parametrize("save", [False, True])
+def test_rel_attention_ingredients_matches_assembled(save):
+    # fused_rel_attention_ingredients (bd/rel-shift/segment/mask built in
+    # VMEM) vs the einsum score assembly, incl. grads for ALL six
+    # differentiable inputs (notably the grid-accumulated d_r and the
+    # segment-delta d_ed). qlen != klen covers the mems-extended case.
+    from bert_multimodal_transformer_tpu.models.xlnet import rel_shift
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        fused_rel_attention_ingredients)
+
+    rng = np.random.RandomState(11)
+    K = S + 14                                      # klen (mems)
+    P = S + K                                       # bi position stream
+    rw = jnp.asarray(rng.randn(B, S, H * DH), jnp.float32)
+    rr = jnp.asarray(rng.randn(B, S, H * DH) * SCALE, jnp.float32)
+    r = jnp.asarray(rng.randn(P, H * DH), jnp.float32)
+    k = jnp.asarray(rng.randn(B, K, H * DH), jnp.float32)
+    v = jnp.asarray(rng.randn(B, K, H * DH), jnp.float32)
+    ed = jnp.asarray(rng.randn(B, H, S) * SCALE, jnp.float32)
+    segd = jnp.asarray(rng.randint(0, 2, (B, S, K)), jnp.float32)
+    maskb = jnp.asarray(-1e9 * (rng.rand(B, S, K) < 0.1), jnp.float32)
+
+    def f_ref(rw_, rr_, r_, k_, v_, ed_):
+        bd = jnp.einsum("bqhf,phf->bhqp", rr_.reshape(B, S, H, DH),
+                        r_.reshape(P, H, DH))
+        ebias = rel_shift(bd, K) + ed_[:, :, :, None] * segd[:, None] \
+            + maskb[:, None]
+        qh = rw_.reshape(B, S, H, DH)
+        kh = k_.reshape(B, K, H, DH)
+        vh = v_.reshape(B, K, H, DH)
+        score = jnp.einsum("bqhf,bkhf->bhqk", qh, kh) * SCALE + ebias
+        probs = jax.nn.softmax(score, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs, vh)
+        return jnp.sum(jnp.tanh(ctx.reshape(B, S, H * DH)))
+
+    def f_new(rw_, rr_, r_, k_, v_, ed_):
+        return jnp.sum(jnp.tanh(fused_rel_attention_ingredients(
+            rw_, rr_, r_, k_, v_, ed_, segd, maskb, n_heads=H,
+            scale=SCALE, save_probs=save)))
+
+    argnums = (0, 1, 2, 3, 4, 5)
+    vr, gr = jax.value_and_grad(f_ref, argnums=argnums)(rw, rr, r, k, v,
+                                                        ed)
+    vn, gn = jax.value_and_grad(f_new, argnums=argnums)(rw, rr, r, k, v,
+                                                        ed)
+    np.testing.assert_allclose(float(vn), float(vr), rtol=1e-6)
+    for name, a, b in zip(("rw", "rr", "r", "k", "v", "ed"), gr, gn):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-5, rtol=3e-5, err_msg=name)
+
+
+def test_rel_attention_ingredients_rejects_short_position_stream():
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        fused_rel_attention_ingredients)
+
+    rw = jnp.zeros((B, S, H * DH), jnp.float32)
+    with pytest.raises(ValueError, match="P"):
+        fused_rel_attention_ingredients(
+            rw, rw, jnp.zeros((S + 1, H * DH)), rw, rw,
+            jnp.zeros((B, H, S)), jnp.zeros((B, S, S)),
+            jnp.zeros((B, S, S)), n_heads=H, scale=SCALE)
+
+
+def test_rel_attention_ingredients_dropout_offtpu_fallback_runs():
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        fused_rel_attention_ingredients)
+
+    rng = np.random.RandomState(12)
+    P = 2 * S
+    rw = jnp.asarray(rng.randn(B, S, H * DH), jnp.float32)
+    rr = jnp.asarray(rng.randn(B, S, H * DH) * SCALE, jnp.float32)
+    r = jnp.asarray(rng.randn(P, H * DH), jnp.float32)
+    ed = jnp.zeros((B, H, S), jnp.float32)
+    zmask = jnp.zeros((B, S, S), jnp.float32)
+    out = fused_rel_attention_ingredients(
+        rw, rr, r, rw, rw, ed, zmask, zmask, n_heads=H, scale=SCALE,
+        dropout_rate=0.3, dropout_rng=jax.random.PRNGKey(0),
+        deterministic=False)
+    assert out.shape == (B, S, H * DH)
+    assert np.isfinite(np.asarray(out)).all()
+    base = fused_rel_attention_ingredients(
+        rw, rr, r, rw, rw, ed, zmask, zmask, n_heads=H, scale=SCALE)
+    ratio = float(jnp.mean(jnp.abs(out)) / jnp.mean(jnp.abs(base)))
+    assert 0.5 < ratio < 2.0, ratio
+
+
+@pytest.mark.parametrize("rel_bias_impl", ["stream", "inkernel"])
+def test_xlnet_model_fused_equals_einsum_deterministic(rel_bias_impl):
     import dataclasses
 
     from bert_multimodal_transformer_tpu.config import (
@@ -248,7 +335,8 @@ def test_xlnet_model_fused_equals_einsum_deterministic():
                                               acoustic_dim=7)
     params = m_ein.init(jax.random.PRNGKey(0), ids, vis, aco, mask, seg)[
         "params"]
-    cfg_f = dataclasses.replace(cfg, attention_impl="fused")
+    cfg_f = dataclasses.replace(cfg, attention_impl="fused",
+                                rel_bias_impl=rel_bias_impl)
     m_fus = MagXLNetForSequenceClassification(cfg_f, mm, visual_dim=5,
                                               acoustic_dim=7)
     out_e = m_ein.apply({"params": params}, ids, vis, aco,
@@ -261,7 +349,8 @@ def test_xlnet_model_fused_equals_einsum_deterministic():
                                atol=1e-5, rtol=1e-5)
 
 
-def test_xlnet_model_fused_grads_match_einsum():
+@pytest.mark.parametrize("rel_bias_impl", ["stream", "inkernel"])
+def test_xlnet_model_fused_grads_match_einsum(rel_bias_impl):
     """Training-mode grads, attention dropout forced to 0 so the streams
     agree; hidden dropouts share the rng."""
     import dataclasses
@@ -296,7 +385,8 @@ def test_xlnet_model_fused_grads_match_einsum():
                                               acoustic_dim=7)
     params = m_ein.init(jax.random.PRNGKey(0), ids, vis, aco, mask, seg)[
         "params"]
-    cfg_f = dataclasses.replace(cfg, attention_impl="fused")
+    cfg_f = dataclasses.replace(cfg, attention_impl="fused",
+                                rel_bias_impl=rel_bias_impl)
     m_fus = MagXLNetForSequenceClassification(cfg_f, mm, visual_dim=5,
                                               acoustic_dim=7)
     le, ge = jax.value_and_grad(make_loss(m_ein))(params)
