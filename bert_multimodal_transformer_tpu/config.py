@@ -162,6 +162,18 @@ class XLNetConfig:
     # "inkernel" applies to the single-device bi-attention content path
     # (TP, bi_data, and uni attention fall back to "stream" forms).
     rel_bias_impl: str = "stream"
+
+    def __post_init__(self):
+        # A typo'd impl string would otherwise silently select the
+        # default path and mislabel benchmarks/runs.
+        if self.attention_impl not in ("einsum", "fused"):
+            raise ValueError(
+                f"unknown attention_impl {self.attention_impl!r} "
+                "(XLNet: einsum | fused)")
+        if self.rel_bias_impl not in ("stream", "inkernel"):
+            raise ValueError(
+                f"unknown rel_bias_impl {self.rel_bias_impl!r} "
+                "(stream | inkernel)")
     # Tensor-parallel attention mesh (see BertConfig.tp_attention_mesh):
     # routes the fused rel-attention kernel through shard_map with heads
     # sharded over the "model" axis. The einsum path needs no mesh here —

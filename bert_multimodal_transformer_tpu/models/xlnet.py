@@ -215,6 +215,9 @@ class XLNetRelativeAttention(nn.Module):
                             if seg_diff is not None
                             else seg_mat[..., 1].astype(dt))
                 else:
+                    # Mask/seg-free callers stream dense zero blocks; the
+                    # driver workload always has both, so no static
+                    # no-seg/no-mask kernel variant is carried for it.
                     ed = jnp.zeros((bsz, h, qlen2), dt)
                     segd = jnp.zeros((bsz, qlen2, klen), dt)
                 if mask_bias is not None:

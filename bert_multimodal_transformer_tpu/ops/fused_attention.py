@@ -1386,7 +1386,7 @@ def _attn_fwd_relik_kernel(seed_ref, maskb_ref, segd_ref, ed_ref, rw_ref,
 
 
 def _relik_grads(b, ds, segd, rw_ref, rr_ref, r_ref, k_ref,
-                 v_ref, g_ref, drw_ref, drr_ref, dk_ref, dv_ref, ded_ref,
+                 drw_ref, drr_ref, dk_ref, ded_ref,
                  dr_ref, *, scale, n_heads, dh, q_len, p_len):
     """Shared bwd tail from ds (unscaled dscore): segment-delta grad,
     unshift, and the grad dot families. dv/t are handled by callers
@@ -1462,8 +1462,8 @@ def _attn_bwd_relik_kernel(seed_ref, maskb_ref, segd_ref, ed_ref, rw_ref,
         t = pd * t_ref[:]
         ds = t - p * jnp.sum(t, axis=-1, keepdims=True)      # [H,Q,K]
         _relik_grads(b, ds, segd_ref[b].astype(f32)[None], rw_ref,
-                     rr_ref, r_ref, k_ref, v_ref, g_ref, drw_ref,
-                     drr_ref, dk_ref, dv_ref, ded_ref, dr_ref,
+                     rr_ref, r_ref, k_ref, drw_ref,
+                     drr_ref, dk_ref, ded_ref, dr_ref,
                      scale=scale, n_heads=n_heads, dh=dh, q_len=q_len,
                      p_len=p_len)
 
@@ -1499,8 +1499,8 @@ def _attn_bwd_relik_saved_kernel(p_ref, pd_ref, segd_ref, rw_ref, rr_ref,
         t = pd_ref[b].astype(f32) * t_ref[:]
         ds = t - p * jnp.sum(t, axis=-1, keepdims=True)
         _relik_grads(b, ds, segd_ref[b].astype(f32)[None],
-                     rw_ref, rr_ref, r_ref, k_ref, v_ref, g_ref, drw_ref,
-                     drr_ref, dk_ref, dv_ref, ded_ref, dr_ref,
+                     rw_ref, rr_ref, r_ref, k_ref, drw_ref,
+                     drr_ref, dk_ref, ded_ref, dr_ref,
                      scale=scale, n_heads=n_heads, dh=dh, q_len=q_len,
                      p_len=p_len)
 

@@ -223,12 +223,16 @@ def test_rel_attention_dropout_offtpu_fallback_runs():
     assert 0.5 < ratio < 2.0, ratio
 
 
-@pytest.mark.parametrize("save", [False, True])
-def test_rel_attention_ingredients_matches_assembled(save):
+@pytest.mark.parametrize("save,nb", [(False, None), (True, None),
+                                     (False, 1), (True, 1)])
+def test_rel_attention_ingredients_matches_assembled(save, nb):
     # fused_rel_attention_ingredients (bd/rel-shift/segment/mask built in
     # VMEM) vs the einsum score assembly, incl. grads for ALL six
     # differentiable inputs (notably the grid-accumulated d_r and the
     # segment-delta d_ed). qlen != klen covers the mems-extended case.
+    # nb=1 forces a multi-step grid so the cross-grid d_r accumulation
+    # (zero-init at program 0 + constant-index-map revisiting) is
+    # exercised — with the auto nb the whole batch fits one program.
     from bert_multimodal_transformer_tpu.models.xlnet import rel_shift
     from bert_multimodal_transformer_tpu.ops.fused_attention import (
         fused_rel_attention_ingredients)
@@ -261,7 +265,7 @@ def test_rel_attention_ingredients_matches_assembled(save):
     def f_new(rw_, rr_, r_, k_, v_, ed_):
         return jnp.sum(jnp.tanh(fused_rel_attention_ingredients(
             rw_, rr_, r_, k_, v_, ed_, segd, maskb, n_heads=H,
-            scale=SCALE, save_probs=save)))
+            scale=SCALE, save_probs=save, nb_fwd=nb, nb_bwd=nb)))
 
     argnums = (0, 1, 2, 3, 4, 5)
     vr, gr = jax.value_and_grad(f_ref, argnums=argnums)(rw, rr, r, k, v,
