@@ -159,8 +159,9 @@ class XLNetConfig:
     # ebias in XLA and streams it through HBM; "inkernel" hands the raw
     # ingredients to the kernel, which assembles bd/rel-shift/segment/mask
     # in VMEM (ops/fused_attention.py::fused_rel_attention_ingredients).
-    # "inkernel" applies to the single-device bi-attention content path
-    # (TP, bi_data, and uni attention fall back to "stream" forms).
+    # "inkernel" applies to the bi-attention content path, incl. under
+    # tensor parallelism (shard_map'd wrapper); bi_data and uni attention
+    # fall back to "stream" forms (per-example position streams / P < Q+K).
     rel_bias_impl: str = "stream"
 
     def __post_init__(self):

@@ -85,7 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="XLNet fused-attention score-bias assembly: "
                         "stream the [B,H,Q,K] ebias from XLA, or "
                         "assemble bd/rel-shift/segment/mask in VMEM "
-                        "(inkernel; single-device bi attention)")
+                        "(inkernel; bi attention, works under TP)")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="Model (tensor-parallel) mesh axis size: shards "
                         "the FFN Megatron-style over the 'model' axis "

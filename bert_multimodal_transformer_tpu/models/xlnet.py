@@ -191,7 +191,6 @@ class XLNetRelativeAttention(nn.Module):
             rw = (q_head.reshape(bsz, qlen2, h * dh)
                   + self.r_w_bias.reshape(-1)).astype(dt)
             if (cfg.rel_bias_impl == "inkernel"
-                    and cfg.tp_attention_mesh is None
                     and k_head_r.ndim == 3
                     and k_head_r.shape[0] >= qlen2 + klen):
                 # Ingredients-fused path: no [B,H,Q,P]/[B,H,Q,K] HBM
@@ -201,7 +200,8 @@ class XLNetRelativeAttention(nn.Module):
                 # P ≥ Q+K (bi attention; uni's P=K+1 streams instead) and
                 # excludes the bi_data per-example position stream.
                 from bert_multimodal_transformer_tpu.ops.fused_attention \
-                    import fused_rel_attention_ingredients
+                    import (fused_rel_attention_ingredients,
+                            fused_rel_attention_ingredients_tp)
 
                 rr = ((q_head.reshape(bsz, qlen2, h * dh)
                        + self.r_r_bias.reshape(-1)) * scale).astype(dt)
@@ -230,19 +230,27 @@ class XLNetRelativeAttention(nn.Module):
                 dropout_rng = None
                 if not deterministic and cfg.dropout > 0:
                     dropout_rng = self.make_rng("dropout")
-                ctx = fused_rel_attention_ingredients(
-                    rw,
-                    rr,
-                    k_head_r.astype(dt).reshape(-1, h * dh),
-                    k_head.astype(dt).reshape(bsz, klen, h * dh),
-                    v_head.astype(dt).reshape(bsz, klen, h * dh),
-                    ed, segd, maskb,
+                ik_kwargs = dict(
                     n_heads=h,
                     scale=scale,
                     dropout_rate=cfg.dropout,
                     dropout_rng=dropout_rng,
                     deterministic=deterministic,
                 )
+                ik_args = (
+                    rw,
+                    rr,
+                    k_head_r.astype(dt).reshape(-1, h * dh),
+                    k_head.astype(dt).reshape(bsz, klen, h * dh),
+                    v_head.astype(dt).reshape(bsz, klen, h * dh),
+                    ed, segd, maskb,
+                )
+                if cfg.tp_attention_mesh is not None:
+                    ctx = fused_rel_attention_ingredients_tp(
+                        *ik_args, mesh=cfg.tp_attention_mesh, **ik_kwargs)
+                else:
+                    ctx = fused_rel_attention_ingredients(
+                        *ik_args, **ik_kwargs)
                 return ctx.reshape(bsz, qlen2, h, dh)
             rr = ((q_head + self.r_r_bias) * scale).astype(dt)
             bd = jnp.einsum(bd_eq, rr, k_head_r.astype(dt),

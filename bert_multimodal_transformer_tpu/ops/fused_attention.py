@@ -1863,6 +1863,61 @@ def fused_rel_attention_tp(
     return f(q, k, v, ebias, rng)
 
 
+def fused_rel_attention_ingredients_tp(
+    rw: jax.Array,              # [B, Q, D] head-major flat
+    rr: jax.Array,              # [B, Q, D]
+    r: jax.Array,               # [P, D]
+    k: jax.Array,               # [B, K, D]
+    v: jax.Array,               # [B, K, D]
+    ed: jax.Array,              # [B, H, Q]
+    segd: jax.Array,            # [B, Q, K]
+    maskb: jax.Array,           # [B, Q, K]
+    *,
+    mesh,
+    n_heads: int,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> jax.Array:
+    """fused_rel_attention_ingredients with heads sharded over
+    ``model_axis``. rw/rr/k/v arrive sharded on their flat head axis, r
+    on its projection axis (the per-layer W_r is P(None, model)-sharded
+    so pos_emb·W_r lands head-sharded), ed on H; segd/maskb are
+    replicated row masks. d_r/d_ed grads stay head-sharded (the local
+    kernel only ever touches its own head slice)."""
+    from jax.sharding import PartitionSpec as P
+
+    mp = mesh.shape[model_axis]
+    if n_heads % mp != 0:
+        raise ValueError(
+            f"n_heads={n_heads} not divisible by model axis size {mp}")
+    local_heads = n_heads // mp
+    rate = 0.0 if deterministic else float(dropout_rate)
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+    rng = dropout_rng if rate > 0.0 else jax.random.PRNGKey(0)
+
+    def local(rw, rr, r, k, v, ed, segd, maskb, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(model_axis))
+        return fused_rel_attention_ingredients(
+            rw, rr, r, k, v, ed, segd, maskb, n_heads=local_heads,
+            scale=scale, dropout_rate=rate,
+            dropout_rng=rng if rate > 0.0 else None,
+            deterministic=deterministic)
+
+    act = P(data_axis, None, model_axis)
+    row = P(data_axis, None, None)
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(act, act, P(None, model_axis), act, act,
+                  P(data_axis, model_axis, None), row, row, P()),
+        out_specs=act, check_vma=False)
+    return f(rw, rr, r, k, v, ed, segd, maskb, rng)
+
+
 def fused_attention_tp(
     q: jax.Array,               # [B, H, S, Dh]
     k: jax.Array,

@@ -47,6 +47,29 @@ def test_driver_end_to_end_with_checkpoint(tmp_path):
     assert len(lines) == 3
 
 
+def test_driver_xlnet_fused_inkernel_end_to_end(tmp_path):
+    """--attention_impl fused --rel_bias_impl inkernel through the full
+    CLI: the ingredients-fused rel-attention path trains and evaluates."""
+    args = [
+        "--model", "xlnet-base-cased", "--dataset", "mosi",
+        "--synthetic", "--tiny",
+        "--n_epochs", "1",
+        "--train_batch_size", "8",
+        "--dev_batch_size", "8",
+        "--test_batch_size", "8",
+        "--synthetic_sizes", "16", "8", "8",
+        "--seed", "3",
+        "--compute_dtype", "float32",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--attention_impl", "fused",
+        "--rel_bias_impl", "inkernel",
+    ]
+    assert driver.main(args) == 0
+    rec = json.loads((tmp_path / "ckpt" / "metrics.jsonl")
+                     .read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"])
+
+
 def test_driver_requires_data_source(capsys):
     rc = driver.main(["--model", "bert-base-uncased"])
     assert rc == 2

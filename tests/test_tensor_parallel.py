@@ -251,6 +251,40 @@ def test_xlnet_FUSED_attention_tp_matches_single_device():
                                [float(l1), float(l2)], rtol=1e-5)
 
 
+def test_xlnet_INGREDIENTS_attention_tp_matches_single_device():
+    """TP × the ingredients-fused rel-attention kernel (rel_bias_impl=
+    "inkernel"): per-device kernels assemble bd/rel-shift/segment/mask in
+    VMEM on their local heads; the head-sharded d_r/d_ed grads flow back
+    through shard_map."""
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    cfg_ref = dataclasses.replace(
+        _nodrop_xlnet_cfg(attention_impl="fused"),
+        rel_bias_impl="inkernel")
+    cfg_tp = dataclasses.replace(cfg_ref, tp_attention_mesh=mesh)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0,
+                          injection_index=1)
+    batch = make_batch(cfg_ref.vocab_size)
+
+    m_ref = MagXLNetForSequenceClassification(cfg_ref, mm, visual_dim=DV,
+                                              acoustic_dim=DA)
+    tr_ref = Trainer(model=m_ref, tx=optax.adam(1e-3),
+                     mesh=make_mesh(MeshConfig(data_parallel=1)),
+                     donate=False)
+    st = tr_ref.init_state(jax.random.PRNGKey(0), batch)
+    st1, l1 = tr_ref._train_step(st, tr_ref._put_batch(batch))
+    _, l2 = tr_ref._train_step(st1, tr_ref._put_batch(batch))
+
+    m_tp = MagXLNetForSequenceClassification(cfg_tp, mm, visual_dim=DV,
+                                             acoustic_dim=DA)
+    tr_tp = Trainer(model=m_tp, tx=optax.adam(1e-3), mesh=mesh,
+                    donate=False, tp_shard_attention=True)
+    stt = tr_tp.init_state(jax.random.PRNGKey(0), batch)
+    stt1, lt1 = tr_tp._train_step(stt, tr_tp._put_batch(batch))
+    _, lt2 = tr_tp._train_step(stt1, tr_tp._put_batch(batch))
+    np.testing.assert_allclose([float(lt1), float(lt2)],
+                               [float(l1), float(l2)], rtol=1e-5)
+
+
 def test_bert_FUSED_attention_tp_matches_single_device():
     """TP × the fused BERT attention: split-tensor kernel under shard_map
     with head-sharding constraints; attention output projection
