@@ -354,6 +354,49 @@ def test_xlnet_model_fused_equals_einsum_deterministic(rel_bias_impl):
 
 
 @pytest.mark.parametrize("rel_bias_impl", ["stream", "inkernel"])
+def test_xlnet_model_fused_two_stream_equals_einsum(rel_bias_impl):
+    """The query stream (perm_mask + target_mapping) goes through the
+    same _rel_attn_core, so both fused bias impls must match einsum on
+    the full two-stream forward."""
+    import dataclasses
+
+    from bert_multimodal_transformer_tpu.config import (
+        MultimodalConfig, XLNetConfig)
+    from bert_multimodal_transformer_tpu.models.xlnet import MagXLNetModel
+
+    cfg = XLNetConfig.tiny(vocab_size=64)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.5,
+                          injection_index=1)
+    rng = np.random.RandomState(13)
+    batch, seq, m_ = 4, 12, 3
+    ids = jnp.asarray(rng.randint(0, 64, (batch, seq)), jnp.int32)
+    vis = jnp.asarray(rng.randn(batch, seq, 5), jnp.float32)
+    aco = jnp.asarray(rng.randn(batch, seq, 7), jnp.float32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    seg = jnp.zeros((batch, seq), jnp.int32)
+    tmap = np.zeros((batch, m_, seq), np.float32)
+    for b_ in range(batch):
+        for m in range(m_):
+            tmap[b_, m, 2 * m] = 1.0
+    perm = rng.rand(batch, seq, seq).round().astype(np.float32)
+
+    m_ein = MagXLNetModel(cfg, mm, visual_dim=5, acoustic_dim=7)
+    params = m_ein.init(jax.random.PRNGKey(0), ids, vis, aco, mask,
+                        token_type_ids=seg, perm_mask=jnp.asarray(perm),
+                        target_mapping=jnp.asarray(tmap))["params"]
+    kwargs = dict(attention_mask=mask, token_type_ids=seg,
+                  perm_mask=jnp.asarray(perm),
+                  target_mapping=jnp.asarray(tmap), deterministic=True)
+    out_e, _ = m_ein.apply({"params": params}, ids, vis, aco, **kwargs)
+    cfg_f = dataclasses.replace(cfg, attention_impl="fused",
+                                rel_bias_impl=rel_bias_impl)
+    m_fus = MagXLNetModel(cfg_f, mm, visual_dim=5, acoustic_dim=7)
+    out_f, _ = m_fus.apply({"params": params}, ids, vis, aco, **kwargs)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("rel_bias_impl", ["stream", "inkernel"])
 def test_xlnet_model_fused_grads_match_einsum(rel_bias_impl):
     """Training-mode grads, attention dropout forced to 0 so the streams
     agree; hidden dropouts share the rng."""
