@@ -84,6 +84,13 @@ def _scan_fields(buf: bytes):
             pos += 4
         else:
             raise ValueError(f"unsupported wire type {wire}")
+        if pos > n:
+            # a truncated file (interrupted copy) must fail loudly, not
+            # load as a smaller vocabulary (the real sentencepiece lib
+            # rejects such files too)
+            raise ValueError(
+                f"truncated message: field {field} extends past the "
+                f"buffer ({pos} > {n})")
         yield field, wire, val
 
 

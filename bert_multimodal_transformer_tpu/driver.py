@@ -110,9 +110,14 @@ def main(argv=None) -> int:
 
     jax.config.update("jax_default_prng_impl", args.rng_impl)
     # Persistent compilation cache (cold tunnel compiles are minutes).
-    jax.config.update("jax_compilation_cache_dir", os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    # Respect an already-configured cache dir: the test suite runs
+    # driver.main in-process with its own cache (tests/conftest.py), and
+    # rebinding here would split it mid-session.
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir", os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          10.0)
     import jax.numpy as jnp
 
     from bert_multimodal_transformer_tpu.config import (

@@ -803,7 +803,12 @@ class MagXLNetForSequenceClassification(nn.Module):
                               stddev=cfg.initializer_range),
                           name="logits_proj")(summary)
         logits = logits.astype(jnp.float32)
-        extras = transformer_outputs[2:]  # hidden_states/attentions if asked
+        # reference surface: (logits,) + transformer_outputs[1:]
+        # (xlnet.py:510-513) — under use_cache that INCLUDES the updated
+        # mems so segment recurrence can be driven through the classifier;
+        # without it only hidden_states/attentions (if asked) follow.
+        extras = (transformer_outputs[1:] if use_cache
+                  else transformer_outputs[2:])
         if labels is not None:
             # internal MSE/CE loss switch (reference xlnet.py:515-524)
             from bert_multimodal_transformer_tpu.training.losses import (

@@ -521,10 +521,20 @@ def _attn_bwd_rel_saved_kernel(p_ref, pd_ref, q_ref, k_ref, v_ref, g_ref,
         dv_ref[b] = jnp.concatenate(dvs, axis=-1)
 
 
-def _pick_nb(b: int, n_arrays: int, h: int, s: int, dh: int) -> int:
+def _scratch_bytes(h: int, q: int, k: int, n: int = 1) -> int:
+    """Bytes of n [h, q, k] f32 VMEM scratch blocks (lane/sublane padded).
+    Scratch is per-PROGRAM (reused across the nb rows), so it subtracts
+    from the VMEM budget before the per-row division in the nb pickers."""
+    return n * h * ((q + 15) // 16 * 16) * ((k + 127) // 128 * 128) * 4
+
+
+def _pick_nb(b: int, n_arrays: int, h: int, s: int, dh: int,
+             fixed_bytes: int = 0) -> int:
     """Rows per program: amortize per-program pipeline overhead while
-    keeping double-buffered blocks comfortably inside ~12 MB of VMEM."""
-    budget = 12 * 1024 * 1024
+    keeping double-buffered blocks comfortably inside ~12 MB of VMEM.
+    ``fixed_bytes`` = per-program VMEM not proportional to nb (scratch,
+    grid-invariant blocks)."""
+    budget = 12 * 1024 * 1024 - fixed_bytes
     # bf16 blocks are padded to (…, mult-of-16 sublanes, 128 lanes)
     block = h * ((s + 15) // 16 * 16) * max(dh, 128) * 2
     # clamp BEFORE the divisibility walk — min() after it could return a
@@ -552,7 +562,8 @@ def _fwd_pallas(q, k, v, bias, seed, *, scale, rate, interpret, nb=None,
     b, h, s, dh = q.shape
     n_out = 1 + (save and (2 if rate > 0.0 else 1))
     if nb is None:
-        nb = _pick_nb(b, 4 + n_out, h, s, dh)
+        nb = _pick_nb(b, 4 + n_out, h, s, dh,
+                      fixed_bytes=_scratch_bytes(h, s, s))
     seed_spec, bias_spec, qkv_spec = _specs(nb, h, s, dh)
     prob_spec = pl.BlockSpec((nb, h, s, s), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -591,7 +602,8 @@ def _fwd_pallas(q, k, v, bias, seed, *, scale, rate, interpret, nb=None,
 def _bwd_pallas(q, k, v, bias, seed, g, *, scale, rate, interpret, nb=None):
     b, h, s, dh = q.shape
     if nb is None:
-        nb = _pick_nb(b, 7, h, s, dh)
+        nb = _pick_nb(b, 7, h, s, dh,
+                      fixed_bytes=_scratch_bytes(h, s, s, 2))
     seed_spec, bias_spec, qkv_spec = _specs(nb, h, s, dh)
     return pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, rate=rate,
@@ -618,7 +630,8 @@ def _bwd_pallas(q, k, v, bias, seed, g, *, scale, rate, interpret, nb=None):
 def _bwd_saved_pallas(p, pd, q, k, v, g, *, scale, interpret, nb=None):
     b, h, s, dh = q.shape
     if nb is None:
-        nb = _pick_nb(b, 9, h, s, dh)
+        nb = _pick_nb(b, 9, h, s, dh,
+                      fixed_bytes=_scratch_bytes(h, s, s))
     _, _, qkv_spec = _specs(nb, h, s, dh)
     prob_spec = pl.BlockSpec((nb, h, s, s), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -642,9 +655,10 @@ def _bwd_saved_pallas(p, pd, q, k, v, g, *, scale, interpret, nb=None):
     )(p, pd, q, k, v, g)
 
 
-def _pick_nb_packed(b: int, row_bytes: int) -> int:
-    """Rows per program from the actual per-row block footprint."""
-    budget = 12 * 1024 * 1024
+def _pick_nb_packed(b: int, row_bytes: int, fixed_bytes: int = 0) -> int:
+    """Rows per program from the actual per-row block footprint.
+    ``fixed_bytes`` = per-program scratch / grid-invariant VMEM."""
+    budget = 12 * 1024 * 1024 - fixed_bytes
     # clamp BEFORE the divisibility walk (see _pick_nb)
     nb = min(max(1, budget // (2 * row_bytes)), 8)
     while nb > 1 and b % nb != 0:
@@ -685,7 +699,8 @@ def _fwd_packed_pallas(qkv, bias, seed, *, scale, rate, n_heads, interpret,
     n_prob = (2 if rate > 0.0 else 1) if save else 0
     if nb is None:
         nb = _pick_nb_packed(
-            b, _packed_row_bytes(s, d3, n_heads, n_prob, qkv.dtype.itemsize))
+            b, _packed_row_bytes(s, d3, n_heads, n_prob, qkv.dtype.itemsize),
+            fixed_bytes=_scratch_bytes(n_heads, s, s))
     seed_spec, bias_spec, qkv_spec, out_spec, prob_spec = _packed_specs(
         nb, s, d3, n_heads)
     out_specs = out_spec
@@ -725,7 +740,8 @@ def _bwd_packed_pallas(qkv, bias, seed, g, *, scale, rate, n_heads,
     dh = d // n_heads
     if nb is None:
         nb = _pick_nb_packed(
-            b, 2 * _packed_row_bytes(s, d3, n_heads, 0, qkv.dtype.itemsize))
+            b, 2 * _packed_row_bytes(s, d3, n_heads, 0, qkv.dtype.itemsize),
+            fixed_bytes=_scratch_bytes(n_heads, s, s, 2))
     seed_spec, bias_spec, qkv_spec, out_spec, _ = _packed_specs(
         nb, s, d3, n_heads)
     return pl.pallas_call(
@@ -755,7 +771,8 @@ def _bwd_packed_saved_pallas(p, pd, qkv, g, *, scale, n_heads, interpret,
     dh = d // n_heads
     if nb is None:
         nb = _pick_nb_packed(
-            b, 2 * _packed_row_bytes(s, d3, n_heads, 2, qkv.dtype.itemsize))
+            b, 2 * _packed_row_bytes(s, d3, n_heads, 2, qkv.dtype.itemsize),
+            fixed_bytes=_scratch_bytes(n_heads, s, s))
     _, _, qkv_spec, out_spec, prob_spec = _packed_specs(nb, s, d3, n_heads)
     return pl.pallas_call(
         functools.partial(_attn_bwd_packed_saved_kernel, scale=scale,
@@ -807,7 +824,8 @@ def _fwd_rel_pallas(q, k, v, ebias, seed, *, scale, rate, n_heads,
     if nb is None:
         nb = _pick_nb_packed(
             b, _rel_row_bytes(q_len, k_len, d, n_heads, n_prob,
-                              q.dtype.itemsize))
+                              q.dtype.itemsize),
+            fixed_bytes=_scratch_bytes(n_heads, q_len, k_len))
     seed_spec, eb_spec, q_spec, kv_spec = _rel_specs(
         nb, q_len, k_len, d, n_heads)
     prob_spec = pl.BlockSpec((nb, n_heads, q_len, k_len),
@@ -854,7 +872,8 @@ def _bwd_rel_pallas(q, k, v, ebias, seed, g, *, scale, rate, n_heads,
     if nb is None:
         nb = _pick_nb_packed(
             b, 2 * _rel_row_bytes(q_len, k_len, d, n_heads, 1,
-                                  q.dtype.itemsize))
+                                  q.dtype.itemsize),
+            fixed_bytes=_scratch_bytes(n_heads, q_len, k_len, 2))
     seed_spec, eb_spec, q_spec, kv_spec = _rel_specs(
         nb, q_len, k_len, d, n_heads)
     debias_spec = pl.BlockSpec((nb, n_heads, q_len, k_len),
@@ -894,7 +913,8 @@ def _bwd_rel_saved_pallas(p, pd, q, k, v, g, *, scale, n_heads, interpret,
     if nb is None:
         nb = _pick_nb_packed(
             b, 2 * _rel_row_bytes(q_len, k_len, d, n_heads, 2,
-                                  q.dtype.itemsize))
+                                  q.dtype.itemsize),
+            fixed_bytes=_scratch_bytes(n_heads, q_len, k_len))
     _, _, q_spec, kv_spec = _rel_specs(nb, q_len, k_len, d, n_heads)
     prob_spec = pl.BlockSpec((nb, n_heads, q_len, k_len),
                              lambda i: (i, 0, 0, 0),
@@ -1521,13 +1541,24 @@ def _relik_specs(nb, q_len, k_len, d, h, p_len):
 
 
 def _relik_row_bytes(q_len, k_len, p_len, d, h, n_prob, itemsize):
+    # per-ROW blocks: rw+rr+o, k+v, segd+maskb, probs. The [H,Q,K]/[H,Q,P]
+    # f32 scratches and the grid-invariant r/dr blocks are per-PROGRAM —
+    # callers pass them via fixed_bytes (_relik_fixed_bytes).
     subq = (q_len + 15) // 16 * 16
     subk = (k_len + 15) // 16 * 16
     lane_k = (k_len + 127) // 128 * 128
-    lane_p = (p_len + 127) // 128 * 128
-    return (2 * subq * d + 2 * subk * d) * itemsize \
-        + h * subq * (lane_k + lane_p) * 4 \
+    return (3 * subq * d + 2 * subk * d) * itemsize \
+        + 2 * subq * lane_k * itemsize \
         + n_prob * h * subq * lane_k * itemsize
+
+
+def _relik_fixed_bytes(q_len, k_len, p_len, d, h, itemsize,
+                       n_k_scratch, n_p_scratch, with_dr):
+    subp = (p_len + 15) // 16 * 16
+    return (_scratch_bytes(h, q_len, k_len, n_k_scratch)
+            + _scratch_bytes(h, q_len, p_len, n_p_scratch)
+            + subp * d * itemsize                    # r block
+            + (subp * d * 4 if with_dr else 0))      # dr accumulator
 
 
 @functools.partial(jax.jit,
@@ -1542,7 +1573,10 @@ def _fwd_relik_pallas(rw, rr, r, k, v, ed, segd, maskb, seed, *, scale,
     if nb is None:
         nb = _pick_nb_packed(
             b, _relik_row_bytes(q_len, k_len, p_len, d, n_heads, n_prob,
-                                rw.dtype.itemsize))
+                                rw.dtype.itemsize),
+            fixed_bytes=_relik_fixed_bytes(
+                q_len, k_len, p_len, d, n_heads, rw.dtype.itemsize,
+                n_k_scratch=1, n_p_scratch=1, with_dr=False))
     seed_spec, qk_spec, ed_spec, row_spec, kv_spec, r_spec = _relik_specs(
         nb, q_len, k_len, d, n_heads, p_len)
     out_specs, out_shape = row_spec, jax.ShapeDtypeStruct((b, q_len, d),
@@ -1599,7 +1633,10 @@ def _bwd_relik_pallas(rw, rr, r, k, v, ed, segd, maskb, seed, g, *,
     if nb is None:
         nb = _pick_nb_packed(
             b, 2 * _relik_row_bytes(q_len, k_len, p_len, d, n_heads, 1,
-                                    rw.dtype.itemsize))
+                                    rw.dtype.itemsize),
+            fixed_bytes=_relik_fixed_bytes(
+                q_len, k_len, p_len, d, n_heads, rw.dtype.itemsize,
+                n_k_scratch=2, n_p_scratch=1, with_dr=True))
     seed_spec, qk_spec, ed_spec, row_spec, kv_spec, r_spec = _relik_specs(
         nb, q_len, k_len, d, n_heads, p_len)
     dr_spec = pl.BlockSpec((p_len, d), lambda i: (0, 0),
@@ -1637,7 +1674,10 @@ def _bwd_relik_saved_pallas(p, pd, rw, rr, r, k, v, segd, g, *, scale,
     if nb is None:
         nb = _pick_nb_packed(
             b, 2 * _relik_row_bytes(q_len, k_len, p_len, d, n_heads, 2,
-                                    rw.dtype.itemsize))
+                                    rw.dtype.itemsize),
+            fixed_bytes=_relik_fixed_bytes(
+                q_len, k_len, p_len, d, n_heads, rw.dtype.itemsize,
+                n_k_scratch=1, n_p_scratch=0, with_dr=True))
     _, qk_spec, ed_spec, row_spec, kv_spec, r_spec = _relik_specs(
         nb, q_len, k_len, d, n_heads, p_len)
     prob_spec = pl.BlockSpec((nb, n_heads, q_len, k_len),

@@ -54,6 +54,16 @@ def test_proto_roundtrip():
     assert parse_model_proto(blob) == _pieces()
 
 
+def test_truncated_proto_rejected():
+    """A truncated .model (interrupted copy) must fail loudly, not load
+    as a smaller vocabulary with silently wrong ids."""
+    import pytest
+
+    blob = serialize_model_proto(_pieces())
+    with pytest.raises(ValueError, match="truncated"):
+        parse_model_proto(blob[:-3])
+
+
 def test_viterbi_prefers_single_good_piece(tmp_path):
     sp = PurePythonSentencePiece().Load(_model(tmp_path))
     # "▁ab" (-1) beats "▁a"+"b" (-3.5)

@@ -285,6 +285,29 @@ def test_xlnet_INGREDIENTS_attention_tp_matches_single_device():
                                [float(l1), float(l2)], rtol=1e-5)
 
 
+def test_xlnet_fused_tp_with_dropout_runs():
+    """The TP wrappers' dropout path (fold_in(axis_index) inside
+    shard_map feeding per-shard streams) was exercised by no test — the
+    production config trains with dropout 0.1, so at least run a step
+    with it on and assert a finite loss (the stream is per-shard, so no
+    single-device loss match is possible by design)."""
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    for extra in ({}, {"rel_bias_impl": "inkernel"}):
+        cfg = dataclasses.replace(
+            XLNetConfig.tiny(vocab_size=64), dropout=0.1,
+            attention_impl="fused", tp_attention_mesh=mesh, **extra)
+        mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1,
+                              injection_index=1)
+        batch = make_batch(cfg.vocab_size)
+        m = MagXLNetForSequenceClassification(cfg, mm, visual_dim=DV,
+                                              acoustic_dim=DA)
+        tr = Trainer(model=m, tx=optax.adam(1e-3), mesh=mesh,
+                     donate=False, tp_shard_attention=True)
+        st = tr.init_state(jax.random.PRNGKey(0), batch)
+        st, loss = tr._train_step(st, tr._put_batch(batch))
+        assert np.isfinite(float(loss)), extra
+
+
 def test_bert_FUSED_attention_tp_matches_single_device():
     """TP × the fused BERT attention: split-tensor kernel under shard_map
     with head-sharding constraints; attention output projection

@@ -69,6 +69,45 @@ def test_xlnet_end_to_end_training_improves():
     assert np.isfinite(float(l_dp))
 
 
+def test_classifier_surfaces_mems_under_use_cache():
+    """Reference surface: the classifier returns (logits,) +
+    transformer_outputs[1:] (xlnet.py:510-513) — under use_cache that
+    includes the updated mems, so segment recurrence can be driven
+    through the classifier head."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(4)
+    cfg = dataclasses.replace(XLNetConfig.tiny(vocab_size=64), mem_len=S)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1,
+                          injection_index=1)
+    model = MagXLNetForSequenceClassification(cfg, mm, visual_dim=DV,
+                                              acoustic_dim=DA)
+    ids = jnp.asarray(rng.randint(0, 64, (B, S)), jnp.int32)
+    vis = jnp.asarray(rng.randn(B, S, DV), jnp.float32)
+    aco = jnp.asarray(rng.randn(B, S, DA), jnp.float32)
+    mask = jnp.ones((B, S), jnp.int32)
+    seg = jnp.zeros((B, S), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, vis, aco, mask, seg)[
+        "params"]
+
+    out = model.apply({"params": params}, ids, vis, aco,
+                      attention_mask=mask, token_type_ids=seg,
+                      use_cache=True, deterministic=True)
+    logits, mems = out[0], out[1]
+    assert logits.shape == (B, cfg.num_labels)
+    assert len(mems) == cfg.n_layer
+    assert mems[0].shape == (B, S, cfg.d_model)
+
+    # second segment consumes the carried mems
+    out2 = model.apply({"params": params}, ids, vis, aco,
+                       attention_mask=mask, token_type_ids=seg,
+                       mems=mems, use_cache=True, deterministic=True)
+    assert out2[1][0].shape == (B, S, cfg.d_model)
+    assert np.isfinite(np.asarray(out2[0])).all()
+
+
 def test_xlnet_inputs_embeds_and_head_mask():
     """API parity: inputs_embeds path equals input_ids path; head_mask of
     ones is a no-op, zeros changes the output."""
