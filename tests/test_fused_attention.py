@@ -466,6 +466,30 @@ def test_batch_not_divisible_by_eight_covers_all_rows():
                                atol=1e-6, rtol=1e-6)
 
 
+def test_nb_picker_accounts_for_scratch():
+    """The head-batched [H,S,S] f32 scratches are per-program VMEM; the
+    nb pickers must subtract them from the budget BEFORE the per-row
+    division, or long-seq shapes that fit pre-restructure now exceed
+    VMEM (review finding). At S=256/H=12 the recompute-bwd scratch pair
+    is ~6.3 MB — more than half the 12 MB budget."""
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        _pick_nb, _pick_nb_packed, _scratch_bytes)
+
+    s, h, dh, b = 256, 12, 64, 256
+    scratch2 = _scratch_bytes(h, s, s, 2)
+    assert scratch2 == 2 * h * 256 * 256 * 4
+    nb_without = _pick_nb(b, 7, h, s, dh)
+    nb_with = _pick_nb(b, 7, h, s, dh, fixed_bytes=scratch2)
+    assert nb_with <= nb_without
+    # the block estimate must actually fit the reduced budget
+    block = h * s * max(dh, 128) * 2
+    assert 2 * 7 * block * nb_with + scratch2 <= 12 * 1024 * 1024
+    # packed picker: same contract
+    row = 10 * 1024 * 1024
+    assert _pick_nb_packed(b, row, fixed_bytes=4 * 1024 * 1024) == 1
+    assert _pick_nb_packed(b, 1024, fixed_bytes=0) == 8
+
+
 def test_dropout_requires_rng():
     q, k, v, mask = _inputs()
     with pytest.raises(ValueError):
