@@ -475,18 +475,22 @@ def test_nb_picker_accounts_for_scratch():
     from bert_multimodal_transformer_tpu.ops.fused_attention import (
         _pick_nb, _pick_nb_packed, _scratch_bytes)
 
-    s, h, dh, b = 256, 12, 64, 256
+    s, h, dh, b = 128, 12, 64, 256
     scratch2 = _scratch_bytes(h, s, s, 2)
-    assert scratch2 == 2 * h * 256 * 256 * 4
+    assert scratch2 == 2 * h * 128 * 128 * 4
     nb_without = _pick_nb(b, 7, h, s, dh)
     nb_with = _pick_nb(b, 7, h, s, dh, fixed_bytes=scratch2)
     assert nb_with <= nb_without
-    # the block estimate must actually fit the reduced budget
+    # the block estimate must fit the reduced budget (or floor at 1 row)
     block = h * s * max(dh, 128) * 2
-    assert 2 * 7 * block * nb_with + scratch2 <= 12 * 1024 * 1024
-    # packed picker: same contract
-    row = 10 * 1024 * 1024
-    assert _pick_nb_packed(b, row, fixed_bytes=4 * 1024 * 1024) == 1
+    assert (nb_with == 1
+            or 2 * 7 * block * nb_with + scratch2 <= 12 * 1024 * 1024)
+    # a scratch bigger than half the budget must shrink nb vs before
+    big = _scratch_bytes(h, 256, 256, 2)                 # ~6.3 MB
+    assert _pick_nb_packed(b, 512 * 1024, fixed_bytes=big) < \
+        _pick_nb_packed(b, 512 * 1024, fixed_bytes=0)
+    assert _pick_nb_packed(b, 10 * 1024 * 1024,
+                           fixed_bytes=4 * 1024 * 1024) == 1
     assert _pick_nb_packed(b, 1024, fixed_bytes=0) == 8
 
 
