@@ -353,6 +353,50 @@ def test_xlnet_model_fused_equals_einsum_deterministic(rel_bias_impl):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("variant", ["bi_data", "uni"])
+def test_inkernel_ineligible_variants_fall_back_to_stream(variant):
+    """bi_data (per-example position streams, k_head_r.ndim==4) and uni
+    attention (P = K+1 < Q+K breaks the log-shift wraparound bound) must
+    fall back to the streamed assembly under rel_bias_impl="inkernel"
+    and still match the einsum path."""
+    import dataclasses
+
+    from bert_multimodal_transformer_tpu.config import (
+        MultimodalConfig, XLNetConfig)
+    from bert_multimodal_transformer_tpu.models.xlnet import (
+        MagXLNetForSequenceClassification)
+
+    extra = {"bi_data": True} if variant == "bi_data" else {
+        "attn_type": "uni"}
+    cfg = dataclasses.replace(XLNetConfig.tiny(vocab_size=64), **extra)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.5,
+                          injection_index=1)
+    rng = np.random.RandomState(14)
+    batch, seq = 4, 10
+    ids = jnp.asarray(rng.randint(0, 64, (batch, seq)), jnp.int32)
+    vis = jnp.asarray(rng.randn(batch, seq, 5), jnp.float32)
+    aco = jnp.asarray(rng.randn(batch, seq, 7), jnp.float32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    seg = jnp.zeros((batch, seq), jnp.int32)
+
+    m_ein = MagXLNetForSequenceClassification(cfg, mm, visual_dim=5,
+                                              acoustic_dim=7)
+    params = m_ein.init(jax.random.PRNGKey(0), ids, vis, aco, mask, seg)[
+        "params"]
+    out_e = m_ein.apply({"params": params}, ids, vis, aco,
+                        attention_mask=mask, token_type_ids=seg,
+                        deterministic=True)
+    cfg_ik = dataclasses.replace(cfg, attention_impl="fused",
+                                 rel_bias_impl="inkernel")
+    m_ik = MagXLNetForSequenceClassification(cfg_ik, mm, visual_dim=5,
+                                             acoustic_dim=7)
+    out_ik = m_ik.apply({"params": params}, ids, vis, aco,
+                        attention_mask=mask, token_type_ids=seg,
+                        deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_ik), np.asarray(out_e),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("rel_bias_impl", ["stream", "inkernel"])
 def test_xlnet_model_fused_two_stream_equals_einsum(rel_bias_impl):
     """The query stream (perm_mask + target_mapping) goes through the
