@@ -1,0 +1,144 @@
+"""Hardware validation of the ingredients-fused rel-attention kernel
+(ops/fused_attention.py::fused_rel_attention_ingredients) on the real TPU.
+
+Checks:
+  1. dropout-off fwd/grad parity vs the streamed-ebias production path
+     (all six differentiable inputs, incl. the grid-accumulated d_r)
+  2. in-kernel dropout: same-seed replay determinism, drop fraction ≈
+     rate (via the saved pre/post-dropout probs), E[out] preservation
+  3. save-probs vs recompute backwards agree under dropout (same seed)
+  4. fwd/bwd PRNG-replay consistency: directional finite difference
+     through the stochastic graph matches the analytic grad
+  5. also runs the non-default blocking (nb_bwd=1) to cover the
+     multi-program d_r accumulation on hardware
+
+Sync methodology: value-fetch chaining (CLAUDE.md — block_until_ready
+returns early on the tunneled backend).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bert_multimodal_transformer_tpu.models.xlnet import rel_shift
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        _fwd_relik_pallas,
+        fused_rel_attention,
+        fused_rel_attention_ingredients,
+    )
+
+    B, H, Q, DH = 256, 12, 50, 64
+    K, P, D = Q, 2 * Q, H * DH
+    SCALE = DH ** -0.5
+    RATE = 0.1
+    f32 = jnp.float32
+    rng = np.random.RandomState(0)
+    rw = jnp.asarray(rng.randn(B, Q, D), jnp.bfloat16)
+    rr = jnp.asarray(rng.randn(B, Q, D) * SCALE, jnp.bfloat16)
+    r = jnp.asarray(rng.randn(P, D), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, K, D), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, K, D), jnp.bfloat16)
+    ed = jnp.asarray(rng.randn(B, H, Q) * SCALE, jnp.bfloat16)
+    segd = jnp.asarray(rng.randint(0, 2, (B, Q, K)), jnp.bfloat16)
+    maskb = jnp.zeros((B, Q, K), jnp.bfloat16)
+    key = jax.random.PRNGKey(7)
+
+    # ---- 1. dropout-off parity vs the streamed path ----
+    def loss_stream(args):
+        rw_, rr_, r_, k_, v_, ed_ = args
+        bd = jnp.einsum("bqhf,phf->bhqp", rr_.reshape(B, Q, H, DH),
+                        r_.reshape(P, H, DH), preferred_element_type=f32
+                        ).astype(jnp.bfloat16)
+        ebias = rel_shift(bd, K) + jnp.where(
+            segd[:, None].astype(bool), ed_[:, :, :, None],
+            jnp.zeros((), ed_.dtype)) + maskb[:, None]
+        return jnp.sum(fused_rel_attention(
+            rw_, k_, v_, ebias, n_heads=H, scale=SCALE).astype(f32))
+
+    def loss_ik(args, **kw):
+        return jnp.sum(fused_rel_attention_ingredients(
+            *args, segd, maskb, n_heads=H, scale=SCALE, **kw).astype(f32))
+
+    args = (rw, rr, r, k, v, ed)
+    names = ("rw", "rr", "r", "k", "v", "ed")
+    vs, gs = jax.value_and_grad(loss_stream)(args)
+    for nb in (None, 1):
+        vi, gi = jax.value_and_grad(
+            lambda a: loss_ik(a, nb_fwd=nb, nb_bwd=nb))(args)
+        dv_rel = abs(float(vi) - float(vs)) / abs(float(vs))
+        print(f"nb={nb}: fwd rel {dv_rel:.2e}")
+        assert dv_rel < 5e-3, dv_rel
+        for n, a, b in zip(names, gi, gs):
+            a, b = a.astype(f32), b.astype(f32)
+            rel = (float(jnp.max(jnp.abs(a - b)))
+                   / max(float(jnp.max(jnp.abs(b))), 1e-9))
+            print(f"  nb={nb} d{n:3s} max rel = {rel:.2e}")
+            assert rel < 5e-2, (n, rel)
+
+    # ---- 2. dropout semantics ----
+    o1 = fused_rel_attention_ingredients(
+        rw, rr, r, k, v, ed, segd, maskb, n_heads=H, scale=SCALE,
+        dropout_rate=RATE, dropout_rng=key, deterministic=False)
+    o2 = fused_rel_attention_ingredients(
+        rw, rr, r, k, v, ed, segd, maskb, n_heads=H, scale=SCALE,
+        dropout_rate=RATE, dropout_rng=key, deterministic=False)
+    replay = float(jnp.max(jnp.abs(o1.astype(f32) - o2.astype(f32))))
+    print(f"same-seed replay max |diff| = {replay}")
+    assert replay == 0.0, replay
+
+    seed = jax.random.randint(key, (1, 1), 0, 2**31 - 1, dtype=jnp.int32)
+    _, p, pd = _fwd_relik_pallas(rw, rr, r, k, v, ed, segd, maskb, seed,
+                                 scale=SCALE, rate=RATE, n_heads=H,
+                                 interpret=False, save=True)
+    frac = float(jnp.mean((pd == 0) & (p != 0)))
+    print(f"drop fraction = {frac:.4f} (rate {RATE})")
+    assert abs(frac - RATE) < 0.01, frac
+    base = fused_rel_attention_ingredients(
+        rw, rr, r, k, v, ed, segd, maskb, n_heads=H, scale=SCALE)
+    ratio = float(jnp.mean(jnp.abs(o1.astype(f32)))
+                  / jnp.mean(jnp.abs(base.astype(f32))))
+    print(f"E[|out|] dropout/none ratio = {ratio:.4f}")
+    assert 0.9 < ratio < 1.1, ratio
+
+    # ---- 3. save vs recompute backwards under dropout ----
+    def loss_mode(v_, save):
+        return jnp.sum(fused_rel_attention_ingredients(
+            rw, rr, r, k, v_, ed, segd, maskb, n_heads=H, scale=SCALE,
+            dropout_rate=RATE, dropout_rng=key, deterministic=False,
+            save_probs=save).astype(f32))
+
+    dv_save = jax.grad(lambda x: loss_mode(x, True))(v).astype(f32)
+    dv_rec = jax.grad(lambda x: loss_mode(x, False))(v).astype(f32)
+    rel = (float(jnp.max(jnp.abs(dv_save - dv_rec)))
+           / max(float(jnp.max(jnp.abs(dv_rec))), 1e-9))
+    print(f"save vs recompute dV (dropout on): rel {rel:.3e}")
+    assert rel < 5e-2, rel
+
+    # ---- 4. FD probe through the stochastic graph ----
+    direction = jnp.asarray(np.sign(rng.randn(B, K, D)), jnp.bfloat16)
+    eps = 0.05
+
+    def g(vv):
+        return loss_mode(vv, False)
+
+    an = float(jnp.vdot(jax.grad(g)(v).astype(f32),
+                        direction.astype(f32)))
+    fd = (g(v + eps * direction) - g(v - eps * direction)) / (2 * eps)
+    rel = abs(float(fd) - an) / max(abs(an), 1e-9)
+    print(f"bwd PRNG replay: directional FD vs grad rel diff = {rel:.3e}")
+    assert rel < 5e-2, rel
+
+    print("ALL CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()
