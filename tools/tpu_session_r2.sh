@@ -23,6 +23,9 @@ run bench_xlnet_ik env BENCH_MODEL=xlnet BENCH_REL_BIAS=inkernel python bench.py
 run bench_bert python bench.py
 run bench_large env BENCH_MODEL=bert-large BENCH_BATCH=128 python bench.py
 
+# 4. QKV/output-projection mega-fusion probe (fwd-only standalone)
+run exp_qkv python tools/exp_qkv_fusion.py
+
 echo "ALL STAGES OK"
 tail -1 /tmp/r2_bench_xlnet_stream.log /tmp/r2_bench_xlnet_ik.log \
     /tmp/r2_bench_bert.log /tmp/r2_bench_large.log
