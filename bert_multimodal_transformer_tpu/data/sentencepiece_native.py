@@ -52,6 +52,10 @@ def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
     result = 0
     shift = 0
     while True:
+        if pos >= len(buf):
+            # keep the fail-loudly contract: a file cut mid-varint must
+            # raise the same ValueError class as other truncations
+            raise ValueError("truncated message: varint runs past the end")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift

@@ -228,6 +228,14 @@ def main(argv=None) -> int:
             cfg = dataclasses.replace(cfg,
                                       attention_impl=args.attention_impl)
         if args.rel_bias_impl != "stream":
+            if args.attention_impl != "fused":
+                # only the fused rel-attention path reads rel_bias_impl;
+                # erroring beats a run whose logs claim inkernel while
+                # executing einsum attention.
+                print("error: --rel_bias_impl requires "
+                      "--attention_impl fused (the einsum path has no "
+                      "score-bias kernel to select)", file=sys.stderr)
+                return 2
             cfg = dataclasses.replace(cfg,
                                       rel_bias_impl=args.rel_bias_impl)
         if args.tp_shard_attention:
@@ -243,6 +251,10 @@ def main(argv=None) -> int:
         import dataclasses
         if args.synthetic and not args.tiny:
             cfg = dataclasses.replace(cfg, vocab_size=max(vocab_size, 128))
+        if args.rel_bias_impl != "stream":
+            print("error: --rel_bias_impl applies only to the XLNet "
+                  "family's fused rel-attention", file=sys.stderr)
+            return 2
         if args.attention_impl != "einsum":
             cfg = dataclasses.replace(cfg,
                                       attention_impl=args.attention_impl)

@@ -117,6 +117,16 @@ class BertSelfAttention(nn.Module):
 
         probs = None
         tp_mesh = cfg.tp_attention_mesh
+
+        # one place owns the TP activation shardings: qkv5 [B,S,3,H,Dh]
+        # head-sharded on H, head-flat ctx [B,S,D] sharded on D into the
+        # row-parallel output projection (kernel P("model", None),
+        # parallel/tp.py)
+        def constrain(x, *spec):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(tp_mesh, P(*spec)))
         # fused short-seq kernel: softmax + prob-dropout in VMEM with a
         # fused backward (ops/fused_attention.py). The packed variant
         # consumes the raw QKV projection and emits [B,S,D] directly —
@@ -131,16 +141,12 @@ class BertSelfAttention(nn.Module):
             # contiguous model-axis chunk, so TP uses the split-tensor
             # kernel under shard_map (ops/fused_attention.py TP wrappers)
             # with explicit head-sharding constraints on the activations.
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
             from bert_multimodal_transformer_tpu.ops.fused_attention import (
                 fused_attention_tp,
             )
 
-            qkv5 = qkv.reshape(b, s, 3, h, dh)
-            qkv5 = jax.lax.with_sharding_constraint(
-                qkv5, NamedSharding(tp_mesh, P("data", None, None,
-                                               "model", None)))
+            qkv5 = constrain(qkv.reshape(b, s, 3, h, dh),
+                             "data", None, None, "model", None)
             q, k, v = [jnp.moveaxis(qkv5[:, :, i], 2, 1) for i in range(3)]
             rate = cfg.attention_probs_dropout_prob
             dropout_rng = None
@@ -154,11 +160,8 @@ class BertSelfAttention(nn.Module):
                 dropout_rng=dropout_rng,
                 deterministic=deterministic,
             )
-            ctx = jnp.moveaxis(ctx, 1, 2).reshape(b, s, d)
-            # head-flat ctx stays model-sharded into the row-parallel
-            # output projection (kernel P("model", None), parallel/tp.py)
-            ctx = jax.lax.with_sharding_constraint(
-                ctx, NamedSharding(tp_mesh, P("data", None, "model")))
+            ctx = constrain(jnp.moveaxis(ctx, 1, 2).reshape(b, s, d),
+                            "data", None, "model")
         elif use_fused:
             rate = cfg.attention_probs_dropout_prob
             dropout_rng = None
@@ -177,11 +180,7 @@ class BertSelfAttention(nn.Module):
             if tp_mesh is not None:
                 # einsum path under TP: GSPMD head-shards the whole
                 # attention from these constraints (no shard_map needed)
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                qkv = jax.lax.with_sharding_constraint(
-                    qkv, NamedSharding(tp_mesh, P("data", None, None,
-                                                  "model", None)))
+                qkv = constrain(qkv, "data", None, None, "model", None)
             q, k, v = [jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)]
             # flash kernel has no attention-prob dropout: only take it
             # when it cannot change semantics (eval, or dropout == 0).
@@ -211,10 +210,7 @@ class BertSelfAttention(nn.Module):
                     ctx, probs = ctx
             ctx = jnp.moveaxis(ctx, 1, 2).reshape(b, s, d)
             if tp_mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                ctx = jax.lax.with_sharding_constraint(
-                    ctx, NamedSharding(tp_mesh, P("data", None, "model")))
+                ctx = constrain(ctx, "data", None, "model")
 
         out = nn.Dense(d, dtype=self.dtype, kernel_init=init,
                        name="output_dense")(ctx)

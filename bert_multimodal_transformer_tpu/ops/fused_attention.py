@@ -1885,8 +1885,11 @@ def fused_rel_attention_tp(
     rng = dropout_rng if rate > 0.0 else jax.random.PRNGKey(0)
 
     def local(q, k, v, ebias, rng):
-        # distinct dropout streams per head shard
+        # distinct dropout streams per head shard AND per data shard —
+        # without the data fold every data shard would replay the same
+        # per-local-row mask sequence (the kernel seeds by local row)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(model_axis))
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         return fused_rel_attention(
             q, k, v, ebias, n_heads=local_heads, scale=scale,
             dropout_rate=rate, dropout_rng=rng if rate > 0.0 else None,
@@ -1941,7 +1944,9 @@ def fused_rel_attention_ingredients_tp(
     rng = dropout_rng if rate > 0.0 else jax.random.PRNGKey(0)
 
     def local(rw, rr, r, k, v, ed, segd, maskb, rng):
+        # per head shard AND per data shard (see fused_rel_attention_tp)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(model_axis))
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         return fused_rel_attention_ingredients(
             rw, rr, r, k, v, ed, segd, maskb, n_heads=local_heads,
             scale=scale, dropout_rate=rate,
@@ -1991,7 +1996,9 @@ def fused_attention_tp(
         attention_mask = jnp.ones((b, s), jnp.int32)
 
     def local(q, k, v, mask, rng):
+        # per head shard AND per data shard (see fused_rel_attention_tp)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(model_axis))
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         return fused_attention(
             q, k, v, mask, scale=scale,
             dropout_rate=rate, dropout_rng=rng if rate > 0.0 else None,

@@ -65,6 +65,71 @@ def _forward(apply_fn, params, batch, rng, deterministic: bool):
     return logits, label_ids
 
 
+def _make_step(grad_accum: int, masked: bool):
+    """Shared train-step builder (see make_train_step /
+    make_masked_train_step for the two public semantics). ``masked`` is a
+    Python-level switch, so the unmasked (perf-default) trace is
+    byte-identical to a hand-written unmasked step — only the ragged-tail
+    variant carries the valid mask through the scan."""
+
+    def loss_fn(params, apply_fn, micro, rng, valid):
+        logits, labels = _forward(apply_fn, params, micro, rng,
+                                  deterministic=False)
+        if not masked:
+            return mse_loss(logits, labels)
+        err = jnp.square(logits.reshape(-1).astype(jnp.float32)
+                         - labels.reshape(-1).astype(jnp.float32))
+        return jnp.sum(err * valid)
+
+    def train_step(state: TrainState, batch: Tuple,
+                   valid: Optional[jax.Array] = None):
+        if masked:
+            valid = valid.astype(jnp.float32)
+        rng, new_rng = jax.random.split(state.rng)
+        if grad_accum == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, state.apply_fn, batch, rng, valid)
+        else:
+            micro_batches = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
+                                    + x.shape[1:]),
+                batch)
+            micro_rngs = jax.random.split(rng, grad_accum)
+            xs = (micro_batches, micro_rngs)
+            if masked:
+                xs = xs + (valid.reshape(grad_accum, -1),)
+
+            def scan_body(carry, inp):
+                acc_grads, acc_loss = carry
+                micro, mrng = inp[0], inp[1]
+                mvalid = inp[2] if masked else None
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, state.apply_fn, micro, mrng, mvalid)
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                return (acc_grads, acc_loss + loss), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss), _ = jax.lax.scan(
+                scan_body, (zero_grads, jnp.zeros(())), xs)
+        if masked:
+            # sum-of-squared-errors over valid examples -> masked mean
+            n = jnp.maximum(jnp.sum(valid), 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+            loss = loss / n
+        elif grad_accum > 1:
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
+            loss = loss / grad_accum
+
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt_state, rng=new_rng)
+        return new_state, loss
+
+    return train_step
+
+
 def make_train_step(grad_accum: int = 1):
     """Builds the jitted train step.
 
@@ -73,46 +138,10 @@ def make_train_step(grad_accum: int = 1):
     matching the reference's loss/accum scaling (multimodal_driver.py:375-386)
     where each micro-loss is divided by the accumulation count.
     """
-
-    def loss_fn(params, apply_fn, micro, rng):
-        logits, labels = _forward(apply_fn, params, micro, rng,
-                                  deterministic=False)
-        return mse_loss(logits, labels)
+    step = _make_step(grad_accum, masked=False)
 
     def train_step(state: TrainState, batch: Tuple):
-        rng, new_rng = jax.random.split(state.rng)
-        if grad_accum == 1:
-            loss, grads = jax.value_and_grad(loss_fn)(
-                state.params, state.apply_fn, batch, rng)
-        else:
-            micro_batches = jax.tree_util.tree_map(
-                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
-                                    + x.shape[1:]),
-                batch)
-            micro_rngs = jax.random.split(rng, grad_accum)
-
-            def scan_body(carry, inp):
-                acc_grads, acc_loss = carry
-                micro, mrng = inp
-                loss, grads = jax.value_and_grad(loss_fn)(
-                    state.params, state.apply_fn, micro, mrng)
-                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
-                return (acc_grads, acc_loss + loss), None
-
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (grads, loss_sum), _ = jax.lax.scan(
-                scan_body, (zero_grads, jnp.zeros(())),
-                (micro_batches, micro_rngs))
-            grads = jax.tree_util.tree_map(
-                lambda g: g / grad_accum, grads)
-            loss = loss_sum / grad_accum
-
-        updates, new_opt_state = state.tx.update(
-            grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  opt_state=new_opt_state, rng=new_rng)
-        return new_state, loss
+        return step(state, batch)
 
     return train_step
 
@@ -124,51 +153,7 @@ def make_masked_train_step(grad_accum: int = 1):
     a masked mean over the padded batch is numerically identical, and keeps
     every compiled shape static. Full batches (valid all-ones) reduce to
     exactly the unmasked step's math."""
-
-    def sum_loss_fn(params, apply_fn, micro, rng, valid):
-        logits, labels = _forward(apply_fn, params, micro, rng,
-                                  deterministic=False)
-        err = jnp.square(logits.reshape(-1).astype(jnp.float32)
-                         - labels.reshape(-1).astype(jnp.float32))
-        return jnp.sum(err * valid)
-
-    def train_step(state: TrainState, batch: Tuple, valid: jax.Array):
-        valid = valid.astype(jnp.float32)
-        rng, new_rng = jax.random.split(state.rng)
-        if grad_accum == 1:
-            loss_sum, grads = jax.value_and_grad(sum_loss_fn)(
-                state.params, state.apply_fn, batch, rng, valid)
-        else:
-            micro_batches = jax.tree_util.tree_map(
-                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
-                                    + x.shape[1:]),
-                batch)
-            micro_valid = valid.reshape(grad_accum, -1)
-            micro_rngs = jax.random.split(rng, grad_accum)
-
-            def scan_body(carry, inp):
-                acc_grads, acc_loss = carry
-                micro, mrng, mvalid = inp
-                loss, grads = jax.value_and_grad(sum_loss_fn)(
-                    state.params, state.apply_fn, micro, mrng, mvalid)
-                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
-                return (acc_grads, acc_loss + loss), None
-
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (grads, loss_sum), _ = jax.lax.scan(
-                scan_body, (zero_grads, jnp.zeros(())),
-                (micro_batches, micro_rngs, micro_valid))
-        n = jnp.maximum(jnp.sum(valid), 1.0)
-        grads = jax.tree_util.tree_map(lambda g: g / n, grads)
-        loss = loss_sum / n
-        updates, new_opt_state = state.tx.update(
-            grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=new_params,
-                                  opt_state=new_opt_state, rng=new_rng)
-        return new_state, loss
-
-    return train_step
+    return _make_step(grad_accum, masked=True)
 
 
 def eval_step(state: TrainState, batch: Tuple, valid: jax.Array):

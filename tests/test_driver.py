@@ -85,6 +85,22 @@ def test_driver_rejects_flash_for_xlnet(capsys):
     assert "flash" in capsys.readouterr().err
 
 
+def test_driver_rejects_inert_rel_bias_impl(capsys):
+    """--rel_bias_impl inkernel is only read by the fused rel-attention
+    path: without --attention_impl fused (or on the BERT family) it would
+    silently run a differently-labeled config, so the driver must error."""
+    rc = driver.main(["--model", "xlnet-base-cased", "--synthetic", "--tiny",
+                      "--rel_bias_impl", "inkernel"])
+    assert rc == 2
+    assert "--attention_impl fused" in capsys.readouterr().err
+
+    rc = driver.main(["--model", "bert-base-uncased", "--synthetic",
+                      "--tiny", "--attention_impl", "fused",
+                      "--rel_bias_impl", "inkernel"])
+    assert rc == 2
+    assert "XLNet" in capsys.readouterr().err
+
+
 def test_driver_pretrained_warm_start(tmp_path):
     """--pretrained_checkpoint loads a local torch .bin through the full
     CLI path (reference prep_for_training contract)."""

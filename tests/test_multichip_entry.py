@@ -42,3 +42,33 @@ def test_dryrun_multichip_bootstraps_from_one_device():
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
     assert "HARNESS-STYLE OK" in proc.stdout
     assert "DRYRUN OK" in proc.stdout
+
+
+def test_dryrun_multichip_never_initializes_parent_backend():
+    """During a TPU-tunnel outage, initializing the default (axon)
+    backend hangs indefinitely — so the parent must route an
+    UNINITIALIZED backend straight to the CPU-subprocess bootstrap
+    without ever calling into backend init itself (round-2 hardening;
+    the subprocess sets JAX_PLATFORMS=cpu and never touches the tunnel).
+
+    CPU backend here stands in for the tunnel: the assert proves the
+    parent decided without initializing ANY backend, which is the
+    property that makes the entry point outage-proof."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", "")).strip()
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu'; "
+        "import __graft_entry__ as g; g.dryrun_multichip(4); "
+        "import jax._src.xla_bridge as xb; "
+        "assert not xb.backends_are_initialized(), 'parent initialized'; "
+        "print('PARENT-UNINITIALIZED OK')"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "PARENT-UNINITIALIZED OK" in proc.stdout
+    assert "DRYRUN OK" in proc.stdout

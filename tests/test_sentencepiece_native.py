@@ -64,6 +64,26 @@ def test_truncated_proto_rejected():
         parse_model_proto(blob[:-3])
 
 
+def test_truncated_mid_varint_rejected():
+    """A file cut INSIDE a varint (continuation bit set on the last
+    byte, or ending right before a tag's payload) must raise the same
+    ValueError class as other truncations, not a bare IndexError."""
+    import pytest
+
+    blob = serialize_model_proto(_pieces())
+    # ends with a dangling byte whose continuation bit is set: the tag
+    # varint runs past the end of the buffer
+    with pytest.raises(ValueError, match="truncated"):
+        parse_model_proto(blob + b"\xff")
+    # a score field is little-endian fixed32 after its tag; chopping the
+    # buffer one byte after a tag boundary exercises every wire branch
+    for cut in range(1, min(8, len(blob))):
+        try:
+            parse_model_proto(blob[:-cut])
+        except ValueError:
+            pass  # the only acceptable failure class
+
+
 def test_viterbi_prefers_single_good_piece(tmp_path):
     sp = PurePythonSentencePiece().Load(_model(tmp_path))
     # "▁ab" (-1) beats "▁a"+"b" (-3.5)

@@ -436,3 +436,45 @@ def test_tp_warm_start_preserves_shardings(tmp_path):
     assert leaf.sharding.spec == P(None, "model"), leaf.sharding
     _, loss = tr._train_step(state, tr._put_batch(batch))
     assert np.isfinite(float(loss))
+
+
+def test_tp_fused_attention_dropout_decorrelated_across_data_shards():
+    """The TP attention wrappers must fold BOTH the model and the data
+    axis index into the dropout rng: with only the model fold, every
+    data shard replays the identical keep-mask sequence on its local
+    rows, so identical examples placed on different data shards would
+    get bit-identical dropout (silently correlated training noise).
+
+    Off-TPU the rate>0 path takes the einsum fallback, which draws its
+    keep-mask from the same folded rng — so this exercises the fold
+    logic directly on the virtual mesh."""
+    import jax.numpy as jnp
+
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        fused_attention_tp)
+
+    mesh = make_mesh(MeshConfig(data_parallel=2, model_parallel=2))
+    b, h, s, dh = 4, 4, 8, 8
+    rng = np.random.RandomState(0)
+    one = rng.randn(1, h, s, dh).astype(np.float32)
+    # every example identical -> any output difference comes from rng
+    q = jnp.asarray(np.repeat(one, b, axis=0))
+    k = jnp.asarray(np.repeat(rng.randn(1, h, s, dh), b, 0)
+                    .astype(np.float32))
+    v = jnp.asarray(np.repeat(rng.randn(1, h, s, dh), b, 0)
+                    .astype(np.float32))
+    mask = jnp.ones((b, s), jnp.int32)
+
+    out = fused_attention_tp(
+        q, k, v, mask, mesh=mesh, scale=dh ** -0.5, dropout_rate=0.5,
+        dropout_rng=jax.random.PRNGKey(7), deterministic=False)
+    out = np.asarray(out)
+    # data shard 0 holds examples {0,1}, shard 1 holds {2,3}: the same
+    # local row on different shards must see different dropout
+    assert np.any(out[0] != out[2]), "data shards replay the same mask"
+    assert np.any(out[1] != out[3])
+
+    det = np.asarray(fused_attention_tp(
+        q, k, v, mask, mesh=mesh, scale=dh ** -0.5, dropout_rate=0.5,
+        dropout_rng=jax.random.PRNGKey(7), deterministic=True))
+    np.testing.assert_array_equal(det[0], det[2])
