@@ -247,7 +247,30 @@ class BatchIterator:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
+        self._seed = seed
         self._rng = np.random.RandomState(seed)
+        self._shuffles_done = 0
+
+    @property
+    def shuffles_done(self) -> int:
+        """Number of epoch shuffles drawn so far — the iterator's resume
+        position (each __iter__ of a shuffling iterator draws exactly
+        one)."""
+        return self._shuffles_done
+
+    def restore_position(self, shuffles_done: int) -> None:
+        """Fast-forward a freshly constructed iterator to the position an
+        uninterrupted run would be at after starting ``shuffles_done``
+        epochs: the next iteration reproduces epoch ``shuffles_done``'s
+        exact example order (preemption-safe resume). The burn uses a
+        dummy arange — np.random.shuffle's draw count depends only on the
+        array length, so the RNG state lands exactly where the real
+        epochs left it."""
+        self._rng = np.random.RandomState(self._seed)
+        dummy = np.arange(len(self.split))
+        for _ in range(int(shuffles_done)):
+            self._rng.shuffle(dummy)
+        self._shuffles_done = int(shuffles_done)
 
     def __len__(self) -> int:
         n = len(self.split)
@@ -260,6 +283,7 @@ class BatchIterator:
         order = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(order)
+            self._shuffles_done += 1
         b = self.batch_size
         n_full = n // b
         for i in range(n_full):

@@ -58,7 +58,23 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_fused_mag", action="store_true")
     p.add_argument("--checkpoint_dir", type=str, default=None)
-    p.add_argument("--resume", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="Continue an interrupted run from --checkpoint_dir "
+                        "toward the same --n_epochs total. With a resume "
+                        "meta present (written by this driver), training "
+                        "continues exactly where it stopped — mid-epoch "
+                        "included — reproducing the uninterrupted run's "
+                        "parameters bit-for-bit (pass the SAME --n_epochs "
+                        "as the interrupted run: the LR schedule spans the "
+                        "planned total step count)")
+    p.add_argument("--save_every_steps", type=int, default=0,
+                   help="Also checkpoint every N optimizer steps "
+                        "(preemption-safe mid-epoch resume; requires "
+                        "--checkpoint_dir). 0 = epoch-end saves only")
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="Stop this run after N optimizer steps (0 = no "
+                        "limit); with --save_every_steps, a later --resume "
+                        "continues exactly where it stopped")
     p.add_argument("--predict_only", action="store_true",
                    help="Skip training: restore --checkpoint_dir and print "
                         "test metrics (inference/serving mode)")
@@ -331,7 +347,17 @@ def main(argv=None) -> int:
         print(_json.dumps({"test_" + k: v for k, v in scores.items()}))
         return 0
 
+    if args.save_every_steps and not args.checkpoint_dir:
+        print("error: --save_every_steps requires --checkpoint_dir",
+              file=sys.stderr)
+        return 2
+
     ckpt = None
+    start_epoch, start_batch, initial_history = 0, 0, None
+    meta_path = (os.path.join(args.checkpoint_dir, "resume_meta.json")
+                 if args.checkpoint_dir else None)
+    jsonl_path = (os.path.join(args.checkpoint_dir, "metrics.jsonl")
+                  if args.checkpoint_dir else None)
     if args.checkpoint_dir:
         from bert_multimodal_transformer_tpu.utils.checkpoint import (
             CheckpointManager,
@@ -339,23 +365,101 @@ def main(argv=None) -> int:
 
         ckpt = CheckpointManager(args.checkpoint_dir)
         if args.resume:
-            state = ckpt.restore_latest(state) or state
+            meta = _read_resume_meta(meta_path)
+            if meta is not None:
+                # exact continuation: restore the state the meta names,
+                # replay the data order, carry the completed epochs
+                state = ckpt.restore(state, meta["state_step"])
+                start_epoch = meta["start_epoch"]
+                start_batch = meta["start_batch"]
+                train_it.restore_position(meta["iter_shuffles_to_burn"])
+                initial_history = _read_epoch_history(jsonl_path,
+                                                      before=start_epoch)
+                print(f"Resuming at epoch {start_epoch}, "
+                      f"batch {start_batch} (step {meta['state_step']})")
+            else:
+                # legacy checkpoints (no meta): params-only warm resume
+                state = ckpt.restore_latest(state) or state
 
     logger = MetricLogger(project="MAG", config=vars(args),
-                          jsonl_path=(os.path.join(args.checkpoint_dir,
-                                                   "metrics.jsonl")
-                                      if args.checkpoint_dir else None))
-    def save_epoch(st, _epoch):
+                          jsonl_path=jsonl_path)
+
+    def _save(st, *, next_epoch, next_batch, burn):
+        # durably save the state BEFORE publishing the meta that names it
+        if ckpt.latest_step() != int(st.step):
+            ckpt.save(st, step=int(st.step), wait=True)
+        else:
+            ckpt.wait_until_finished()
+        _write_resume_meta(meta_path, {
+            "state_step": int(st.step), "start_epoch": next_epoch,
+            "start_batch": next_batch, "iter_shuffles_to_burn": burn})
+
+    def save_epoch(st, epoch_i):
         if ckpt is not None:
-            ckpt.save(st, step=int(st.step))
+            # resume into the next epoch with a fresh shuffle
+            _save(st, next_epoch=epoch_i + 1, next_batch=0,
+                  burn=train_it.shuffles_done)
+
+    step_callback = None
+    if ckpt is not None and args.save_every_steps > 0:
+        def step_callback(st, epoch_i, bi):
+            if int(st.step) % args.save_every_steps == 0:
+                # resume mid-epoch: replay the current epoch's shuffle
+                # (the last one drawn), skip the batches already trained
+                _save(st, next_epoch=epoch_i, next_batch=bi + 1,
+                      burn=train_it.shuffles_done - 1)
 
     state, _summary = trainer.train(
         state, train_it, dev_it, test_it, args.n_epochs, logger=logger,
-        epoch_callback=save_epoch, use_zero=args.use_zero)
+        epoch_callback=save_epoch, use_zero=args.use_zero,
+        start_epoch=start_epoch, start_batch=start_batch,
+        initial_history=initial_history, step_callback=step_callback,
+        max_steps=(args.max_steps or None))
     if ckpt is not None:
         ckpt.close()  # flush the async Orbax save before exit
     logger.finish()
     return 0
+
+
+def _write_resume_meta(path: str, meta: dict) -> None:
+    import json as _json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    os.replace(tmp, path)  # atomic: never a half-written meta
+
+
+def _read_resume_meta(path):
+    import json as _json
+
+    if path is None or not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return _json.load(f)
+
+
+def _read_epoch_history(jsonl_path, *, before: int):
+    """Completed-epoch records from metrics.jsonl (appended across runs)
+    so a resumed run's best_valid_loss/best_test_acc stay correct."""
+    import json as _json
+
+    if jsonl_path is None or not os.path.exists(jsonl_path):
+        return None
+    records = []
+    with open(jsonl_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = _json.loads(line)
+            if rec.get("epoch") is not None and rec["epoch"] < before:
+                records.append(rec)
+    # latest run's record wins per epoch (restarts may duplicate epochs)
+    by_epoch = {}
+    for rec in records:
+        by_epoch[rec["epoch"]] = rec
+    return [by_epoch[e] for e in sorted(by_epoch)] or None
 
 
 if __name__ == "__main__":

@@ -290,8 +290,26 @@ class Trainer:
         A ragged final batch (loader with drop_remainder=False) trains via
         the masked step — same semantics as the reference's smaller tail
         batch, with static shapes."""
+        state, loss, _ = self._train_epoch(state, loader)
+        return state, loss
+
+    def _train_epoch(self, state: TrainState, loader, *,
+                     start_batch: int = 0, step_callback=None,
+                     max_steps: Optional[int] = None):
+        """train_epoch plus the preemption-safe-resume mechanics: skip the
+        first ``start_batch`` batches (already trained before an
+        interruption — the loader replays the identical shuffle order, see
+        BatchIterator.restore_position), invoke ``step_callback(state,
+        batch_idx)`` after each optimizer step, and stop mid-epoch after
+        ``max_steps`` steps. Returns (state, mean_loss, info) with
+        info = {"steps": n, "stopped_at_batch": next batch to train or
+        None if the epoch completed}."""
         losses = []
-        for batch, valid in loader:
+        stopped_at = None
+        n_batches = len(loader) if hasattr(loader, "__len__") else None
+        for bi, (batch, valid) in enumerate(loader):
+            if bi < start_batch:
+                continue
             if valid.all():
                 state, loss = self._train_step(state, self._put_batch(batch))
             else:
@@ -299,7 +317,16 @@ class Trainer:
                     state, self._put_batch(batch),
                     jax.device_put(np.asarray(valid), self._bsh))
             losses.append(loss)
-        return state, float(np.mean([jax.device_get(l) for l in losses]))
+            if step_callback is not None:
+                step_callback(state, bi)
+            if (max_steps is not None and len(losses) >= max_steps
+                    and (n_batches is None or bi + 1 < n_batches)):
+                stopped_at = bi + 1
+                break
+        mean = (float(np.mean([jax.device_get(l) for l in losses]))
+                if losses else 0.0)
+        return state, mean, {"steps": len(losses),
+                             "stopped_at_batch": stopped_at}
 
     def eval_epoch(self, state: TrainState, loader) -> float:
         """Mirrors eval_epoch (multimodal_driver.py:391-421): mean dev MSE
@@ -335,16 +362,47 @@ class Trainer:
 
     def train(self, state: TrainState, train_loader, dev_loader, test_loader,
               n_epochs: int, logger=None,
-              epoch_callback=None, use_zero: bool = False
+              epoch_callback=None, use_zero: bool = False,
+              start_epoch: int = 0, start_batch: int = 0,
+              initial_history=None, step_callback=None,
+              max_steps: Optional[int] = None
               ) -> Tuple[TrainState, Dict]:
         """Epoch driver mirroring train() (multimodal_driver.py:483-523),
         with the same per-epoch metric dict. ``epoch_callback(state, epoch)``
-        runs after each epoch's logging (e.g. checkpointing)."""
-        valid_losses, test_accs = [], []
-        history = []
-        for epoch_i in range(int(n_epochs)):
+        runs after each epoch's logging (e.g. checkpointing).
+
+        Preemption-safe resume: ``start_epoch``/``start_batch`` resume an
+        interrupted run mid-epoch (the train loader must be positioned with
+        BatchIterator.restore_position first so the shuffle order replays);
+        ``initial_history`` carries the completed epochs' records so
+        best_valid_loss/best_test_acc stay correct. ``step_callback(state,
+        epoch, batch_idx)`` runs after every optimizer step (step-level
+        checkpointing). ``max_steps`` stops after that many optimizer steps
+        in THIS call; the summary's "interrupted" entry then holds the
+        resume position {"epoch", "next_batch"} (None when training ran to
+        completion) — continuing from it reproduces the uninterrupted run's
+        parameters bit-for-bit (tests/test_resume.py)."""
+        history = list(initial_history or [])
+        valid_losses = [r["valid_loss"] for r in history]
+        test_accs = [r["test_acc"] for r in history]
+        steps_left = max_steps
+        interrupted = None
+        for epoch_i in range(int(start_epoch), int(n_epochs)):
             t0 = time.monotonic()
-            state, train_loss = self.train_epoch(state, train_loader)
+            cb = None
+            if step_callback is not None:
+                def cb(st, bi, _e=epoch_i):
+                    step_callback(st, _e, bi)
+            state, train_loss, info = self._train_epoch(
+                state, train_loader,
+                start_batch=start_batch if epoch_i == start_epoch else 0,
+                step_callback=cb, max_steps=steps_left)
+            if steps_left is not None:
+                steps_left -= info["steps"]
+            if info["stopped_at_batch"] is not None:
+                interrupted = {"epoch": epoch_i,
+                               "next_batch": info["stopped_at_batch"]}
+                break
             valid_loss = self.eval_epoch(state, dev_loader)
             scores = self.test_score_model(state, test_loader,
                                            use_zero=use_zero)
@@ -368,7 +426,12 @@ class Trainer:
                 logger.log(record)
             if epoch_callback is not None:
                 epoch_callback(state, epoch_i)
+            if (steps_left is not None and steps_left <= 0
+                    and epoch_i + 1 < int(n_epochs)):
+                interrupted = {"epoch": epoch_i + 1, "next_batch": 0}
+                break
         return state, {"history": history,
                        "best_valid_loss": min(valid_losses) if valid_losses
                        else float("inf"),
-                       "best_test_acc": max(test_accs) if test_accs else 0.0}
+                       "best_test_acc": max(test_accs) if test_accs else 0.0,
+                       "interrupted": interrupted}

@@ -71,6 +71,10 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def wait_until_finished(self) -> None:
+        """Block until pending async saves are durable on disk."""
+        self._mgr.wait_until_finished()
+
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()

@@ -40,11 +40,19 @@ def test_driver_end_to_end_with_checkpoint(tmp_path):
     steps = [d for d in os.listdir(ckpt_root) if d.isdigit()]
     assert steps, list(os.listdir(ckpt_root))
 
-    # resume: runs one more epoch from the restored state without error
-    rc = run_driver(tmp_path, extra=["--resume"], epochs=1)
+    # resume toward a larger total: epochs are counted absolutely, so
+    # --n_epochs 3 after a completed 2-epoch run trains exactly one more
+    # epoch (epoch 2) from the restored state
+    rc = run_driver(tmp_path, extra=["--resume"], epochs=3)
     assert rc == 0
     lines = metrics_path.read_text().strip().splitlines()
     assert len(lines) == 3
+    assert json.loads(lines[-1])["epoch"] == 2
+
+    # resume at an already-reached total: nothing left to train, still rc 0
+    rc = run_driver(tmp_path, extra=["--resume"], epochs=3)
+    assert rc == 0
+    assert len(metrics_path.read_text().strip().splitlines()) == 3
 
 
 def test_driver_xlnet_fused_inkernel_end_to_end(tmp_path):
