@@ -112,6 +112,15 @@ def main():
         if attn != "einsum":
             import dataclasses
             cfg = dataclasses.replace(cfg, attention_impl=attn)
+        # BENCH_QKV_FUSION=1: QKV projection fused into the attention
+        # kernel (opt-in pending timing; BENCH_QKV_RESIDUAL=1 saves the
+        # VMEM-computed qkv instead of recomputing it in the backward)
+        if os.environ.get("BENCH_QKV_FUSION", "0") == "1":
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, qkv_fusion=True,
+                qkv_residual=os.environ.get("BENCH_QKV_RESIDUAL",
+                                            "0") == "1")
         model = MagBertForSequenceClassification(
             cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
             remat=os.environ.get("BENCH_REMAT", "0") == "1",

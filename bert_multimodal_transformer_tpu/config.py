@@ -97,6 +97,18 @@ class BertConfig:
     # O(S) memory, for long sequences; no attention-prob dropout inside
     # the kernel).
     attention_impl: str = "einsum"
+    # With attention_impl="fused": also fuse the QKV projection gemm into
+    # the attention kernel (qkv = x·W + b computed in VMEM; backward
+    # emits dqkv once and does dx = dqkv·Wᵀ in-kernel —
+    # ops/fused_attention.py::fused_attention_qkvproj). Opt-in pending
+    # hardware timing (tools/exp_qkv_fusion.py). Ignored under TP
+    # attention sharding / head_mask / output_attentions (those fall
+    # back to the split projection).
+    qkv_fusion: bool = False
+    # With qkv_fusion: save the VMEM-computed qkv to HBM as a backward
+    # residual (True) or recompute the projection in the backward kernel
+    # (False — drops the B·S·3D residual entirely).
+    qkv_residual: bool = False
     # Tensor-parallel attention: when set (a jax.sharding.Mesh with a
     # "model" axis), self-attention shards heads over that axis — the
     # fused kernel via shard_map, the einsum path via GSPMD sharding

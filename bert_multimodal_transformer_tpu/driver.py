@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Also checkpoint every N optimizer steps "
                         "(preemption-safe mid-epoch resume; requires "
                         "--checkpoint_dir). 0 = epoch-end saves only")
+    p.add_argument("--qkv_fusion", action="store_true",
+                   help="With --attention_impl fused (BERT family): fuse "
+                        "the QKV projection gemm into the attention "
+                        "kernel (opt-in pending hardware timing)")
+    p.add_argument("--qkv_residual", action="store_true",
+                   help="With --qkv_fusion: save the VMEM-computed qkv "
+                        "as a backward residual instead of recomputing "
+                        "the projection in the backward kernel")
     p.add_argument("--max_steps", type=int, default=0,
                    help="Stop this run after N optimizer steps (0 = no "
                         "limit); with --save_every_steps, a later --resume "
@@ -254,6 +262,10 @@ def main(argv=None) -> int:
                 return 2
             cfg = dataclasses.replace(cfg,
                                       rel_bias_impl=args.rel_bias_impl)
+        if args.qkv_fusion:
+            print("error: --qkv_fusion applies only to the BERT family's "
+                  "packed fused attention", file=sys.stderr)
+            return 2
         if args.tp_shard_attention:
             cfg = dataclasses.replace(cfg, tp_attention_mesh=mesh)
         model = MagXLNetForSequenceClassification(
@@ -274,6 +286,14 @@ def main(argv=None) -> int:
         if args.attention_impl != "einsum":
             cfg = dataclasses.replace(cfg,
                                       attention_impl=args.attention_impl)
+        if args.qkv_fusion:
+            if args.attention_impl != "fused" or args.tp_shard_attention:
+                print("error: --qkv_fusion requires --attention_impl "
+                      "fused and is unavailable with "
+                      "--tp_shard_attention", file=sys.stderr)
+                return 2
+            cfg = dataclasses.replace(cfg, qkv_fusion=True,
+                                      qkv_residual=args.qkv_residual)
         if args.tp_shard_attention:
             cfg = dataclasses.replace(cfg, tp_attention_mesh=mesh)
         from bert_multimodal_transformer_tpu.models.bert import (

@@ -93,6 +93,25 @@ class BertEmbeddings(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """nn.Dense-identical parameters (kernel/bias names, shapes, init,
+    fp32 param dtype) WITHOUT the matmul — for handing the weights to a
+    kernel that performs the projection itself (qkv_fusion). Instantiated
+    with the same ``name`` as the Dense it replaces, so the param tree —
+    and therefore checkpoints and the HF converters — are unchanged."""
+
+    features: int
+    kernel_init: Any
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", self.kernel_init,
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k.astype(self.dtype), b.astype(self.dtype)
+
+
 class BertSelfAttention(nn.Module):
     """Multi-head self-attention with packed QKV (HF BertAttention math)."""
 
@@ -112,11 +131,22 @@ class BertSelfAttention(nn.Module):
         b, s, _ = hidden.shape
         init = nn.initializers.normal(stddev=cfg.initializer_range)
 
-        qkv = nn.Dense(3 * d, dtype=self.dtype, kernel_init=init,
-                       name="qkv")(hidden)
-
         probs = None
         tp_mesh = cfg.tp_attention_mesh
+
+        use_qkvproj = (cfg.attention_impl == "fused" and cfg.qkv_fusion
+                       and tp_mesh is None and head_mask is None
+                       and not output_attentions)
+        if use_qkvproj:
+            # QKV projection fused into the attention kernel: declare the
+            # Dense-identical params (same "qkv" tree path — checkpoints
+            # and converters see no difference) and hand them to the op.
+            wk, wb = _DenseParams(3 * d, kernel_init=init,
+                                  dtype=self.dtype, name="qkv")(d)
+            qkv = None
+        else:
+            qkv = nn.Dense(3 * d, dtype=self.dtype, kernel_init=init,
+                           name="qkv")(hidden)
 
         # one place owns the TP activation shardings: qkv5 [B,S,3,H,Dh]
         # head-sharded on H, head-flat ctx [B,S,D] sharded on D into the
@@ -135,7 +165,25 @@ class BertSelfAttention(nn.Module):
         # as does output_attentions (the kernel never materializes probs).
         use_fused = (cfg.attention_impl == "fused" and head_mask is None
                      and not output_attentions)
-        if use_fused and tp_mesh is not None:
+        if use_qkvproj:
+            from bert_multimodal_transformer_tpu.ops.fused_attention import (
+                fused_attention_qkvproj,
+            )
+
+            rate = cfg.attention_probs_dropout_prob
+            dropout_rng = None
+            if not deterministic and rate > 0:
+                dropout_rng = self.make_rng("dropout")
+            ctx = fused_attention_qkvproj(
+                hidden.astype(self.dtype), wk, wb, attention_mask_2d,
+                n_heads=h,
+                scale=1.0 / (dh ** 0.5),
+                dropout_rate=rate,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+                qkv_residual=cfg.qkv_residual,
+            )
+        elif use_fused and tp_mesh is not None:
             # TP: heads sharded over the mesh model axis. The packed
             # kernel's q|k|v column blocks cannot be head-aligned by a
             # contiguous model-axis chunk, so TP uses the split-tensor

@@ -1217,6 +1217,386 @@ def fused_attention_packed(
                                    save_probs)
 
 
+# ---------------------------------------------------------------------------
+# QKV-projection mega-fusion: the packed kernel computes qkv = x·W + b in
+# VMEM ([nb·S, D] × [D, 3D], weight block grid-invariant so it loads once)
+# instead of consuming an XLA gemm's HBM output; the backward builds dqkv
+# in VMEM, emits it once (for XLA's dW/db gemms) and computes
+# dx = dqkv·Wᵀ in-kernel. Opt-in (BertConfig.qkv_fusion) pending hardware
+# timing — tools/exp_qkv_fusion.py measures the fwd and fwd+bwd variants.
+# Saved-probs backward only: beyond the prob-residual cap the public
+# wrapper falls back to the split (XLA gemm + fused_attention_packed)
+# structure, which keeps the recompute/fits-without-remat behavior.
+# ---------------------------------------------------------------------------
+
+
+def _attn_fwd_qkvproj_kernel(seed_ref, bias_ref, x_ref, w_ref, b3_ref,
+                             *rest, scale: float, rate: float,
+                             n_heads: int, dh: int, s: int, nb: int,
+                             emit_qkv: bool):
+    """x_ref [nb·S, D] flat rows; w_ref [D, 3D] (grid-invariant);
+    b3_ref [1, 3D]; o_ref [nb·S, D]; probs as in the packed kernel.
+    The head-batched VPU chain is identical to _attn_fwd_packed_kernel —
+    only the qkv source differs (VMEM projection vs HBM block)."""
+    refs = list(rest)
+    s_ref = refs.pop()                                      # [H,S,S] f32
+    o_ref = refs.pop(0)
+    qkv_out_ref = refs.pop(0) if emit_qkv else None
+    p_ref = refs.pop(0)
+    pd_ref = refs.pop(0) if rate > 0.0 else None
+    f32 = jnp.float32
+    d = n_heads * dh
+    qkv = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    qkv = (qkv + b3_ref[:].astype(f32)).astype(x_ref.dtype)  # [nb·S, 3D]
+    if emit_qkv:
+        qkv_out_ref[:] = qkv
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    outs = []
+    for b in range(nb):
+        qkv_b = qkv[b * s:(b + 1) * s]
+        bias = bias_ref[b].astype(f32)                      # [1, S]
+        for h in range(n_heads):
+            q = qkv_b[:, h * dh:(h + 1) * dh]
+            k = qkv_b[:, d + h * dh:d + (h + 1) * dh]
+            s_ref[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        p = _softmax_f32(s_ref[:] * scale + bias[None])     # [H, S, S]
+        p_ref[b] = p.astype(p_ref.dtype)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+            pd_ref[b] = p.astype(pd_ref.dtype)
+        pc = p.astype(x_ref.dtype)
+        row = []
+        for h in range(n_heads):
+            v = qkv_b[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            o = jax.lax.dot_general(pc[h], v, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+            row.append(o.astype(o_ref.dtype))
+        outs.append(jnp.concatenate(row, axis=-1))          # [S, D]
+    o_ref[:] = jnp.concatenate(outs, axis=0)
+
+
+def _attn_bwd_qkvproj_kernel(p_ref, pd_ref, src_ref, w_ref, b3_ref, g_ref,
+                             dqkv_ref, dx_ref, t_ref,
+                             *, scale: float, n_heads: int, dh: int,
+                             s: int, nb: int, recompute: bool):
+    """Saved-probs backward; src_ref is the saved qkv [nb·S, 3D]
+    (recompute=False) or x [nb·S, D] to re-project in VMEM
+    (recompute=True — drops the qkv residual from HBM entirely). Emits
+    dqkv (consumed by XLA's dW/db gemms) and dx = dqkv·Wᵀ in-kernel.
+    The ds chain is _attn_bwd_packed_saved_kernel's, head-batched."""
+    f32 = jnp.float32
+    d = n_heads * dh
+    if recompute:
+        qkv = jax.lax.dot_general(
+            src_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        qkv = (qkv + b3_ref[:].astype(f32)).astype(src_ref.dtype)
+    else:
+        qkv = src_ref[:]
+    rows = []
+    for b in range(nb):
+        qkv_b = qkv[b * s:(b + 1) * s]
+        g_b = g_ref[b * s:(b + 1) * s]
+        dvs = []
+        for h in range(n_heads):
+            v = qkv_b[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            g_h = g_b[:, h * dh:(h + 1) * dh]
+            dv = jax.lax.dot_general(pd_ref[b, h], g_h,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dvs.append(dv.astype(qkv.dtype))
+            t_ref[h] = jax.lax.dot_general(g_h, v,                 # dpd
+                                           (((1,), (1,)), ((), ())),
+                                           preferred_element_type=f32)
+        p = p_ref[b].astype(f32)
+        t = pd_ref[b].astype(f32) * t_ref[:]
+        ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
+        ds_c = ds.astype(qkv.dtype)
+        dqs, dks = [], []
+        for h in range(n_heads):
+            q = qkv_b[:, h * dh:(h + 1) * dh]
+            k = qkv_b[:, d + h * dh:d + (h + 1) * dh]
+            dqs.append(jax.lax.dot_general(
+                ds_c[h], k, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(qkv.dtype))
+            dks.append(jax.lax.dot_general(
+                ds_c[h], q, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(qkv.dtype))
+        rows.append(jnp.concatenate(dqs + dks + dvs, axis=-1))
+    dqkv = jnp.concatenate(rows, axis=0)                    # [nb·S, 3D]
+    dqkv_ref[:] = dqkv
+    dx_ref[:] = jax.lax.dot_general(
+        dqkv, w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32).astype(dx_ref.dtype)
+
+
+def _qkvproj_fixed_bytes(d: int, h: int, s: int, itemsize: int,
+                         n_scratch: int = 1) -> int:
+    # resident weight + bias + score scratch(es)
+    return d * 3 * d * itemsize + 3 * d * itemsize \
+        + _scratch_bytes(h, s, s, n_scratch)
+
+
+def _qkvproj_row_bytes(s: int, d: int, h: int, n_prob: int, itemsize: int,
+                       emit_qkv: bool, n_act: int = 2) -> int:
+    sub = (s + 15) // 16 * 16
+    lane_s = (s + 127) // 128 * 128
+    act = n_act * sub * d * itemsize              # x + out (or + g + dx)
+    qkv_tmp = sub * 3 * d * 4                     # f32 projection accum
+    probs = n_prob * h * sub * lane_s * itemsize
+    emit = sub * 3 * d * itemsize if emit_qkv else 0
+    return act + qkv_tmp + probs + emit
+
+
+def _qkvproj_specs(nb, s, d, h):
+    rows = pl.BlockSpec((nb * s, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    rows3 = pl.BlockSpec((nb * s, 3 * d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    w = pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+    b3 = pl.BlockSpec((1, 3 * d), lambda i: (0, 0),
+                      memory_space=pltpu.VMEM)
+    prob = pl.BlockSpec((nb, h, s, s), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((nb, 1, s), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return rows, rows3, w, b3, prob, bias, seed
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "interpret",
+                                    "nb", "emit_qkv"))
+def _fwd_qkvproj_pallas(x, w, b3, bias, seed, *, scale, rate, n_heads,
+                        interpret, nb=None, emit_qkv=False):
+    b, s, d = x.shape
+    dh = d // n_heads
+    if nb is None:
+        n_prob = 2 if rate > 0.0 else 1
+        nb = _pick_nb_packed(
+            b, _qkvproj_row_bytes(s, d, n_heads, n_prob, x.dtype.itemsize,
+                                  emit_qkv),
+            fixed_bytes=_qkvproj_fixed_bytes(d, n_heads, s,
+                                             x.dtype.itemsize))
+    rows, rows3, w_spec, b3_spec, prob, bias_spec, seed_spec = \
+        _qkvproj_specs(nb, s, d, n_heads)
+    prob_shape = jax.ShapeDtypeStruct((b, n_heads, s, s), x.dtype)
+    out_shape = [jax.ShapeDtypeStruct((b * s, d), x.dtype)]
+    out_specs = [rows]
+    if emit_qkv:
+        out_shape.append(jax.ShapeDtypeStruct((b * s, 3 * d), x.dtype))
+        out_specs.append(rows3)
+    out_shape.append(prob_shape)
+    out_specs.append(prob)
+    if rate > 0.0:
+        out_shape.append(prob_shape)
+        out_specs.append(prob)
+    outs = pl.pallas_call(
+        functools.partial(_attn_fwd_qkvproj_kernel, scale=scale, rate=rate,
+                          n_heads=n_heads, dh=dh, s=s, nb=nb,
+                          emit_qkv=emit_qkv),
+        grid=(b // nb,),
+        in_specs=[seed_spec, bias_spec, rows, w_spec, b3_spec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((n_heads, s, s), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * d * 3 * d
+            + 4 * b * n_heads * s * s * dh + 8 * b * n_heads * s * s,
+            bytes_accessed=x.dtype.itemsize * b * s * 2 * d
+            + x.dtype.itemsize * d * 3 * d,
+            transcendentals=b * n_heads * s * s,
+        ),
+    )(seed, bias, x.reshape(b * s, d), w, b3.reshape(1, 3 * d))
+    outs = list(outs)
+    outs[0] = outs[0].reshape(b, s, d)
+    if emit_qkv:
+        outs[1] = outs[1].reshape(b, s, 3 * d)
+    return tuple(outs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "n_heads", "interpret", "nb",
+                                    "recompute"))
+def _bwd_qkvproj_pallas(p, pd, src, w, b3, g, *, scale, n_heads,
+                        interpret, nb=None, recompute=False):
+    b, s, d = g.shape
+    dh = d // n_heads
+    if nb is None:
+        nb = _pick_nb_packed(
+            b, _qkvproj_row_bytes(s, d, n_heads, 2, g.dtype.itemsize,
+                                  emit_qkv=True, n_act=3)
+            + (0 if recompute else 2 * s * d * g.dtype.itemsize),
+            fixed_bytes=_qkvproj_fixed_bytes(d, n_heads, s,
+                                             g.dtype.itemsize))
+    rows, rows3, w_spec, b3_spec, prob, _, _ = _qkvproj_specs(
+        nb, s, d, n_heads)
+    src_spec = rows if recompute else rows3
+    src_flat = src.reshape(b * s, -1)
+    dqkv, dx = pl.pallas_call(
+        functools.partial(_attn_bwd_qkvproj_kernel, scale=scale,
+                          n_heads=n_heads, dh=dh, s=s, nb=nb,
+                          recompute=recompute),
+        grid=(b // nb,),
+        in_specs=[prob, prob, src_spec, w_spec, b3_spec, rows],
+        out_specs=(rows3, rows),
+        out_shape=(jax.ShapeDtypeStruct((b * s, 3 * d), g.dtype),
+                   jax.ShapeDtypeStruct((b * s, d), g.dtype)),
+        scratch_shapes=[pltpu.VMEM((n_heads, s, s), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * b * s * d * 3 * d) * (2 if recompute else 1)
+            + 8 * b * n_heads * s * s * dh + 8 * b * n_heads * s * s,
+            bytes_accessed=g.dtype.itemsize * b * s * (4 * d + 3 * d)
+            + g.dtype.itemsize * d * 3 * d,
+            transcendentals=0,
+        ),
+    )(p, pd, src_flat, w, b3.reshape(1, 3 * d), g.reshape(b * s, d))
+    return dqkv.reshape(b, s, 3 * d), dx.reshape(b, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _fused_attention_qkvproj(x, w, b3, bias, seed, scale, rate, n_heads,
+                             interpret, nb_fwd, nb_bwd, qkv_residual):
+    return _fwd_qkvproj_pallas(x, w, b3, bias, seed, scale=scale,
+                               rate=rate, n_heads=n_heads,
+                               interpret=interpret, nb=nb_fwd)[0]
+
+
+def _faq_fwd(x, w, b3, bias, seed, scale, rate, n_heads, interpret,
+             nb_fwd, nb_bwd, qkv_residual):
+    outs = _fwd_qkvproj_pallas(x, w, b3, bias, seed, scale=scale,
+                               rate=rate, n_heads=n_heads,
+                               interpret=interpret, nb=nb_fwd,
+                               emit_qkv=qkv_residual)
+    outs = list(outs)
+    out = outs.pop(0)
+    qkv = outs.pop(0) if qkv_residual else None
+    p = outs.pop(0)
+    pd = outs.pop(0) if rate > 0.0 else p
+    return out, (x, w, b3, qkv, p, pd, bias)
+
+
+def _faq_bwd(scale, rate, n_heads, interpret, nb_fwd, nb_bwd, qkv_residual,
+             residuals, g):
+    x, w, b3, qkv, p, pd, bias = residuals
+    b, s, d = x.shape
+    g = g.astype(x.dtype)
+    dqkv, dx = _bwd_qkvproj_pallas(
+        p, pd, qkv if qkv_residual else x, w, b3, g, scale=scale,
+        n_heads=n_heads, interpret=interpret, nb=nb_bwd,
+        recompute=not qkv_residual)
+    f32 = jnp.float32
+    dw = jax.lax.dot_general(
+        x.reshape(b * s, d), dqkv.reshape(b * s, 3 * d),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(w.dtype)
+    db3 = jnp.sum(dqkv.astype(f32), axis=(0, 1)).astype(b3.dtype)
+    dbias = jnp.zeros_like(bias)   # mask bias carries no useful gradient
+    dseed = np.zeros((1, 1), jax.dtypes.float0)
+    return dx, dw, db3.reshape(b3.shape), dbias, dseed
+
+
+_fused_attention_qkvproj.defvjp(_faq_fwd, _faq_bwd)
+
+
+def fused_attention_qkvproj(
+    x: jax.Array,               # [B, S, D] hidden states
+    w: jax.Array,               # [D, 3D] packed QKV kernel (q|k|v cols)
+    b3: jax.Array,              # [3D] packed QKV bias
+    attention_mask: Optional[jax.Array],   # [B, S] {0,1}, 1 = real token
+    *,
+    n_heads: int,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    interpret: Optional[bool] = None,
+    qkv_residual: bool = False,
+    nb_fwd: Optional[int] = None,
+    nb_bwd: Optional[int] = None,
+) -> jax.Array:
+    """fused_attention_packed with the QKV projection fused in.
+
+    Instead of consuming an XLA gemm's [B, S, 3D] output from HBM, the
+    kernel computes qkv = x·W + b in VMEM per grid block (x flattened to
+    [nb·S, D] rows so the projection dot keeps full MXU row utilization;
+    the weight block is grid-invariant and loads once). The backward
+    builds dqkv in VMEM, emits it once for XLA's dW/db gemms, and
+    computes dx = dqkv·Wᵀ in-kernel. ``qkv_residual=True`` additionally
+    writes qkv to HBM in the forward so the backward skips the
+    re-projection (classic save-vs-recompute trade; False drops the
+    ~B·S·3D residual entirely). Saved-probs backward only — beyond the
+    256 MB prob-residual cap this falls back to the split structure
+    (XLA gemm + fused_attention_packed with its recompute backward).
+    Dropout semantics, PRNG seeding and the head-batched VPU chain are
+    identical to fused_attention_packed. Opt-in pending hardware timing
+    (tools/exp_qkv_fusion.py); see BertConfig.qkv_fusion.
+    """
+    b, s, d = x.shape
+    d3 = 3 * d
+    if w.shape != (d, d3):
+        raise ValueError(f"qkv kernel must be [{d}, {d3}], got {w.shape}")
+    if b3.shape not in ((d3,), (1, d3)):
+        raise ValueError(f"qkv bias must be [{d3}], got {b3.shape}")
+    if d % n_heads != 0:
+        raise ValueError(
+            f"hidden dim {d} not divisible by n_heads={n_heads}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rate = 0.0 if deterministic else float(dropout_rate)
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+
+    def _split_fallback():
+        qkv = (jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               .astype(x.dtype) + b3.reshape(d3).astype(x.dtype))
+        return fused_attention_packed(
+            qkv, attention_mask, n_heads=n_heads, scale=scale,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+            deterministic=deterministic, interpret=interpret)
+
+    if rate > 0.0 and interpret:
+        # off-TPU the interpreter stubs the hardware PRNG — the packed
+        # entry point routes dropout through the einsum path
+        return _split_fallback()
+    _, _, save_probs = _resolve_knobs(b, n_heads, s, s, rate,
+                                      x.dtype.itemsize, None, None, None)
+    if not save_probs:
+        # beyond the prob-residual cap the split path's recompute
+        # backward is the memory-safe structure
+        return _split_fallback()
+    if rate > 0.0:
+        seed = jax.random.randint(dropout_rng, (1, 1), 0, 2**31 - 1,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1, 1), jnp.int32)
+    if attention_mask is None:
+        bias = jnp.zeros((b, 1, s), jnp.float32)
+    else:
+        bias = ((1.0 - attention_mask.astype(jnp.float32))
+                * -10000.0)[:, None, :]
+    if nb_fwd is None and "FUSED_ATTN_NB_FWD" in os.environ:
+        nb_fwd = int(os.environ["FUSED_ATTN_NB_FWD"])
+    if nb_bwd is None and "FUSED_ATTN_NB_BWD" in os.environ:
+        nb_bwd = int(os.environ["FUSED_ATTN_NB_BWD"])
+    return _fused_attention_qkvproj(
+        x, w, b3.reshape(1, d3), bias, seed, float(scale), rate, n_heads,
+        bool(interpret), nb_fwd, nb_bwd, bool(qkv_residual))
+
+
 def fused_rel_attention(
     q: jax.Array,               # [B, Q, D] packed head-major (bqhf flat)
     k: jax.Array,               # [B, K, D]

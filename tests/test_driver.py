@@ -93,6 +93,32 @@ def test_driver_rejects_flash_for_xlnet(capsys):
     assert "flash" in capsys.readouterr().err
 
 
+def test_driver_flag_surface_smoke(tmp_path):
+    """One tiny run sweeping the CLI flags whose mechanisms are tested at
+    lower levels but whose argparse->config wiring had no CLI coverage:
+    fused MAG kernel, remat (+policy), grad accumulation, gate/beta
+    hyperparams, lr, seq length, zero-label scoring, threefry PRNG."""
+    rc = run_driver(tmp_path, extra=[
+        "--use_fused_mag", "--remat", "--remat_policy", "dots",
+        "--gradient_accumulation_step", "2",
+        "--beta_shift", "0.5", "--dropout_prob", "0.3",
+        "--learning_rate", "2e-5", "--max_seq_length", "24",
+        "--use_zero", "--rng_impl", "threefry2x32"])
+    assert rc == 0
+    rec = json.loads((tmp_path / "ckpt" / "metrics.jsonl")
+                     .read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"])
+
+
+def test_driver_tp_cli_smoke(tmp_path):
+    """--model_parallel/--tp_shard_attention through the CLI on the
+    virtual mesh (mechanism tested in test_tensor_parallel; this covers
+    the driver wiring incl. mesh construction and config threading)."""
+    rc = run_driver(tmp_path, extra=["--model_parallel", "2",
+                                     "--tp_shard_attention"])
+    assert rc == 0
+
+
 def test_driver_rejects_inert_rel_bias_impl(capsys):
     """--rel_bias_impl inkernel is only read by the fused rel-attention
     path: without --attention_impl fused (or on the BERT family) it would
@@ -182,3 +208,23 @@ def test_driver_predict_only(tmp_path, capsys):
     rec = json.loads(out)
     assert {"test_acc", "test_mae", "test_corr", "test_f_score"} == set(rec)
     assert np.isfinite(rec["test_mae"])
+
+
+def test_driver_qkv_fusion_flag(tmp_path, capsys):
+    """--qkv_fusion through the CLI (CPU: the dropout path falls back to
+    the split projection, so this covers the wiring + fallback), plus the
+    inert-combination guards."""
+    rc = run_driver(tmp_path, extra=["--attention_impl", "fused",
+                                     "--qkv_fusion", "--qkv_residual"])
+    assert rc == 0
+
+    rc = driver.main(["--model", "bert-base-uncased", "--synthetic",
+                      "--tiny", "--qkv_fusion"])
+    assert rc == 2
+    assert "--attention_impl" in capsys.readouterr().err
+
+    rc = driver.main(["--model", "xlnet-base-cased", "--synthetic",
+                      "--tiny", "--attention_impl", "fused",
+                      "--qkv_fusion"])
+    assert rc == 2
+    assert "BERT" in capsys.readouterr().err

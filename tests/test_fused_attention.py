@@ -647,3 +647,113 @@ def test_full_model_fused_train_step_runs_and_grads_match():
     for a, b in zip(flat_e, flat_f):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-4, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# QKV-projection mega-fusion (fused_attention_qkvproj)
+# ---------------------------------------------------------------------------
+
+def _qkvproj_inputs(seed=0):
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        fused_attention_qkvproj)  # noqa: F401  (import check)
+
+    d = H * DH
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(B, S, d) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.randn(d, 3 * d) / np.sqrt(d), jnp.float32)
+    b3 = jnp.asarray(rng.randn(3 * d) * 0.01, jnp.float32)
+    mask = np.ones((B, S), np.int32)
+    mask[0, 40:] = 0
+    return x, w, b3, jnp.asarray(mask)
+
+
+def _qkvproj_split_loss(x, w, b3, mask):
+    qkv = (jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           .astype(x.dtype) + b3.astype(x.dtype))
+    out = fused_attention_packed(qkv, mask, n_heads=H, scale=SCALE)
+    return jnp.sum(out.astype(jnp.float32) ** 2)
+
+
+@pytest.mark.parametrize("qkv_residual", [False, True])
+def test_qkvproj_matches_split_fwd_and_grads(qkv_residual):
+    """The in-kernel projection (both backward variants: recompute-qkv
+    and saved-qkv) must match the split XLA-gemm + packed-kernel
+    structure in value and in all three gradients."""
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        fused_attention_qkvproj)
+
+    x, w, b3, mask = _qkvproj_inputs()
+
+    def fused_loss(x, w, b3):
+        out = fused_attention_qkvproj(x, w, b3, mask, n_heads=H,
+                                      scale=SCALE,
+                                      qkv_residual=qkv_residual)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    ls, gs = jax.value_and_grad(
+        lambda *a: _qkvproj_split_loss(*a, mask), argnums=(0, 1, 2))(
+            x, w, b3)
+    lf, gf = jax.value_and_grad(fused_loss, argnums=(0, 1, 2))(x, w, b3)
+    np.testing.assert_allclose(float(ls), float(lf), rtol=1e-6)
+    for name, a, b in zip("x w b3".split(), gs, gf):
+        rd = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+        assert rd < 1e-5, (name, rd)
+
+
+def test_qkvproj_shape_validation():
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        fused_attention_qkvproj)
+
+    x, w, b3, mask = _qkvproj_inputs()
+    with pytest.raises(ValueError, match="qkv kernel"):
+        fused_attention_qkvproj(x, w[:, :-1], b3, mask, n_heads=H,
+                                scale=SCALE)
+    with pytest.raises(ValueError, match="qkv bias"):
+        fused_attention_qkvproj(x, w, b3[:-1], mask, n_heads=H,
+                                scale=SCALE)
+    with pytest.raises(ValueError, match="divisible"):
+        fused_attention_qkvproj(x, w, b3, mask, n_heads=7, scale=SCALE)
+
+
+def test_qkvproj_model_level_parity():
+    """MagBert with qkv_fusion on/off: identical param trees (the
+    _DenseParams module reproduces nn.Dense's names/shapes/init, so
+    checkpoints and converters are unaffected) and identical logits."""
+    import dataclasses
+
+    from bert_multimodal_transformer_tpu.config import (
+        BertConfig, MultimodalConfig)
+    from bert_multimodal_transformer_tpu.models.bert import (
+        MagBertForSequenceClassification)
+
+    cfg = dataclasses.replace(BertConfig.tiny(vocab_size=64),
+                              attention_impl="fused",
+                              hidden_dropout_prob=0.0,
+                              attention_probs_dropout_prob=0.0)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 64, (4, 12)).astype(np.int32)
+    vis = rng.randn(4, 12, 3).astype(np.float32)
+    ac = rng.randn(4, 12, 5).astype(np.float32)
+
+    models = {
+        qf: MagBertForSequenceClassification(
+            dataclasses.replace(cfg, qkv_fusion=qf, qkv_residual=qf),
+            mm, visual_dim=3, acoustic_dim=5)
+        for qf in (False, True)
+    }
+    variables = models[False].init(jax.random.PRNGKey(0), ids, vis, ac)
+    var_fused = models[True].init(jax.random.PRNGKey(0), ids, vis, ac)
+    for (pa, la), lb in zip(
+            jax.tree_util.tree_leaves_with_path(variables),
+            jax.tree_util.tree_leaves(var_fused)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                      err_msg=jax.tree_util.keystr(pa))
+
+    out_split = models[False].apply(variables, ids, vis, ac,
+                                    deterministic=True)
+    out_fused = models[True].apply(variables, ids, vis, ac,
+                                   deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_fused),
+                               np.asarray(out_split), atol=1e-5)

@@ -108,3 +108,30 @@ def test_fused_attention_trains_under_dp_sharding():
         _, loss = tr._train_step(st, tr._put_batch(batch))
         losses.append(float(loss))
     np.testing.assert_allclose(losses[1], losses[0], rtol=1e-6)
+
+
+def test_qkvproj_fused_attention_trains_under_dp_sharding():
+    """qkv_fusion (projection inside the kernel) under 8-way DP: pjit
+    partitions the pallas_call with the weight operand replicated;
+    8-way loss == 1-way loss. Both backward variants."""
+    import dataclasses
+
+    for qkv_residual in (False, True):
+        cfg = dataclasses.replace(BertConfig.tiny(),
+                                  attention_impl="fused",
+                                  attention_probs_dropout_prob=0.0,
+                                  qkv_fusion=True,
+                                  qkv_residual=qkv_residual)
+        mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1)
+        model = MagBertForSequenceClassification(cfg, mm, visual_dim=DV,
+                                                 acoustic_dim=DA)
+        batch = make_batch(cfg.vocab_size)
+        losses = []
+        for ndev in (1, 8):
+            tr = Trainer(model=model, tx=optax.adam(1e-3),
+                         mesh=make_mesh(MeshConfig(data_parallel=ndev)),
+                         donate=False)
+            st = tr.init_state(jax.random.PRNGKey(0), batch)
+            _, loss = tr._train_step(st, tr._put_batch(batch))
+            losses.append(float(loss))
+        np.testing.assert_allclose(losses[1], losses[0], rtol=1e-6)

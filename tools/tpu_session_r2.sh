@@ -46,6 +46,11 @@ run exp_relik python tools/exp_rel_inkernel.py
 # 4. QKV/output-projection mega-fusion probe (fwd + fwd/bwd standalone)
 run exp_qkv python tools/exp_qkv_fusion.py
 
+# 4b. productionized qkv_fusion path: hardware correctness + in-model A/B
+run check_qkvproj python tools/check_qkvproj_tpu.py
+run bench_bert_qkv env BENCH_QKV_FUSION=1 python bench.py
+run bench_bert_qkv_res env BENCH_QKV_FUSION=1 BENCH_QKV_RESIDUAL=1 python bench.py
+
 # 5. MOSEI-scale full-geometry convergence (16265/1869/4643 synthetic,
 #    bert-base, warm start, fused attention) — extends the MOSI-scale
 #    hardware-training evidence; MAG visual dim 35 forces a recompile
