@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Stop this run after N optimizer steps (0 = no "
                         "limit); with --save_every_steps, a later --resume "
                         "continues exactly where it stopped")
+    p.add_argument("--export_hf", type=str, default=None,
+                   help="After training, export the fine-tuned encoder "
+                        "weights as an HF-format torch .bin at this path "
+                        "(reverse of --pretrained_checkpoint; MAG and "
+                        "classifier params are framework-specific and "
+                        "not exported)")
     p.add_argument("--predict_only", action="store_true",
                    help="Skip training: restore --checkpoint_dir and print "
                         "test metrics (inference/serving mode)")
@@ -437,6 +443,22 @@ def main(argv=None) -> int:
         max_steps=(args.max_steps or None))
     if ckpt is not None:
         ckpt.close()  # flush the async Orbax save before exit
+    if args.export_hf:
+        from bert_multimodal_transformer_tpu.utils.convert import (
+            export_bert_state_dict,
+            export_xlnet_state_dict,
+        )
+
+        import torch as _torch
+
+        params_np = jax.device_get(state.params)
+        if is_xlnet:
+            sd = export_xlnet_state_dict(params_np, cfg.n_layer)
+        else:
+            sd = export_bert_state_dict(params_np, cfg.num_hidden_layers)
+        _torch.save({k: _torch.tensor(np.asarray(v))
+                     for k, v in sd.items()}, args.export_hf)
+        print(f"Exported HF-format weights to {args.export_hf}")
     logger.finish()
     return 0
 

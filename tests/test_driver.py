@@ -228,3 +228,25 @@ def test_driver_qkv_fusion_flag(tmp_path, capsys):
                       "--qkv_fusion"])
     assert rc == 2
     assert "BERT" in capsys.readouterr().err
+
+
+def test_driver_export_hf(tmp_path):
+    """--export_hf writes the fine-tuned encoder as an HF-format torch
+    .bin that loads into a transformers BertModel of the same geometry
+    (reverse of the --pretrained_checkpoint warm-start path)."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    out = tmp_path / "exported.bin"
+    rc = run_driver(tmp_path, extra=["--export_hf", str(out)])
+    assert rc == 0
+    sd = torch.load(out, map_location="cpu", weights_only=True)
+    assert "embeddings.word_embeddings.weight" in sd
+    assert any(k.startswith("encoder.layer.1.") for k in sd)
+    hf = transformers.BertModel(transformers.BertConfig(
+        vocab_size=sd["embeddings.word_embeddings.weight"].shape[0],
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, max_position_embeddings=64,
+        attn_implementation="eager"))
+    res = hf.load_state_dict(sd, strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
