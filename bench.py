@@ -121,6 +121,10 @@ def main():
                 cfg, qkv_fusion=True,
                 qkv_residual=os.environ.get("BENCH_QKV_RESIDUAL",
                                             "0") == "1")
+        elif os.environ.get("BENCH_QKV_RESIDUAL", "0") == "1":
+            raise SystemExit(
+                "BENCH_QKV_RESIDUAL=1 without BENCH_QKV_FUSION=1 would "
+                "silently benchmark the split path")
         model = MagBertForSequenceClassification(
             cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
             remat=os.environ.get("BENCH_REMAT", "0") == "1",

@@ -279,6 +279,14 @@ class BatchIterator:
         return -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Tuple[tuple, np.ndarray]]:
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int = 0
+                  ) -> Iterator[Tuple[tuple, np.ndarray]]:
+        """Iterate one epoch, skipping the first ``start_batch`` batches
+        WITHOUT materializing them (mid-epoch resume fast path). The
+        epoch shuffle is still drawn, so the stream position advances
+        exactly like a full epoch."""
         n = len(self.split)
         order = np.arange(n)
         if self.shuffle:
@@ -286,11 +294,11 @@ class BatchIterator:
             self._shuffles_done += 1
         b = self.batch_size
         n_full = n // b
-        for i in range(n_full):
+        for i in range(start_batch, n_full):
             idx = order[i * b:(i + 1) * b]
             yield self.split.take(idx).as_tuple(), np.ones(b, bool)
         rem = n - n_full * b
-        if rem and not self.drop_remainder:
+        if rem and not self.drop_remainder and start_batch <= n_full:
             idx = order[n_full * b:]
             batch = self.split.take(idx)
             padded = tuple(

@@ -176,6 +176,19 @@ def main(argv=None) -> int:
     is_xlnet = args.model.startswith("xlnet")
     family = "xlnet" if is_xlnet else "bert"
 
+    if args.resume and args.checkpoint_dir:
+        # exact continuation requires the interrupted run's seed (data
+        # shuffle, synthetic data, init, dropout streams all derive from
+        # it) — with the default --seed random each process would draw a
+        # fresh one, silently replaying a different data order
+        _meta = _read_resume_meta(
+            os.path.join(args.checkpoint_dir, "resume_meta.json"))
+        if _meta is not None and "seed" in _meta \
+                and _meta["seed"] != args.seed:
+            print(f"Resume: adopting the interrupted run's seed "
+                  f"{_meta['seed']} (was {args.seed})")
+            args.seed = _meta["seed"]
+
     rng = set_random_seed(args.seed)
     print(f"Seed: {args.seed}")
 
@@ -268,9 +281,9 @@ def main(argv=None) -> int:
                 return 2
             cfg = dataclasses.replace(cfg,
                                       rel_bias_impl=args.rel_bias_impl)
-        if args.qkv_fusion:
-            print("error: --qkv_fusion applies only to the BERT family's "
-                  "packed fused attention", file=sys.stderr)
+        if args.qkv_fusion or args.qkv_residual:
+            print("error: --qkv_fusion/--qkv_residual apply only to the "
+                  "BERT family's packed fused attention", file=sys.stderr)
             return 2
         if args.tp_shard_attention:
             cfg = dataclasses.replace(cfg, tp_attention_mesh=mesh)
@@ -292,6 +305,10 @@ def main(argv=None) -> int:
         if args.attention_impl != "einsum":
             cfg = dataclasses.replace(cfg,
                                       attention_impl=args.attention_impl)
+        if args.qkv_residual and not args.qkv_fusion:
+            print("error: --qkv_residual requires --qkv_fusion (it picks "
+                  "that path's backward variant)", file=sys.stderr)
+            return 2
         if args.qkv_fusion:
             if args.attention_impl != "fused" or args.tp_shard_attention:
                 print("error: --qkv_fusion requires --attention_impl "
@@ -390,6 +407,15 @@ def main(argv=None) -> int:
         )
 
         ckpt = CheckpointManager(args.checkpoint_dir)
+        if not args.resume and ckpt.latest_step() is not None:
+            # a fresh run into a directory holding another run's
+            # checkpoints would let the save-dedup below skip saves and
+            # publish a resume meta naming the OLD run's parameters
+            print(f"error: --checkpoint_dir {args.checkpoint_dir} already "
+                  f"contains checkpoints (latest step "
+                  f"{ckpt.latest_step()}); pass --resume to continue that "
+                  "run or use a fresh directory", file=sys.stderr)
+            return 2
         if args.resume:
             meta = _read_resume_meta(meta_path)
             if meta is not None:
@@ -410,29 +436,40 @@ def main(argv=None) -> int:
     logger = MetricLogger(project="MAG", config=vars(args),
                           jsonl_path=jsonl_path)
 
-    def _save(st, *, next_epoch, next_batch, burn):
+    def _save(st, *, step, next_epoch, next_batch, burn):
         # durably save the state BEFORE publishing the meta that names it
-        if ckpt.latest_step() != int(st.step):
-            ckpt.save(st, step=int(st.step), wait=True)
+        # (the dir is guaranteed free of foreign checkpoints above, so a
+        # matching latest step can only be this run's own earlier save)
+        if ckpt.latest_step() != step:
+            ckpt.save(st, step=step, wait=True)
         else:
             ckpt.wait_until_finished()
         _write_resume_meta(meta_path, {
-            "state_step": int(st.step), "start_epoch": next_epoch,
-            "start_batch": next_batch, "iter_shuffles_to_burn": burn})
+            "state_step": step, "start_epoch": next_epoch,
+            "start_batch": next_batch, "iter_shuffles_to_burn": burn,
+            "seed": args.seed})
 
     def save_epoch(st, epoch_i):
         if ckpt is not None:
             # resume into the next epoch with a fresh shuffle
-            _save(st, next_epoch=epoch_i + 1, next_batch=0,
-                  burn=train_it.shuffles_done)
+            _save(st, step=int(st.step), next_epoch=epoch_i + 1,
+                  next_batch=0, burn=train_it.shuffles_done)
 
     step_callback = None
     if ckpt is not None and args.save_every_steps > 0:
+        # track the optimizer step host-side: int(st.step) is a device
+        # fetch, and syncing every step would serialize the async
+        # dispatch pipeline on the tunneled backend
+        base_step = int(state.step)
+        host_step = {"n": base_step}
+
         def step_callback(st, epoch_i, bi):
-            if int(st.step) % args.save_every_steps == 0:
+            host_step["n"] += 1
+            if host_step["n"] % args.save_every_steps == 0:
                 # resume mid-epoch: replay the current epoch's shuffle
                 # (the last one drawn), skip the batches already trained
-                _save(st, next_epoch=epoch_i, next_batch=bi + 1,
+                _save(st, step=host_step["n"], next_epoch=epoch_i,
+                      next_batch=bi + 1,
                       burn=train_it.shuffles_done - 1)
 
     state, _summary = trainer.train(

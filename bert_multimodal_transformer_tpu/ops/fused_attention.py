@@ -1233,17 +1233,19 @@ def fused_attention_packed(
 def _attn_fwd_qkvproj_kernel(seed_ref, bias_ref, x_ref, w_ref, b3_ref,
                              *rest, scale: float, rate: float,
                              n_heads: int, dh: int, s: int, nb: int,
-                             emit_qkv: bool):
+                             emit_qkv: bool, save: bool):
     """x_ref [nb·S, D] flat rows; w_ref [D, 3D] (grid-invariant);
-    b3_ref [1, 3D]; o_ref [nb·S, D]; probs as in the packed kernel.
-    The head-batched VPU chain is identical to _attn_fwd_packed_kernel —
-    only the qkv source differs (VMEM projection vs HBM block)."""
+    b3_ref [1, 3D]; o_ref [nb·S, D]; probs as in the packed kernel
+    (written only when ``save`` — the non-differentiated primal never
+    materializes them). The head-batched VPU chain is identical to
+    _attn_fwd_packed_kernel — only the qkv source differs (VMEM
+    projection vs HBM block)."""
     refs = list(rest)
     s_ref = refs.pop()                                      # [H,S,S] f32
     o_ref = refs.pop(0)
     qkv_out_ref = refs.pop(0) if emit_qkv else None
-    p_ref = refs.pop(0)
-    pd_ref = refs.pop(0) if rate > 0.0 else None
+    p_ref = refs.pop(0) if save else None
+    pd_ref = refs.pop(0) if save and rate > 0.0 else None
     f32 = jnp.float32
     d = n_heads * dh
     qkv = jax.lax.dot_general(
@@ -1266,13 +1268,15 @@ def _attn_fwd_qkvproj_kernel(seed_ref, bias_ref, x_ref, w_ref, b3_ref,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)
         p = _softmax_f32(s_ref[:] * scale + bias[None])     # [H, S, S]
-        p_ref[b] = p.astype(p_ref.dtype)
+        if save:
+            p_ref[b] = p.astype(p_ref.dtype)
         if rate > 0.0:
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * nb + b)
             bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
                                  jnp.uint32)
             p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
-            pd_ref[b] = p.astype(pd_ref.dtype)
+            if save:
+                pd_ref[b] = p.astype(pd_ref.dtype)
         pc = p.astype(x_ref.dtype)
         row = []
         for h in range(n_heads):
@@ -1376,13 +1380,13 @@ def _qkvproj_specs(nb, s, d, h):
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "rate", "n_heads", "interpret",
-                                    "nb", "emit_qkv"))
+                                    "nb", "emit_qkv", "save"))
 def _fwd_qkvproj_pallas(x, w, b3, bias, seed, *, scale, rate, n_heads,
-                        interpret, nb=None, emit_qkv=False):
+                        interpret, nb=None, emit_qkv=False, save=True):
     b, s, d = x.shape
     dh = d // n_heads
     if nb is None:
-        n_prob = 2 if rate > 0.0 else 1
+        n_prob = (2 if rate > 0.0 else 1) if save else 0
         nb = _pick_nb_packed(
             b, _qkvproj_row_bytes(s, d, n_heads, n_prob, x.dtype.itemsize,
                                   emit_qkv),
@@ -1396,15 +1400,16 @@ def _fwd_qkvproj_pallas(x, w, b3, bias, seed, *, scale, rate, n_heads,
     if emit_qkv:
         out_shape.append(jax.ShapeDtypeStruct((b * s, 3 * d), x.dtype))
         out_specs.append(rows3)
-    out_shape.append(prob_shape)
-    out_specs.append(prob)
-    if rate > 0.0:
+    if save:
         out_shape.append(prob_shape)
         out_specs.append(prob)
+        if rate > 0.0:
+            out_shape.append(prob_shape)
+            out_specs.append(prob)
     outs = pl.pallas_call(
         functools.partial(_attn_fwd_qkvproj_kernel, scale=scale, rate=rate,
                           n_heads=n_heads, dh=dh, s=s, nb=nb,
-                          emit_qkv=emit_qkv),
+                          emit_qkv=emit_qkv, save=save),
         grid=(b // nb,),
         in_specs=[seed_spec, bias_spec, rows, w_spec, b3_spec],
         out_specs=tuple(out_specs),
@@ -1469,9 +1474,11 @@ def _bwd_qkvproj_pallas(p, pd, src, w, b3, g, *, scale, n_heads,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _fused_attention_qkvproj(x, w, b3, bias, seed, scale, rate, n_heads,
                              interpret, nb_fwd, nb_bwd, qkv_residual):
+    # Primal (non-differentiated) call never materializes probs.
     return _fwd_qkvproj_pallas(x, w, b3, bias, seed, scale=scale,
                                rate=rate, n_heads=n_heads,
-                               interpret=interpret, nb=nb_fwd)[0]
+                               interpret=interpret, nb=nb_fwd,
+                               save=False)[0]
 
 
 def _faq_fwd(x, w, b3, bias, seed, scale, rate, n_heads, interpret,

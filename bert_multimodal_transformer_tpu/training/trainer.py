@@ -307,7 +307,13 @@ class Trainer:
         losses = []
         stopped_at = None
         n_batches = len(loader) if hasattr(loader, "__len__") else None
-        for bi, (batch, valid) in enumerate(loader):
+        if start_batch and hasattr(loader, "iter_from"):
+            # skip already-trained batches without materializing them
+            it = enumerate(loader.iter_from(start_batch),
+                           start=start_batch)
+        else:
+            it = enumerate(loader)
+        for bi, (batch, valid) in it:
             if bi < start_batch:
                 continue
             if valid.all():
@@ -412,6 +418,11 @@ class Trainer:
             record = {
                 "epoch": epoch_i,
                 "train_loss": train_loss,
+                # a mid-epoch-resumed epoch's train_loss averages only the
+                # post-resume batches (eval/test below are full and exact);
+                # mark it so readers don't compare it against full epochs
+                **({"resumed_mid_epoch": True}
+                   if epoch_i == start_epoch and start_batch else {}),
                 "valid_loss": valid_loss,
                 "test_acc": scores["acc"],
                 "test_mae": scores["mae"],

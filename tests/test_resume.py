@@ -175,19 +175,36 @@ def test_driver_midepoch_resume_bit_exact(tmp_path):
     meta = json.loads(
         (tmp_path / "resumed" / "resume_meta.json").read_text())
     assert meta["start_epoch"] == 0 and meta["start_batch"] == 2
-    assert _run_driver(tmp_path, "resumed",
-                       ["--n_epochs", "2", "--resume"]) == 0
+    assert meta["seed"] == 5
+    # resume with a DIFFERENT --seed: the driver must adopt the meta's
+    # seed (data order, synthetic data and rng streams derive from it) —
+    # bit-exactness below proves the adoption happened
+    args = [
+        "--model", "bert-base-uncased", "--dataset", "mosi",
+        "--synthetic", "--tiny",
+        "--train_batch_size", "8", "--dev_batch_size", "8",
+        "--test_batch_size", "8",
+        "--synthetic_sizes", "20", "8", "8",
+        "--seed", "9", "--compute_dtype", "float32",
+        "--checkpoint_dir", str(tmp_path / "resumed"),
+        "--n_epochs", "2", "--resume",
+    ]
+    assert driver.main(args) == 0
 
     pa = CheckpointManager(str(tmp_path / "straight")).restore_params()
     pb = CheckpointManager(str(tmp_path / "resumed")).restore_params()
     _assert_trees_equal(pa, pb)
 
-    # the resumed run's epoch records continue the original run's history
+    # the resumed run's epoch records continue the original run's
+    # history, and the mid-epoch-resumed epoch is marked (its train_loss
+    # averages only the post-resume batches)
     recs = [json.loads(l) for l in
             (tmp_path / "resumed" / "metrics.jsonl").read_text()
             .strip().splitlines()]
     epochs = [r["epoch"] for r in recs if "epoch" in r]
     assert epochs == [0, 1]
+    assert recs[0].get("resumed_mid_epoch") is True
+    assert "resumed_mid_epoch" not in recs[1]
 
 
 def test_driver_epoch_resume_bit_exact(tmp_path):
@@ -217,3 +234,13 @@ def test_driver_epoch_resume_bit_exact(tmp_path):
     pa = CheckpointManager(str(tmp_path / "straight")).restore_params()
     pb = CheckpointManager(str(tmp_path / "twostage")).restore_params()
     _assert_trees_equal(pa, pb)
+
+
+def test_driver_refuses_foreign_checkpoint_dir(tmp_path, capsys):
+    """A fresh (non-resume) run into a directory holding another run's
+    checkpoints must error: the save-dedup could otherwise skip saves and
+    publish a resume meta naming the old run's parameters."""
+    assert _run_driver(tmp_path, "d", ["--n_epochs", "1"]) == 0
+    rc = _run_driver(tmp_path, "d", ["--n_epochs", "1"])
+    assert rc == 2
+    assert "already contains checkpoints" in capsys.readouterr().err
