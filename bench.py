@@ -74,6 +74,11 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = 5
     family = os.environ.get("BENCH_MODEL", "bert")  # "bert" | "xlnet"
+    # BENCH_DATASET=mosei benches the MOSEI modality dims (visual 35 —
+    # BASELINE config #4 pairs it with bert-large); default MOSI (47/74)
+    from bert_multimodal_transformer_tpu.config import DatasetConfig
+
+    ds = DatasetConfig.from_name(os.environ.get("BENCH_DATASET", "mosi"))
 
     mm = MultimodalConfig(
         beta_shift=1.0, dropout_prob=0.5,
@@ -98,7 +103,8 @@ def main():
         if relb != "stream":
             cfg = dataclasses.replace(cfg, rel_bias_impl=relb)
         model = MagXLNetForSequenceClassification(
-            cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
+            cfg, mm, visual_dim=ds.visual_dim,
+            acoustic_dim=ds.acoustic_dim, dtype=jnp.bfloat16,
             remat=os.environ.get("BENCH_REMAT", "0") == "1")
     else:
         cfg = (BertConfig.bert_large_uncased()
@@ -126,7 +132,8 @@ def main():
                 "BENCH_QKV_RESIDUAL=1 without BENCH_QKV_FUSION=1 would "
                 "silently benchmark the split path")
         model = MagBertForSequenceClassification(
-            cfg, mm, visual_dim=47, acoustic_dim=74, dtype=jnp.bfloat16,
+            cfg, mm, visual_dim=ds.visual_dim,
+            acoustic_dim=ds.acoustic_dim, dtype=jnp.bfloat16,
             remat=os.environ.get("BENCH_REMAT", "0") == "1",
             remat_policy=os.environ.get("BENCH_REMAT_POLICY", "full"))
 
@@ -138,8 +145,8 @@ def main():
     rng = np.random.RandomState(0)
     host_batch = (
         rng.randint(0, cfg.vocab_size, (batch, seq)).astype(np.int32),
-        rng.randn(batch, seq, 47).astype(np.float32),
-        rng.randn(batch, seq, 74).astype(np.float32),
+        rng.randn(batch, seq, ds.visual_dim).astype(np.float32),
+        rng.randn(batch, seq, ds.acoustic_dim).astype(np.float32),
         np.ones((batch, seq), np.int32),
         np.zeros((batch, seq), np.int32),
         rng.uniform(-3, 3, (batch,)).astype(np.float32),
