@@ -244,3 +244,27 @@ def test_driver_refuses_foreign_checkpoint_dir(tmp_path, capsys):
     rc = _run_driver(tmp_path, "d", ["--n_epochs", "1"])
     assert rc == 2
     assert "already contains checkpoints" in capsys.readouterr().err
+
+
+def test_driver_xlnet_resume_smoke(tmp_path):
+    """The resume machinery is family-agnostic; this guards the XLNet
+    integration (different state tree, left-padded packing) through the
+    CLI: interrupt mid-epoch, resume, finish with finite metrics."""
+    args = [
+        "--model", "xlnet-base-cased", "--dataset", "mosi",
+        "--synthetic", "--tiny",
+        "--train_batch_size", "8", "--dev_batch_size", "8",
+        "--test_batch_size", "8",
+        "--synthetic_sizes", "20", "8", "8",
+        "--seed", "5", "--compute_dtype", "float32",
+        "--checkpoint_dir", str(tmp_path / "x"),
+        "--n_epochs", "2",
+    ]
+    assert driver.main(args + ["--save_every_steps", "1",
+                               "--max_steps", "2"]) == 0
+    assert driver.main(args + ["--resume"]) == 0
+    recs = [json.loads(l) for l in
+            (tmp_path / "x" / "metrics.jsonl").read_text()
+            .strip().splitlines()]
+    assert [r["epoch"] for r in recs] == [0, 1]
+    assert all(np.isfinite(r["train_loss"]) for r in recs)
