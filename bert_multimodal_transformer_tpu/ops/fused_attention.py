@@ -1234,12 +1234,15 @@ def _attn_fwd_qkvproj_kernel(seed_ref, bias_ref, x_ref, w_ref, b3_ref,
                              *rest, scale: float, rate: float,
                              n_heads: int, dh: int, s: int, nb: int,
                              emit_qkv: bool, save: bool):
-    """x_ref [nb·S, D] flat rows; w_ref [D, 3D] (grid-invariant);
-    b3_ref [1, 3D]; o_ref [nb·S, D]; probs as in the packed kernel
+    """x_ref [nb, S, D] row block; w_ref [D, 3D] (grid-invariant);
+    b3_ref [1, 3D]; o_ref [nb, S, D]; probs as in the packed kernel
     (written only when ``save`` — the non-differentiated primal never
     materializes them). The head-batched VPU chain is identical to
     _attn_fwd_packed_kernel — only the qkv source differs (VMEM
-    projection vs HBM block)."""
+    projection vs HBM block). The projection dot runs per example
+    ([S, D]×[D, 3D]): merging (nb, S) into one flat row dim would need
+    an 8-aligned row count (Mosaic block rule) that nb·S=50·nb rarely
+    satisfies; the per-dot cost is only the S→8-sublane pad (~12%)."""
     refs = list(rest)
     s_ref = refs.pop()                                      # [H,S,S] f32
     o_ref = refs.pop(0)
@@ -1248,18 +1251,16 @@ def _attn_fwd_qkvproj_kernel(seed_ref, bias_ref, x_ref, w_ref, b3_ref,
     pd_ref = refs.pop(0) if save and rate > 0.0 else None
     f32 = jnp.float32
     d = n_heads * dh
-    qkv = jax.lax.dot_general(
-        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=f32)
-    qkv = (qkv + b3_ref[:].astype(f32)).astype(x_ref.dtype)  # [nb·S, 3D]
-    if emit_qkv:
-        qkv_out_ref[:] = qkv
     if rate > 0.0:
         thresh = np.uint32(_dropout_threshold(rate))
         inv_keep = 1.0 / (1.0 - rate)
-    outs = []
     for b in range(nb):
-        qkv_b = qkv[b * s:(b + 1) * s]
+        qkv_b = jax.lax.dot_general(
+            x_ref[b], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        qkv_b = (qkv_b + b3_ref[:].astype(f32)).astype(x_ref.dtype)
+        if emit_qkv:
+            qkv_out_ref[b] = qkv_b                          # [S, 3D]
         bias = bias_ref[b].astype(f32)                      # [1, S]
         for h in range(n_heads):
             q = qkv_b[:, h * dh:(h + 1) * dh]
@@ -1284,32 +1285,31 @@ def _attn_fwd_qkvproj_kernel(seed_ref, bias_ref, x_ref, w_ref, b3_ref,
             o = jax.lax.dot_general(pc[h], v, (((1,), (0,)), ((), ())),
                                     preferred_element_type=f32)
             row.append(o.astype(o_ref.dtype))
-        outs.append(jnp.concatenate(row, axis=-1))          # [S, D]
-    o_ref[:] = jnp.concatenate(outs, axis=0)
+        o_ref[b] = jnp.concatenate(row, axis=-1)            # [S, D]
 
 
 def _attn_bwd_qkvproj_kernel(p_ref, pd_ref, src_ref, w_ref, b3_ref, g_ref,
                              dqkv_ref, dx_ref, t_ref,
                              *, scale: float, n_heads: int, dh: int,
                              s: int, nb: int, recompute: bool):
-    """Saved-probs backward; src_ref is the saved qkv [nb·S, 3D]
-    (recompute=False) or x [nb·S, D] to re-project in VMEM
+    """Saved-probs backward; src_ref is the saved qkv [nb, S, 3D]
+    (recompute=False) or x [nb, S, D] to re-project in VMEM
     (recompute=True — drops the qkv residual from HBM entirely). Emits
     dqkv (consumed by XLA's dW/db gemms) and dx = dqkv·Wᵀ in-kernel.
-    The ds chain is _attn_bwd_packed_saved_kernel's, head-batched."""
+    The ds chain is _attn_bwd_packed_saved_kernel's, head-batched.
+    Row blocks are 3-D per the Mosaic trailing-dims rule (see
+    _qkvproj_specs); projection/dx dots run per example."""
     f32 = jnp.float32
     d = n_heads * dh
-    if recompute:
-        qkv = jax.lax.dot_general(
-            src_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
-        qkv = (qkv + b3_ref[:].astype(f32)).astype(src_ref.dtype)
-    else:
-        qkv = src_ref[:]
-    rows = []
     for b in range(nb):
-        qkv_b = qkv[b * s:(b + 1) * s]
-        g_b = g_ref[b * s:(b + 1) * s]
+        if recompute:
+            qkv_b = jax.lax.dot_general(
+                src_ref[b], w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            qkv_b = (qkv_b + b3_ref[:].astype(f32)).astype(src_ref.dtype)
+        else:
+            qkv_b = src_ref[b]
+        g_b = g_ref[b]
         dvs = []
         for h in range(n_heads):
             v = qkv_b[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
@@ -1317,30 +1317,29 @@ def _attn_bwd_qkvproj_kernel(p_ref, pd_ref, src_ref, w_ref, b3_ref, g_ref,
             dv = jax.lax.dot_general(pd_ref[b, h], g_h,
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=f32)
-            dvs.append(dv.astype(qkv.dtype))
+            dvs.append(dv.astype(qkv_b.dtype))
             t_ref[h] = jax.lax.dot_general(g_h, v,                 # dpd
                                            (((1,), (1,)), ((), ())),
                                            preferred_element_type=f32)
         p = p_ref[b].astype(f32)
         t = pd_ref[b].astype(f32) * t_ref[:]
         ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
-        ds_c = ds.astype(qkv.dtype)
+        ds_c = ds.astype(qkv_b.dtype)
         dqs, dks = [], []
         for h in range(n_heads):
             q = qkv_b[:, h * dh:(h + 1) * dh]
             k = qkv_b[:, d + h * dh:d + (h + 1) * dh]
             dqs.append(jax.lax.dot_general(
                 ds_c[h], k, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(qkv.dtype))
+                preferred_element_type=f32).astype(qkv_b.dtype))
             dks.append(jax.lax.dot_general(
                 ds_c[h], q, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32).astype(qkv.dtype))
-        rows.append(jnp.concatenate(dqs + dks + dvs, axis=-1))
-    dqkv = jnp.concatenate(rows, axis=0)                    # [nb·S, 3D]
-    dqkv_ref[:] = dqkv
-    dx_ref[:] = jax.lax.dot_general(
-        dqkv, w_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=f32).astype(dx_ref.dtype)
+                preferred_element_type=f32).astype(qkv_b.dtype))
+        dqkv_b = jnp.concatenate(dqs + dks + dvs, axis=-1)  # [S, 3D]
+        dqkv_ref[b] = dqkv_b
+        dx_ref[b] = jax.lax.dot_general(
+            dqkv_b, w_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32).astype(dx_ref.dtype)
 
 
 def _qkvproj_fixed_bytes(d: int, h: int, s: int, itemsize: int,
@@ -1362,9 +1361,14 @@ def _qkvproj_row_bytes(s: int, d: int, h: int, n_prob: int, itemsize: int,
 
 
 def _qkvproj_specs(nb, s, d, h):
-    rows = pl.BlockSpec((nb * s, d), lambda i: (i, 0),
+    # Row blocks are 3-D (nb, s, d): Mosaic requires the last two block
+    # dims to be (8, 128)-divisible OR equal to the array dims. A flat
+    # (nb·s, d) block violates that whenever nb·s % 8 != 0 (e.g. s=50,
+    # nb=2 → 100 rows — failed lowering on hardware); with the batch as
+    # the leading block dim the trailing (s, d) always match the array.
+    rows = pl.BlockSpec((nb, s, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    rows3 = pl.BlockSpec((nb * s, 3 * d), lambda i: (i, 0),
+    rows3 = pl.BlockSpec((nb, s, 3 * d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     w = pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
                      memory_space=pltpu.VMEM)
@@ -1395,10 +1399,10 @@ def _fwd_qkvproj_pallas(x, w, b3, bias, seed, *, scale, rate, n_heads,
     rows, rows3, w_spec, b3_spec, prob, bias_spec, seed_spec = \
         _qkvproj_specs(nb, s, d, n_heads)
     prob_shape = jax.ShapeDtypeStruct((b, n_heads, s, s), x.dtype)
-    out_shape = [jax.ShapeDtypeStruct((b * s, d), x.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((b, s, d), x.dtype)]
     out_specs = [rows]
     if emit_qkv:
-        out_shape.append(jax.ShapeDtypeStruct((b * s, 3 * d), x.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((b, s, 3 * d), x.dtype))
         out_specs.append(rows3)
     if save:
         out_shape.append(prob_shape)
@@ -1423,11 +1427,7 @@ def _fwd_qkvproj_pallas(x, w, b3, bias, seed, *, scale, rate, n_heads,
             + x.dtype.itemsize * d * 3 * d,
             transcendentals=b * n_heads * s * s,
         ),
-    )(seed, bias, x.reshape(b * s, d), w, b3.reshape(1, 3 * d))
-    outs = list(outs)
-    outs[0] = outs[0].reshape(b, s, d)
-    if emit_qkv:
-        outs[1] = outs[1].reshape(b, s, 3 * d)
+    )(seed, bias, x, w, b3.reshape(1, 3 * d))
     return tuple(outs)
 
 
@@ -1448,7 +1448,6 @@ def _bwd_qkvproj_pallas(p, pd, src, w, b3, g, *, scale, n_heads,
     rows, rows3, w_spec, b3_spec, prob, _, _ = _qkvproj_specs(
         nb, s, d, n_heads)
     src_spec = rows if recompute else rows3
-    src_flat = src.reshape(b * s, -1)
     dqkv, dx = pl.pallas_call(
         functools.partial(_attn_bwd_qkvproj_kernel, scale=scale,
                           n_heads=n_heads, dh=dh, s=s, nb=nb,
@@ -1456,8 +1455,8 @@ def _bwd_qkvproj_pallas(p, pd, src, w, b3, g, *, scale, n_heads,
         grid=(b // nb,),
         in_specs=[prob, prob, src_spec, w_spec, b3_spec, rows],
         out_specs=(rows3, rows),
-        out_shape=(jax.ShapeDtypeStruct((b * s, 3 * d), g.dtype),
-                   jax.ShapeDtypeStruct((b * s, d), g.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((b, s, 3 * d), g.dtype),
+                   jax.ShapeDtypeStruct((b, s, d), g.dtype)),
         scratch_shapes=[pltpu.VMEM((n_heads, s, s), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -1467,8 +1466,8 @@ def _bwd_qkvproj_pallas(p, pd, src, w, b3, g, *, scale, n_heads,
             + g.dtype.itemsize * d * 3 * d,
             transcendentals=0,
         ),
-    )(p, pd, src_flat, w, b3.reshape(1, 3 * d), g.reshape(b * s, d))
-    return dqkv.reshape(b, s, 3 * d), dx.reshape(b, s, d)
+    )(p, pd, src, w, b3.reshape(1, 3 * d), g)
+    return dqkv, dx
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))

@@ -85,7 +85,13 @@ def main():
     ).astype(np.float32)
     ratio = float(np.mean(np.abs(o1)) / np.mean(np.abs(base)))
     print(f"E[|out|] dropout/no-dropout ratio: {ratio:.4f}")
-    ok &= 0.97 < ratio < 1.03
+    # Dropout preserves E[out], not E[|out|]: keep-and-rescale inflates
+    # the variance of each output element by ~(1-keep)/keep relative,
+    # so for the near-zero-mean outputs here E[|out|] grows by
+    # ~sqrt(1 + 0.1/0.9) ≈ 1.054 at rate 0.1 (measured 1.052; the relik
+    # checker's same probe measures 1.045). A missing 1/keep rescale
+    # would land at ~0.95, a doubled one at ~1.17 — both outside:
+    ok &= 1.0 < ratio < 1.10
 
     # recompute vs saved backward agreement under dropout (same seed)
     def drop_loss(qr):
