@@ -110,11 +110,15 @@ class NativeWordPieceTokenizer:
         """Tokenize a word list → (token_ids, word_indices). The word
         indices are the reference's `inversions` for modality alignment.
 
-        The C++ kernel implements the ASCII path only (no accent
-        stripping / unicode punctuation); any word with non-ASCII bytes is
-        routed through the Python tokenizer so results are byte-identical
-        on all inputs regardless of toolchain availability."""
-        if any(ord(c) > 127 for w in words for c in w):
+        The C++ kernel implements the printable-ASCII path only (no
+        accent stripping / unicode punctuation / control-char cleaning);
+        any word with non-ASCII bytes OR ASCII control chars (the Python
+        `_clean` removes those in-word, and an embedded NUL would
+        truncate at the ctypes char* boundary) is routed through the
+        Python tokenizer so results are byte-identical on all inputs
+        regardless of toolchain availability."""
+        if any(ord(c) > 127 or ord(c) < 32 or ord(c) == 127
+               for w in words for c in w):
             ids: List[int] = []
             inv: List[int] = []
             for w_idx, word in enumerate(words):

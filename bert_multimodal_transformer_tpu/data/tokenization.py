@@ -52,6 +52,13 @@ class BasicTokenizer:
     def tokenize(self, text: str) -> List[str]:
         text = self._clean(text)
         text = self._tokenize_cjk(text)
+        # NFC normalization, matching the installed HF BertTokenizer
+        # (transformers 4.x bugfix: the same character in composed vs
+        # decomposed codepoints must tokenize identically — load-bearing
+        # for cased models, where no NFD accent-strip follows to
+        # reconcile the two forms). Cross-validated byte-for-byte against
+        # transformers.BertTokenizer in tests/test_tokenizer_hf_parity.py.
+        text = unicodedata.normalize("NFC", text)
         tokens = text.split()
         out: List[str] = []
         for tok in tokens:

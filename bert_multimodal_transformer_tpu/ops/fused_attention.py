@@ -1536,19 +1536,23 @@ def fused_attention_qkvproj(
     """fused_attention_packed with the QKV projection fused in.
 
     Instead of consuming an XLA gemm's [B, S, 3D] output from HBM, the
-    kernel computes qkv = x·W + b in VMEM per grid block (x flattened to
-    [nb·S, D] rows so the projection dot keeps full MXU row utilization;
-    the weight block is grid-invariant and loads once). The backward
-    builds dqkv in VMEM, emits it once for XLA's dW/db gemms, and
-    computes dx = dqkv·Wᵀ in-kernel. ``qkv_residual=True`` additionally
-    writes qkv to HBM in the forward so the backward skips the
-    re-projection (classic save-vs-recompute trade; False drops the
+    kernel computes qkv = x·W + b in VMEM per grid block — as
+    per-example [S, D]×[D, 3D] dots over 3-D (nb, S, D) row blocks
+    (Mosaic's 8-sublane block rule forbids flat (nb·S, D) blocks when
+    nb·S % 8 ≠ 0; the weight block is grid-invariant and loads once).
+    The backward builds dqkv in VMEM, emits it once for XLA's dW/db
+    gemms, and computes dx = dqkv·Wᵀ in-kernel. ``qkv_residual=True``
+    additionally writes qkv to HBM in the forward so the backward skips
+    the re-projection (classic save-vs-recompute trade; False drops the
     ~B·S·3D residual entirely). Saved-probs backward only — beyond the
     256 MB prob-residual cap this falls back to the split structure
     (XLA gemm + fused_attention_packed with its recompute backward).
     Dropout semantics, PRNG seeding and the head-batched VPU chain are
-    identical to fused_attention_packed. Opt-in pending hardware timing
-    (tools/exp_qkv_fusion.py); see BertConfig.qkv_fusion.
+    identical to fused_attention_packed. Measured −8.6% vs the split
+    default at bert-base b256 (BENCHMARKS.md "QKV mega-fusion"): Mosaic
+    schedules the per-example projection dots worse than XLA's single
+    [B·S, D] gemm — kept opt-in (BertConfig.qkv_fusion) with a green
+    hardware canary (tools/check_qkvproj_tpu.py).
     """
     b, s, d = x.shape
     d3 = 3 * d

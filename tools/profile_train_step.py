@@ -21,6 +21,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Share the persistent compilation cache with bench.py/driver so a
+    # trace stage and its matching bench config compile once per session.
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     jax.config.update("jax_default_prng_impl", "rbg")
 
     from bert_multimodal_transformer_tpu.config import (
