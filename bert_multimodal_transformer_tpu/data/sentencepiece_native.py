@@ -18,11 +18,29 @@ this image, so this module implements the inference half natively:
     ``SentencePieceTokenizer`` works with a real ``spiece.model`` and no
     extra packages.
 
+Piece types (all handled; cross-validated against the HF ``tokenizers``
+Rust Unigram — the port of sentencepiece inference — in
+tests/test_sentencepiece_native.py):
+
+  * NORMAL — trie-matched with its trained log-prob score;
+  * UNKNOWN / CONTROL / UNUSED — never matched from raw text;
+  * USER_DEFINED — always segmented as one piece: matched with score
+    ``len(piece) * max_score - 0.1`` (sentencepiece unigram_model.cc
+    ``PopulateNodes``: "User defined symbol receives extra bonus to
+    always be selected"), and protected verbatim from normalization
+    (sentencepiece normalizer.cc's PrefixMatcher over user-defined
+    symbols);
+  * BYTE — byte fallback: when the model carries all 256 ``<0xNN>``
+    pieces (the invariant ``--byte_fallback`` training guarantees),
+    unknown spans are emitted as their UTF-8 bytes' pieces instead of
+    one merged unk piece.
+
 Normalization: SentencePiece's full "nmt_nfkc" normalizer applies a
 precompiled character map; this implementation approximates it with NFKC +
 control-character removal + whitespace collapsing, which agrees on the
 ASCII/latin text MOSI/MOSEI transcripts contain. The approximation is
-documented here rather than hidden.
+documented here rather than hidden — and is now normalizer-only: the
+Viterbi/piece-type behavior is exact per the cross-validation above.
 """
 
 from __future__ import annotations
@@ -42,6 +60,18 @@ TYPE_UNUSED = 5
 TYPE_BYTE = 6
 
 _UNK_PENALTY = 10.0  # kUnkPenalty in sentencepiece's unigram model
+
+
+def _parse_byte_piece(piece: str) -> "int | None":
+    """TYPE_BYTE pieces are spelled ``<0xNN>`` (uppercase hex); returns the
+    byte value, or None for a malformed surface."""
+    if (len(piece) == 6 and piece.startswith("<0x")
+            and piece.endswith(">")):
+        try:
+            return int(piece[3:5], 16)
+        except ValueError:
+            return None
+    return None
 
 
 # --------------------------------------------------------------------------
@@ -163,6 +193,9 @@ class PurePythonSentencePiece:
         self._max_len = 1
         self._unk_id = 0
         self._unk_score = 0.0
+        self._user_defined: List[str] = []
+        self._byte_to_piece: Dict[int, str] = {}
+        self._byte_fallback = False
 
     def Load(self, path: str) -> "PurePythonSentencePiece":
         with open(path, "rb") as f:
@@ -173,18 +206,50 @@ class PurePythonSentencePiece:
         self._pieces = parse_model_proto(data)
         self._ids = {}
         self._scores = {}
+        self._user_defined = []
+        self._byte_to_piece = {}
         self._max_len = 1
+        # min/max over NORMAL pieces only, exactly as unigram_model.cc's
+        # constructor computes min_score_/max_score_ (CONTROL/UNKNOWN/
+        # BYTE/USER_DEFINED scores don't shape the unk penalty or the
+        # user-defined bonus)
         min_score = 0.0
+        max_score = 0.0
+        have_normal = False
         unk_id = None
         for i, (piece, score, ptype) in enumerate(self._pieces):
             if piece not in self._ids:
                 self._ids[piece] = i
             if ptype == TYPE_UNKNOWN and unk_id is None:
                 unk_id = i
-            if ptype in (TYPE_NORMAL, TYPE_USER_DEFINED):
+            if ptype == TYPE_NORMAL:
                 self._scores[piece] = score
                 self._max_len = max(self._max_len, len(piece))
-                min_score = min(min_score, score)
+                if have_normal:
+                    min_score = min(min_score, score)
+                    max_score = max(max_score, score)
+                else:
+                    min_score = max_score = score
+                    have_normal = True
+            elif ptype == TYPE_BYTE:
+                b = _parse_byte_piece(piece)
+                if b is not None and b not in self._byte_to_piece:
+                    self._byte_to_piece[b] = piece
+        # USER_DEFINED second pass (the bonus needs max_score): always
+        # segmented as one piece — score = len*max_score − 0.1
+        # (unigram_model.cc PopulateNodes: "User defined symbol receives
+        # extra bonus to always be selected")
+        for piece, score, ptype in self._pieces:
+            if ptype == TYPE_USER_DEFINED:
+                self._scores[piece] = len(piece) * max_score - 0.1
+                self._max_len = max(self._max_len, len(piece))
+                self._user_defined.append(piece)
+        # longest-first for the normalizer's verbatim prefix matching
+        self._user_defined.sort(key=len, reverse=True)
+        # byte fallback requires the full byte alphabet — the invariant
+        # --byte_fallback training guarantees; a partial set can't cover
+        # arbitrary unknown spans, so it stays off (merged-unk pieces)
+        self._byte_fallback = len(self._byte_to_piece) == 256
         self._unk_id = unk_id if unk_id is not None else 0
         self._unk_score = min_score - _UNK_PENALTY
         return self
@@ -211,23 +276,64 @@ class PurePythonSentencePiece:
 
     # -- internals ---------------------------------------------------------
 
-    @staticmethod
-    def _normalize(text: str) -> str:
+    def _normalize(self, text: str) -> str:
         """Approximate nmt_nfkc: NFKC, drop control chars, collapse
         whitespace; then escape spaces as ▁ with a dummy prefix
-        (add_dummy_prefix=True, SentencePiece's default and XLNet's)."""
-        text = unicodedata.normalize("NFKC", text)
-        out = []
-        for ch in text:
-            if ch in ("\t", "\n", "\r") or unicodedata.category(ch) in (
-                    "Cc", "Cf"):
-                out.append(" ")
-            else:
-                out.append(ch)
-        collapsed = " ".join("".join(out).split())
+        (add_dummy_prefix=True, SentencePiece's default and XLNet's).
+
+        USER_DEFINED symbol occurrences pass through VERBATIM — the real
+        normalizer protects them with a PrefixMatcher (normalizer.cc) so
+        e.g. an NFKC-altering symbol like "ﬁx" still reaches the trie as
+        written. (Symbols containing whitespace are not protected from
+        the collapse step — sentencepiece forbids those at training
+        time.)"""
+        if self._user_defined:
+            segs = self._split_user_defined(text)
+        else:
+            segs = [(text, False)]
+        parts = []
+        for seg, verbatim in segs:
+            if verbatim:
+                parts.append(seg)
+                continue
+            seg = unicodedata.normalize("NFKC", seg)
+            out = []
+            for ch in seg:
+                if ch in ("\t", "\n", "\r") or unicodedata.category(ch) in (
+                        "Cc", "Cf"):
+                    out.append(" ")
+                else:
+                    out.append(ch)
+            parts.append("".join(out))
+        collapsed = " ".join("".join(parts).split())
         if not collapsed:
             return ""
         return SPIECE_UNDERLINE + collapsed.replace(" ", SPIECE_UNDERLINE)
+
+    def _split_user_defined(self, text: str) -> List[Tuple[str, bool]]:
+        """Segment text into (chunk, is_user_defined_symbol); symbols are
+        matched longest-first on the RAW (pre-normalization) text."""
+        segs: List[Tuple[str, bool]] = []
+        i = 0
+        n = len(text)
+        plain_start = 0
+        while i < n:
+            match = None
+            for p in self._user_defined:  # longest-first
+                if text.startswith(p, i):
+                    match = p
+                    break
+            if match is None:
+                i += 1
+                continue
+            if plain_start < i:
+                segs.append((text[plain_start:i], False))
+            segs.append((match, True))
+            i += len(match)
+            plain_start = i
+        if plain_start < n:
+            segs.append((text[plain_start:], False))
+        return segs
 
     def _viterbi(self, s: str) -> List[str]:
         n = len(s)
@@ -265,17 +371,27 @@ class PurePythonSentencePiece:
             pos = start
         rev.reverse()
         # merge consecutive unknowns (SentencePiece emits one piece per
-        # maximal unknown run)
+        # maximal unknown run) — or, under byte fallback, expand the run
+        # into its UTF-8 bytes' <0xNN> pieces (cross-validated against
+        # the HF tokenizers Rust Unigram with byte_fallback=True)
         out: List[str] = []
         run = ""
+
+        def flush(run: str):
+            if not run:
+                return
+            if self._byte_fallback:
+                for b in run.encode("utf-8"):
+                    out.append(self._byte_to_piece[b])
+            else:
+                out.append(run)
+
         for piece, is_unk in rev:
             if is_unk:
                 run += piece
             else:
-                if run:
-                    out.append(run)
-                    run = ""
+                flush(run)
+                run = ""
                 out.append(piece)
-        if run:
-            out.append(run)
+        flush(run)
         return out

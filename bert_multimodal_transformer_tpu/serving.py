@@ -34,17 +34,17 @@ class Predictor:
 
     def __init__(self, model: Any, params: Any, mesh=None,
                  batch_size: int = 128):
-        num_labels = getattr(getattr(model, "config", None), "num_labels", 1)
-        if num_labels != 1:
-            raise ValueError(
-                "Predictor supports regression heads (num_labels=1); got "
-                f"num_labels={num_labels}")
+        # num_labels==1 → regression logits [B] (MSE head); >1 → the
+        # reference's CrossEntropy branch (bert.py:313-322), logits [B, C]
+        self.num_labels = getattr(getattr(model, "config", None),
+                                  "num_labels", 1)
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         self.batch_size = batch_size
         self._bsh = batch_sharding(self.mesh)
         self._rep = replicated(self.mesh)
         self.params = jax.device_put(params, self._rep)
+        num_labels = self.num_labels
 
         def forward(p, input_ids, visual, acoustic, input_mask,
                     segment_ids):
@@ -52,7 +52,9 @@ class Predictor:
                 {"params": p}, input_ids, visual, acoustic,
                 attention_mask=input_mask, token_type_ids=segment_ids,
                 deterministic=True)
-            return logits.reshape(-1)
+            if num_labels == 1:
+                return logits.reshape(-1)
+            return logits.reshape(-1, num_labels)
 
         self._forward = jax.jit(
             forward,
@@ -81,7 +83,8 @@ class Predictor:
         return cls(model, params, **kw)
 
     def predict_split(self, split: PackedSplit) -> np.ndarray:
-        """Predictions for every example, in order."""
+        """Predictions for every example, in order: [N] regression values
+        (num_labels=1) or [N, C] class logits (num_labels>1)."""
         it = BatchIterator(split, self.batch_size, shuffle=False,
                            drop_remainder=False)
         preds = []
@@ -96,11 +99,25 @@ class Predictor:
                 jax.device_put(segs, self._bsh))
             preds.append(np.asarray(jax.device_get(out))[valid])
         if not preds:
-            return np.empty((0,), np.float32)
+            shape = (0,) if self.num_labels == 1 else (0, self.num_labels)
+            return np.empty(shape, np.float32)
         return np.concatenate(preds)
+
+    def predict_classes(self, split: PackedSplit) -> np.ndarray:
+        """Argmax class ids for a num_labels>1 head."""
+        if self.num_labels == 1:
+            raise ValueError(
+                "predict_classes needs a classification head "
+                "(num_labels>1); use predict_split for regression")
+        return np.argmax(self.predict_split(split), axis=-1)
 
     def score_split(self, split: PackedSplit,
                     use_zero: bool = False) -> Dict[str, float]:
-        preds = self.predict_split(split)
-        return metrics_lib.score_regression(preds, split.label_ids,
-                                            use_zero=use_zero)
+        """MOSI-standard regression scoring (num_labels=1) or
+        accuracy/weighted-F1 classification scoring (num_labels>1)."""
+        if self.num_labels == 1:
+            return metrics_lib.score_regression(
+                self.predict_split(split), split.label_ids,
+                use_zero=use_zero)
+        return metrics_lib.score_classification(
+            self.predict_classes(split), split.label_ids)

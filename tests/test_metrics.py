@@ -125,3 +125,28 @@ def test_activations_match_torch():
         got = np.asarray(ACT2FN[name](jnp.asarray(x)))
         np.testing.assert_allclose(got, want.numpy(), rtol=1e-5,
                                    atol=1e-6, err_msg=name)
+
+
+def test_multiclass_weighted_f1_matches_sklearn():
+    from bert_multimodal_transformer_tpu.training.metrics import (
+        multiclass_weighted_f1,
+        score_classification,
+    )
+
+    rng = np.random.RandomState(7)
+    for n_cls in (2, 3, 5):
+        y_true = rng.randint(0, n_cls, 200)
+        y_pred = rng.randint(0, n_cls, 200)
+        want = f1_score(y_true, y_pred, average="weighted")
+        got = multiclass_weighted_f1(y_true, y_pred)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        s = score_classification(y_pred, y_true.astype(np.float32))
+        np.testing.assert_allclose(s["acc"],
+                                   accuracy_score(y_true, y_pred))
+        np.testing.assert_allclose(s["f_score"], want, rtol=1e-12)
+    # a class present only in predictions must not contribute weight
+    y_true = np.array([0, 0, 1, 1])
+    y_pred = np.array([0, 2, 1, 2])
+    np.testing.assert_allclose(
+        multiclass_weighted_f1(y_true, y_pred),
+        f1_score(y_true, y_pred, average="weighted"), rtol=1e-12)

@@ -78,3 +78,50 @@ def test_predictor_from_checkpoint(tmp_path):
                      mesh=make_mesh(MeshConfig(data_parallel=1)),
                      batch_size=4).predict_split(split)
     np.testing.assert_allclose(preds, want, rtol=1e-6)
+
+
+def test_predictor_classification_head():
+    """num_labels>1 (the reference's CrossEntropy branch, bert.py:313-322):
+    [N, C] logits, argmax classes, accuracy/weighted-F1 scoring — the
+    serving surface now covers everything the classifier heads support."""
+    import dataclasses
+
+    import pytest
+
+    tok = WordPieceTokenizer.from_wordlist(synthetic.vocabulary())
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=2, n_dev=2, n_test=11, seed=22)
+    split = convert_to_features(data["test"], S, tok, "bert")
+    # integer class labels in [0, 3)
+    split = dataclasses.replace(
+        split, label_ids=np.arange(11, dtype=np.float32) % 3)
+    cfg = dataclasses.replace(BertConfig.tiny(vocab_size=tok.vocab_size),
+                              num_labels=3)
+    model = MagBertForSequenceClassification(
+        cfg, MultimodalConfig(1.0, 0.1), visual_dim=DV, acoustic_dim=DA)
+    batch = split.take(np.arange(2)).as_tuple()
+    params = model.init(jax.random.PRNGKey(0), *batch[:5])["params"]
+
+    pred = Predictor(model, params,
+                     mesh=make_mesh(MeshConfig(data_parallel=1)),
+                     batch_size=4)
+    logits = pred.predict_split(split)
+    assert logits.shape == (11, 3)
+    direct = model.apply(
+        {"params": params}, split.input_ids, split.visual, split.acoustic,
+        attention_mask=split.input_mask, token_type_ids=split.segment_ids)
+    np.testing.assert_allclose(logits, np.asarray(direct).reshape(11, 3),
+                               rtol=1e-5, atol=1e-6)
+    classes = pred.predict_classes(split)
+    np.testing.assert_array_equal(classes, np.argmax(logits, axis=-1))
+    scores = pred.score_split(split)
+    assert set(scores) == {"acc", "f_score"}
+    assert 0.0 <= scores["acc"] <= 1.0
+
+    # regression predictors reject predict_classes with a clear error
+    reg_model, reg_params, reg_split = setup_model_and_split()
+    reg = Predictor(reg_model, reg_params,
+                    mesh=make_mesh(MeshConfig(data_parallel=1)),
+                    batch_size=4)
+    with pytest.raises(ValueError, match="classification head"):
+        reg.predict_classes(reg_split)

@@ -1,8 +1,11 @@
 #!/bin/bash
 # One-shot TPU measurement session for round 3 (VERDICT r2 next-items
-# 2, 3, 4, 5, 6). Stages ordered by priority; each logs to /tmp/r3_*.log;
-# a dead tunnel aborts the session. Cold compiles through the tunnel take
-# 10-25 min per new program (persistent cache at /tmp/jax_tpu_cache).
+# 2, 3, 4, 5, 6). Stages ordered by priority; each logs to /tmp/r3_*.log
+# and drops /tmp/r3_*.ok on success, so re-running the script resumes
+# from the first incomplete stage. Pings retry 3× (a single 240 s ping
+# can time out under host-core contention while the tunnel is fine).
+# Cold compiles through the tunnel take 10-25 min per new program
+# (persistent cache at /tmp/jax_tpu_cache).
 # TPU runs serialize — never run anything else on the TPU while this is up.
 set -x
 cd "$(dirname "$0")/.."
@@ -11,14 +14,23 @@ export BENCH_TIMEOUT_S=2400
 FAILED=""
 
 ping_tpu() {
-    timeout 240 python -c "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
-        >/dev/null 2>&1 || { echo "TUNNEL DEAD — aborting session (done: see /tmp/r3_*.log)"; exit 1; }
+    for _ in 1 2 3; do
+        timeout 300 python -c "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
+            >/dev/null 2>&1 && return 0
+        sleep 20
+    done
+    echo "TUNNEL DEAD — aborting session (done: see /tmp/r3_*.ok)"
+    exit 1
 }
 
 run() { name=$1; tmo=$2; shift 2
+    if [ -f "/tmp/r3_${name}.ok" ]; then
+        echo "stage ${name} already ok — skipping"
+        return
+    fi
     ping_tpu
     if timeout "$tmo" "$@" >"/tmp/r3_${name}.log" 2>&1; then
-        echo "stage ${name} ok"
+        echo "stage ${name} ok"; touch "/tmp/r3_${name}.ok"
     else
         echo "STAGE ${name} FAILED (rc=$?)"; FAILED="$FAILED $name"
     fi
