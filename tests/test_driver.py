@@ -250,3 +250,88 @@ def test_driver_export_hf(tmp_path):
         attn_implementation="eager"))
     res = hf.load_state_dict(sd, strict=False)
     assert not res.unexpected_keys, res.unexpected_keys
+
+
+def test_driver_real_data_path_bert_vocab_file(tmp_path):
+    """The REAL-data CLI surface (--data_pickle + --vocab vocab.txt):
+    pickle loader in the documented reference format
+    (multimodal_driver.py:249-255, README.md:129-159) + the WordPiece
+    tokenizer built from a vocab file — the path a user with actual
+    mosi.pkl runs, end to end."""
+    from bert_multimodal_transformer_tpu.data import synthetic
+
+    data = synthetic.make_dataset(visual_dim=47, acoustic_dim=74,
+                                  n_train=16, n_dev=8, n_test=8, seed=5)
+    pkl = tmp_path / "mosi.pkl"
+    synthetic.write_pickle(str(pkl), data)
+    # vocab.txt: specials + whole words + char fallbacks (the same
+    # construction WordPieceTokenizer.from_wordlist uses)
+    from bert_multimodal_transformer_tpu.data.tokenization import (
+        WordPieceTokenizer,
+    )
+
+    wp = WordPieceTokenizer.from_wordlist(synthetic.vocabulary())
+    inv = {i: t for t, i in wp.vocab.items()}
+    vocab_txt = tmp_path / "vocab.txt"
+    vocab_txt.write_text(
+        "\n".join(inv[i] for i in range(len(inv))) + "\n",
+        encoding="utf-8")
+
+    rc = driver.main([
+        "--model", "bert-base-uncased", "--dataset", "mosi",
+        "--data_pickle", str(pkl), "--vocab", str(vocab_txt),
+        "--tiny", "--n_epochs", "1",
+        "--train_batch_size", "8", "--dev_batch_size", "8",
+        "--test_batch_size", "8", "--seed", "3",
+        "--compute_dtype", "float32",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    lines = (tmp_path / "ckpt" / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 1
+
+
+def test_driver_real_data_path_xlnet_spiece_model(tmp_path):
+    """XLNet twin: --data_pickle + --vocab spiece.model, where the
+    .model is a REAL serialized SentencePiece ModelProto read by the
+    native unigram engine (the reference's get_tokenizer path,
+    multimodal_driver.py:208-218)."""
+    from bert_multimodal_transformer_tpu.data import synthetic
+    from bert_multimodal_transformer_tpu.data.sentencepiece_native import (
+        TYPE_CONTROL,
+        TYPE_NORMAL,
+        TYPE_UNKNOWN,
+        serialize_model_proto,
+    )
+
+    data = synthetic.make_dataset(visual_dim=47, acoustic_dim=74,
+                                  n_train=16, n_dev=8, n_test=8, seed=6)
+    pkl = tmp_path / "mosi.pkl"
+    synthetic.write_pickle(str(pkl), data)
+
+    pieces = [("<unk>", 0.0, TYPE_UNKNOWN),
+              ("<s>", 0.0, TYPE_CONTROL), ("</s>", 0.0, TYPE_CONTROL),
+              ("<cls>", 0.0, TYPE_CONTROL), ("<sep>", 0.0, TYPE_CONTROL),
+              ("<pad>", 0.0, TYPE_CONTROL)]
+    chars = set()
+    for w in synthetic.vocabulary():
+        pieces.append(("▁" + w, -1.0, TYPE_NORMAL))
+        chars.update(w)
+    for ch in sorted(chars):
+        pieces.append((ch, -5.0, TYPE_NORMAL))
+        pieces.append(("▁" + ch, -5.0, TYPE_NORMAL))
+    spiece = tmp_path / "spiece.model"
+    spiece.write_bytes(serialize_model_proto(pieces))
+
+    rc = driver.main([
+        "--model", "xlnet-base-cased", "--dataset", "mosi",
+        "--data_pickle", str(pkl), "--vocab", str(spiece),
+        "--tiny", "--n_epochs", "1",
+        "--train_batch_size", "8", "--dev_batch_size", "8",
+        "--test_batch_size", "8", "--seed", "3",
+        "--compute_dtype", "float32",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    lines = (tmp_path / "ckpt" / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 1
