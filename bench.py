@@ -102,6 +102,10 @@ def main():
         relb = os.environ.get("BENCH_REL_BIAS", "stream")
         if relb != "stream":
             cfg = dataclasses.replace(cfg, rel_bias_impl=relb)
+        # BENCH_PACK_QKV=0 restores the three split q/k/v projection
+        # dots (A/B for the packed [D, 3·H·Dh] default).
+        if os.environ.get("BENCH_PACK_QKV", "1") == "0":
+            cfg = dataclasses.replace(cfg, pack_qkv=False)
         model = MagXLNetForSequenceClassification(
             cfg, mm, visual_dim=ds.visual_dim,
             acoustic_dim=ds.acoustic_dim, dtype=jnp.bfloat16,

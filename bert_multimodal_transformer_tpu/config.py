@@ -175,6 +175,10 @@ class XLNetConfig:
     # tensor parallelism (shard_map'd wrapper); bi_data and uni attention
     # fall back to "stream" forms (per-example position streams / P < Q+K).
     rel_bias_impl: str = "stream"
+    # Pack the q/k/v projection into one [D, 3·H·Dh] dot when mems is
+    # None and attention is not head-sharded (models/xlnet.py) — same
+    # per-element math as the three split dots, BERT-style MXU shapes.
+    pack_qkv: bool = True
 
     def __post_init__(self):
         # A typo'd impl string would otherwise silently select the

@@ -380,12 +380,37 @@ class XLNetRelativeAttention(nn.Module):
         nh, dh = cfg.n_head, cfg.d_head
         bsz, qlen = h.shape[0], h.shape[1]
         klen = cat.shape[1]
-        q_head_h = jnp.einsum("bqd,de->bqe", h, self.q.astype(dt)).reshape(
-            bsz, qlen, nh, dh)
-        k_head = jnp.einsum("bkd,de->bke", cat, self.k.astype(dt)).reshape(
-            bsz, klen, nh, dh)
-        v_head = jnp.einsum("bkd,de->bke", cat, self.v.astype(dt)).reshape(
-            bsz, klen, nh, dh)
+        if (cfg.pack_qkv and mems is None
+                and cfg.tp_attention_mesh is None):
+            # mems-free fine-tuning (the driver workload): q/k/v all read
+            # the same input, so run ONE [D, 3·H·Dh] projection dot
+            # instead of three [D, H·Dh] dots — the parameters stay
+            # separate (checkpoint/convert layout unchanged); only the
+            # runtime contraction is packed, mirroring BERT's packed QKV
+            # (device trace b256: three separate dots run at 125 vs
+            # BERT's 139 TFLOP/s in-fusion — BENCHMARKS.md "XLNet step
+            # attribution"). Each output element reduces over the same D
+            # values as the split dots, so results are element-for-
+            # element identical math. Guarded off under mems (k/v read
+            # cat ≠ h) and under head-sharded TP (weights are sharded
+            # [D, H·Dh/mp]; a lane concat would cross shards).
+            w_qkv = jnp.concatenate(
+                [self.q, self.k, self.v], axis=1).astype(dt)
+            qkv = jnp.einsum("bqd,de->bqe", h, w_qkv)
+            e = nh * dh
+            q_head_h = qkv[..., :e].reshape(bsz, qlen, nh, dh)
+            k_head = qkv[..., e:2 * e].reshape(bsz, klen, nh, dh)
+            v_head = qkv[..., 2 * e:].reshape(bsz, klen, nh, dh)
+        else:
+            q_head_h = jnp.einsum("bqd,de->bqe", h,
+                                  self.q.astype(dt)).reshape(
+                                      bsz, qlen, nh, dh)
+            k_head = jnp.einsum("bkd,de->bke", cat,
+                                self.k.astype(dt)).reshape(
+                                    bsz, klen, nh, dh)
+            v_head = jnp.einsum("bkd,de->bke", cat,
+                                self.v.astype(dt)).reshape(
+                                    bsz, klen, nh, dh)
         if r.ndim == 3:  # bi_data: per-example position stream [B, P, D]
             k_head_r = jnp.einsum("bpd,de->bpe", r.astype(dt),
                                   self.r.astype(dt)).reshape(

@@ -244,3 +244,48 @@ def test_xlnet_remat_matches():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7), g0, g1)
+
+
+def test_xlnet_packed_qkv_matches_split():
+    """The packed [D, 3·H·Dh] q/k/v projection (pack_qkv=True, the
+    default for the mems-free path) is the same per-element math as the
+    three split dots — outputs and grads must match (models/xlnet.py)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from bert_multimodal_transformer_tpu.models.xlnet import (
+        MagXLNetForSequenceClassification,
+    )
+
+    tok = SimpleUnigramTokenizer.from_wordlist(synthetic.vocabulary())
+    cfg = XLNetConfig.tiny(vocab_size=tok.vocab_size)
+    assert cfg.pack_qkv
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0,
+                          injection_index=1)
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, tok.vocab_size, (2, 9)).astype(np.int32)
+    vis = rng.randn(2, 9, DV).astype(np.float32)
+    ac = rng.randn(2, 9, DA).astype(np.float32)
+    mask = np.ones((2, 9), np.int32)
+    mask[1, :3] = 0  # left-pad
+
+    mp = MagXLNetForSequenceClassification(cfg, mm, visual_dim=DV,
+                                           acoustic_dim=DA)
+    ms = MagXLNetForSequenceClassification(
+        dataclasses.replace(cfg, pack_qkv=False), mm, visual_dim=DV,
+        acoustic_dim=DA)
+    vars_ = mp.init(jax.random.PRNGKey(0), ids, vis, ac, mask)
+    lp = mp.apply(vars_, ids, vis, ac, attention_mask=mask)
+    ls = ms.apply(vars_, ids, vis, ac, attention_mask=mask)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ls), rtol=1e-6,
+                               atol=1e-6)
+
+    def loss(p, m):
+        return jnp.mean(m.apply({"params": p}, ids, vis, ac,
+                                attention_mask=mask) ** 2)
+
+    gp = jax.grad(lambda p: loss(p, mp))(vars_["params"])
+    gs = jax.grad(lambda p: loss(p, ms))(vars_["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), gp, gs)
