@@ -70,7 +70,10 @@ def main():
     from bert_multimodal_transformer_tpu.training.trainer import Trainer
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
-    seq = 50
+    # BENCH_SEQ: sequence length (≤ max_position_embeddings=512). The
+    # reference truncates at 50; longer values exercise the long-seq
+    # scaling story (BENCH_ATTN=flash engages in eval mode / dropout-off).
+    seq = int(os.environ.get("BENCH_SEQ", "50"))
     n_steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = 5
     family = os.environ.get("BENCH_MODEL", "bert")  # "bert" | "xlnet"
@@ -102,10 +105,11 @@ def main():
         relb = os.environ.get("BENCH_REL_BIAS", "stream")
         if relb != "stream":
             cfg = dataclasses.replace(cfg, rel_bias_impl=relb)
-        # BENCH_PACK_QKV=0 restores the three split q/k/v projection
-        # dots (A/B for the packed [D, 3·H·Dh] default).
-        if os.environ.get("BENCH_PACK_QKV", "1") == "0":
-            cfg = dataclasses.replace(cfg, pack_qkv=False)
+        # BENCH_PACK_QKV=1 packs the q/k/v projection into one
+        # [D, 3·H·Dh] dot — measured −3.8% at b256 (BENCHMARKS.md),
+        # kept opt-in for re-measurement at other geometries.
+        if os.environ.get("BENCH_PACK_QKV", "0") == "1":
+            cfg = dataclasses.replace(cfg, pack_qkv=True)
         model = MagXLNetForSequenceClassification(
             cfg, mm, visual_dim=ds.visual_dim,
             acoustic_dim=ds.acoustic_dim, dtype=jnp.bfloat16,

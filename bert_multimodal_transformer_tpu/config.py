@@ -177,8 +177,11 @@ class XLNetConfig:
     rel_bias_impl: str = "stream"
     # Pack the q/k/v projection into one [D, 3·H·Dh] dot when mems is
     # None and attention is not head-sharded (models/xlnet.py) — same
-    # per-element math as the three split dots, BERT-style MXU shapes.
-    pack_qkv: bool = True
+    # per-element math as the three split dots. Measured NEGATIVE at
+    # xlnet-base b256 (2538 vs 2638 ex/s, −3.8%: the weight concat +
+    # downstream lane slices cost more than the larger dot saves —
+    # BENCHMARKS.md "XLNet step attribution"); opt-in, off by default.
+    pack_qkv: bool = False
 
     def __post_init__(self):
         # A typo'd impl string would otherwise silently select the

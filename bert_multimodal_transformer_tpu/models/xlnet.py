@@ -382,18 +382,17 @@ class XLNetRelativeAttention(nn.Module):
         klen = cat.shape[1]
         if (cfg.pack_qkv and mems is None
                 and cfg.tp_attention_mesh is None):
-            # mems-free fine-tuning (the driver workload): q/k/v all read
-            # the same input, so run ONE [D, 3·H·Dh] projection dot
-            # instead of three [D, H·Dh] dots — the parameters stay
-            # separate (checkpoint/convert layout unchanged); only the
-            # runtime contraction is packed, mirroring BERT's packed QKV
-            # (device trace b256: three separate dots run at 125 vs
-            # BERT's 139 TFLOP/s in-fusion — BENCHMARKS.md "XLNet step
-            # attribution"). Each output element reduces over the same D
-            # values as the split dots, so results are element-for-
-            # element identical math. Guarded off under mems (k/v read
-            # cat ≠ h) and under head-sharded TP (weights are sharded
-            # [D, H·Dh/mp]; a lane concat would cross shards).
+            # Opt-in (measured −3.8% at xlnet-base b256, so split dots
+            # stay the default — BENCHMARKS.md "XLNet step attribution"):
+            # mems-free fine-tuning lets q/k/v read the same input, so
+            # run ONE [D, 3·H·Dh] projection dot instead of three
+            # [D, H·Dh] dots — the parameters stay separate
+            # (checkpoint/convert layout unchanged); only the runtime
+            # contraction is packed. Each output element reduces over
+            # the same D values as the split dots, so results are
+            # element-for-element identical math. Unavailable under mems
+            # (k/v read cat ≠ h) and under head-sharded TP (weights are
+            # sharded [D, H·Dh/mp]; a lane concat would cross shards).
             w_qkv = jnp.concatenate(
                 [self.q, self.k, self.v], axis=1).astype(dt)
             qkv = jnp.einsum("bqd,de->bqe", h, w_qkv)

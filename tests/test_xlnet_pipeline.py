@@ -247,9 +247,10 @@ def test_xlnet_remat_matches():
 
 
 def test_xlnet_packed_qkv_matches_split():
-    """The packed [D, 3·H·Dh] q/k/v projection (pack_qkv=True, the
-    default for the mems-free path) is the same per-element math as the
-    three split dots — outputs and grads must match (models/xlnet.py)."""
+    """The packed [D, 3·H·Dh] q/k/v projection (pack_qkv=True — opt-in,
+    measured −3.8% at b256 so split is the default; BENCHMARKS.md) is
+    the same per-element math as the three split dots — outputs and
+    grads must match (models/xlnet.py)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -258,8 +259,8 @@ def test_xlnet_packed_qkv_matches_split():
     )
 
     tok = SimpleUnigramTokenizer.from_wordlist(synthetic.vocabulary())
-    cfg = XLNetConfig.tiny(vocab_size=tok.vocab_size)
-    assert cfg.pack_qkv
+    cfg = dataclasses.replace(XLNetConfig.tiny(vocab_size=tok.vocab_size),
+                              pack_qkv=True)
     mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0,
                           injection_index=1)
     rng = np.random.RandomState(3)
