@@ -134,9 +134,21 @@ class BertSelfAttention(nn.Module):
         probs = None
         tp_mesh = cfg.tp_attention_mesh
 
+        # Long-sequence guard for every fused-kernel variant: the
+        # short-seq kernels' [H,S,S] f32 scratch outgrows the 16 MB
+        # scoped-VMEM limit near S≈380 at base geometry; degrade to
+        # flash (dropout-free) or einsum instead of failing to compile
+        # (fused_attention_fits; BENCHMARKS.md "Long-sequence scaling").
+        from bert_multimodal_transformer_tpu.ops.fused_attention import (
+            fused_attention_fits,
+        )
+
+        fused_fits = fused_attention_fits(
+            h, s, d, jnp.dtype(self.dtype).itemsize)
+
         use_qkvproj = (cfg.attention_impl == "fused" and cfg.qkv_fusion
                        and tp_mesh is None and head_mask is None
-                       and not output_attentions)
+                       and not output_attentions and fused_fits)
         if use_qkvproj:
             # QKV projection fused into the attention kernel: declare the
             # Dense-identical params (same "qkv" tree path — checkpoints
@@ -162,9 +174,10 @@ class BertSelfAttention(nn.Module):
         # consumes the raw QKV projection and emits [B,S,D] directly —
         # no [B,S,H,Dh]↔[B,H,S,Dh] transposes in either pass; training
         # dropout uses the TPU hardware PRNG. head_mask still falls back,
-        # as does output_attentions (the kernel never materializes probs).
+        # as does output_attentions (the kernel never materializes probs),
+        # and LONG SEQUENCES (fused_fits above).
         use_fused = (cfg.attention_impl == "fused" and head_mask is None
-                     and not output_attentions)
+                     and not output_attentions and fused_fits)
         if use_qkvproj:
             from bert_multimodal_transformer_tpu.ops.fused_attention import (
                 fused_attention_qkvproj,
@@ -232,7 +245,11 @@ class BertSelfAttention(nn.Module):
             q, k, v = [jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)]
             # flash kernel has no attention-prob dropout: only take it
             # when it cannot change semantics (eval, or dropout == 0).
-            use_flash = (cfg.attention_impl == "flash"
+            # attention_impl="fused" beyond the fused kernels' VMEM fit
+            # also lands here — flash IS the long-seq design (O(S)
+            # memory), so it is the right degradation when dropout
+            # permits; einsum otherwise.
+            use_flash = (cfg.attention_impl in ("flash", "fused")
                          and head_mask is None and s % 128 == 0
                          and not output_attentions
                          and (deterministic

@@ -52,13 +52,43 @@ def _dropout_threshold(rate: float) -> int:
     return min(int(round(rate * 4294967296.0)), 4294967295)
 
 
+def _vmem_budget() -> int:
+    """Per-program scoped-VMEM budget the kernels plan against. The XLA
+    TPU scoped-vmem limit defaults to 16 MB (a kernel whose stack
+    allocation exceeds it fails to COMPILE); plan to 15 MB for padding
+    slack. Overridable for tests / tuned deployments via
+    FUSED_ATTN_VMEM_BUDGET (bytes)."""
+    return int(os.environ.get("FUSED_ATTN_VMEM_BUDGET",
+                              15 * 1024 * 1024))
+
+
+def fused_attention_fits(n_heads: int, s: int, d: int,
+                         itemsize: int = 2) -> bool:
+    """Whether the short-seq fused kernels can compile at this geometry
+    at all: the minimal-footprint mode (nb=1, recompute backward) must
+    fit the scoped-VMEM budget — the [H,S,S] f32 score scratch plus the
+    double-buffered qkv/out row blocks. The whole-row VMEM softmax is a
+    short-sequence design; beyond ~S=380 at bert-base geometry the
+    scratch alone approaches the 16 MB scoped limit and callers should
+    fall back (flash for the dropout-free path, einsum otherwise) —
+    models/bert.py does this. Measured: S=512 b32 eval failed to compile
+    with a 20.41 MB stack allocation before this guard (BENCHMARKS.md
+    "Long-sequence scaling")."""
+    sub = (s + 15) // 16 * 16
+    row = sub * 3 * d * itemsize + sub * d * itemsize
+    return _scratch_bytes(n_heads, s, s) + 2 * row <= _vmem_budget()
+
+
 def _resolve_knobs(b, n_heads, q_len, k_len, rate, itemsize,
-                   nb_fwd, nb_bwd, save_probs):
+                   nb_fwd, nb_bwd, save_probs, d=None):
     """Shared blocking/residual-mode knob resolution for the fused
     attention entry points. FUSED_ATTN_NB_FWD / FUSED_ATTN_NB_BWD /
     FUSED_ATTN_SAVE env vars override; save_probs auto mode saves the
     (padded, at the compute itemsize) prob residuals while they stay
-    under ~256 MB per layer, recompute beyond."""
+    under ~256 MB per layer HBM — and, when ``d`` is passed, while the
+    per-program prob blocks also leave the nb=1 row inside the
+    scoped-VMEM budget (at mid-range S the saved-probs blocks alone can
+    blow the 16 MB scoped limit that the recompute mode fits)."""
     if nb_fwd is None and "FUSED_ATTN_NB_FWD" in os.environ:
         nb_fwd = int(os.environ["FUSED_ATTN_NB_FWD"])
     if nb_bwd is None and "FUSED_ATTN_NB_BWD" in os.environ:
@@ -71,6 +101,11 @@ def _resolve_knobs(b, n_heads, q_len, k_len, rate, itemsize,
         n_prob = 2 if rate > 0.0 else 1
         save_probs = (b * n_heads * sub * lane * itemsize * n_prob
                       <= 256 * 1024 * 1024)
+        if save_probs and d is not None:
+            row = (sub * 3 * d * itemsize + sub * d * itemsize
+                   + n_prob * n_heads * sub * lane * itemsize)
+            save_probs = (_scratch_bytes(n_heads, q_len, k_len)
+                          + 2 * row <= _vmem_budget())
     return nb_fwd, nb_bwd, bool(save_probs)
 
 
@@ -1143,7 +1178,7 @@ def fused_attention(
     # tools/trace_fused_attn.py; standalone timing hits the dispatch floor)
     nb_fwd, nb_bwd, save_probs = _resolve_knobs(
         b, q.shape[1], s, s, rate, q.dtype.itemsize, nb_fwd, nb_bwd,
-        save_probs)
+        save_probs, d=q.shape[1] * q.shape[3])
     return _fused_attention(q, k, v, bias, seed, float(scale), rate,
                             bool(interpret), nb_fwd, nb_bwd, save_probs)
 
@@ -1211,7 +1246,7 @@ def fused_attention_packed(
         seed = jnp.zeros((1, 1), jnp.int32)
     nb_fwd, nb_bwd, save_probs = _resolve_knobs(
         b, n_heads, s, s, rate, qkv.dtype.itemsize, nb_fwd, nb_bwd,
-        save_probs)
+        save_probs, d=qkv.shape[-1] // 3)
     return _fused_attention_packed(qkv, bias, seed, float(scale), rate,
                                    n_heads, bool(interpret), nb_fwd, nb_bwd,
                                    save_probs)

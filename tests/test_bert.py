@@ -225,3 +225,54 @@ def test_flash_attention_matches_einsum():
                                rtol=2e-2, atol=2e-3)
     np.testing.assert_allclose(np.asarray(pooled_f), np.asarray(pooled_e),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_fused_attention_fits_predicate():
+    """Scoped-VMEM fit predicate behind the fused kernels' long-seq
+    fallback (ops/fused_attention.py::fused_attention_fits): production
+    geometries fit, the measured S=512 compile-OOM geometry does not."""
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        fused_attention_fits,
+    )
+
+    assert fused_attention_fits(12, 50, 768)        # bert-base
+    assert fused_attention_fits(16, 50, 1024)       # bert-large
+    assert fused_attention_fits(12, 128, 768)
+    # S=512 b32 eval: 20.41 MB stack allocation vs the 16 MB scoped
+    # limit (BENCHMARKS.md "Long-sequence scaling")
+    assert not fused_attention_fits(12, 512, 768)
+
+
+def test_fused_falls_back_beyond_vmem_fit(monkeypatch):
+    """attention_impl='fused' at a geometry the short-seq kernels cannot
+    compile must degrade (flash here: dropout-free) instead of emitting
+    the kernel — outputs match einsum on real-token positions."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+
+    # shrink the planning budget so the tiny test geometry "doesn't fit"
+    monkeypatch.setenv("FUSED_ATTN_VMEM_BUDGET", "1")
+
+    S_f = 128
+    cfg_e = dataclasses.replace(BertConfig.tiny(), attention_impl="einsum",
+                                max_position_embeddings=S_f,
+                                attention_probs_dropout_prob=0.0)
+    cfg_fu = dataclasses.replace(cfg_e, attention_impl="fused")
+    rng = np.random.RandomState(1)
+    ids = rng.randint(0, cfg_e.vocab_size, (2, S_f)).astype(np.int32)
+    visual = rng.randn(2, S_f, DV).astype(np.float32)
+    acoustic = rng.randn(2, S_f, DA).astype(np.float32)
+    mask = np.ones((2, S_f), np.int32)
+    mask[:, 100:] = 0
+
+    m_e = MagBertModel(cfg_e, MM, visual_dim=DV, acoustic_dim=DA)
+    m_fu = MagBertModel(cfg_fu, MM, visual_dim=DV, acoustic_dim=DA)
+    vars_ = m_e.init(jax.random.PRNGKey(0), ids, visual, acoustic, mask)
+    seq_e, pooled_e = m_e.apply(vars_, ids, visual, acoustic, mask)
+    with pltpu.force_tpu_interpret_mode():
+        seq_fu, pooled_fu = m_fu.apply(vars_, ids, visual, acoustic, mask)
+    np.testing.assert_allclose(np.asarray(seq_fu[:, :100]),
+                               np.asarray(seq_e[:, :100]),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(pooled_fu),
+                               np.asarray(pooled_e), rtol=2e-2, atol=2e-3)
