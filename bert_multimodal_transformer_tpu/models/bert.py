@@ -134,16 +134,23 @@ class BertSelfAttention(nn.Module):
         probs = None
         tp_mesh = cfg.tp_attention_mesh
 
-        # Long-sequence guard for every fused-kernel variant: the
-        # short-seq kernels' [H,S,S] f32 scratch outgrows the 16 MB
-        # scoped-VMEM limit near S≈380 at base geometry; degrade to
-        # flash (dropout-free) or einsum instead of failing to compile
-        # (fused_attention_fits; BENCHMARKS.md "Long-sequence scaling").
+        # Long-sequence guards for the fused-kernel variants: the full-H
+        # kernels' [H,S,S] f32 scratch outgrows the 16 MB scoped-VMEM
+        # limit near S≈380 at base geometry. The non-TP packed entry
+        # then head-blocks its grid ([hb,S,S] scratch), carrying the
+        # fused path through S=768 (fused_attention_fits_hb); the
+        # TP/qkvproj paths need the full-H fit (split kernels /
+        # in-kernel projection). Beyond any fit, degrade to flash
+        # (dropout-free) or einsum instead of failing to compile
+        # (BENCHMARKS.md "Long-sequence scaling").
         from bert_multimodal_transformer_tpu.ops.fused_attention import (
             fused_attention_fits,
+            fused_attention_fits_hb,
         )
 
         fused_fits = fused_attention_fits(
+            h, s, d, jnp.dtype(self.dtype).itemsize)
+        fused_fits_hb = fused_attention_fits_hb(
             h, s, d, jnp.dtype(self.dtype).itemsize)
 
         use_qkvproj = (cfg.attention_impl == "fused" and cfg.qkv_fusion
@@ -175,9 +182,14 @@ class BertSelfAttention(nn.Module):
         # no [B,S,H,Dh]↔[B,H,S,Dh] transposes in either pass; training
         # dropout uses the TPU hardware PRNG. head_mask still falls back,
         # as does output_attentions (the kernel never materializes probs),
-        # and LONG SEQUENCES (fused_fits above).
-        use_fused = (cfg.attention_impl == "fused" and head_mask is None
-                     and not output_attentions and fused_fits)
+        # and LONG SEQUENCES beyond every fit (fused_fits_hb above; the
+        # TP branch needs the stricter full-H fit).
+        use_fused_tp = (cfg.attention_impl == "fused" and tp_mesh is not None
+                        and head_mask is None and not output_attentions
+                        and fused_fits)
+        use_fused = (cfg.attention_impl == "fused" and tp_mesh is None
+                     and head_mask is None and not output_attentions
+                     and fused_fits_hb)
         if use_qkvproj:
             from bert_multimodal_transformer_tpu.ops.fused_attention import (
                 fused_attention_qkvproj,
@@ -196,7 +208,7 @@ class BertSelfAttention(nn.Module):
                 deterministic=deterministic,
                 qkv_residual=cfg.qkv_residual,
             )
-        elif use_fused and tp_mesh is not None:
+        elif use_fused_tp:
             # TP: heads sharded over the mesh model axis. The packed
             # kernel's q|k|v column blocks cannot be head-aligned by a
             # contiguous model-axis chunk, so TP uses the split-tensor
@@ -245,7 +257,8 @@ class BertSelfAttention(nn.Module):
             q, k, v = [jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)]
             # flash kernel has no attention-prob dropout: only take it
             # when it cannot change semantics (eval, or dropout == 0).
-            # attention_impl="fused" beyond the fused kernels' VMEM fit
+            # attention_impl="fused" beyond even the head-blocked fit
+            # (S>768 at base bf16), or under TP beyond the full-H fit,
             # also lands here — flash IS the long-seq design (O(S)
             # memory), so it is the right degradation when dropout
             # permits; einsum otherwise.

@@ -79,6 +79,64 @@ def fused_attention_fits(n_heads: int, s: int, d: int,
     return _scratch_bytes(n_heads, s, s) + 2 * row <= _vmem_budget()
 
 
+def _hb_row_bytes(s: int, hb: int, dh: int, n_arrays: int,
+                  itemsize: int) -> int:
+    """Per-row VMEM of ``n_arrays`` [S, hb·Dh] column blocks
+    (sublane/lane padded) used by the head-blocked packed kernels."""
+    sub = (s + 15) // 16 * 16
+    lane = (hb * dh + 127) // 128 * 128
+    return n_arrays * sub * lane * itemsize
+
+
+def _resolve_hb(n_heads: int, s: int, d: int, itemsize: int):
+    """Head-block size for the head-blocked packed kernels: the largest
+    divisor of ``n_heads`` whose forward AND recompute-backward programs
+    fit the scoped-VMEM budget at nb=1 (scratch is [hb,S,S] f32 — one
+    per pass fwd, two bwd — plus the double-buffered [S, hb·Dh] q/k/v/
+    g/grad column blocks). hb·Dh must be a 128-lane multiple (Mosaic
+    block rule on the minor axis), so at Dh=64 the candidates are the
+    even divisors. Returns None when no head-block fits — callers fall
+    back to flash (dropout-free) or einsum. ``FUSED_ATTN_HB`` overrides
+    for tuning (must divide n_heads and fit)."""
+    dh = d // n_heads
+    budget = _vmem_budget()
+
+    def fits(hb):
+        if (hb * dh) % 128 != 0:
+            return False
+        fwd = (_scratch_bytes(hb, s, s)
+               + 2 * _hb_row_bytes(s, hb, dh, 4, itemsize))
+        bwd = (_scratch_bytes(hb, s, s, 2)
+               + 2 * _hb_row_bytes(s, hb, dh, 7, itemsize))
+        return fwd <= budget and bwd <= budget
+
+    if "FUSED_ATTN_HB" in os.environ:
+        hb = int(os.environ["FUSED_ATTN_HB"])
+        if hb < 1 or n_heads % hb != 0:
+            raise ValueError(
+                f"FUSED_ATTN_HB={hb} must divide n_heads={n_heads}")
+        return hb if fits(hb) else None
+    for hb in range(n_heads, 0, -1):
+        if n_heads % hb == 0 and fits(hb):
+            return hb
+    return None
+
+
+def fused_attention_fits_hb(n_heads: int, s: int, d: int,
+                            itemsize: int = 2) -> bool:
+    """Whether ANY packed fused variant can compile at this geometry:
+    the full-H kernel (``fused_attention_fits``) or the head-blocked
+    grid (grid dim over H//hb head blocks, [hb,S,S] scratch per
+    program). Head-blocking carries the fused path — in-VMEM softmax +
+    prob-dropout, no [B,H,S,S] residuals — through S=768 at bert-base
+    bf16 geometry (vs ~380 full-H); beyond, callers degrade to flash
+    (dropout-free) or einsum. models/bert.py's non-TP packed dispatch
+    gates on this; the TP and qkvproj paths still require the full-H
+    fit (split kernels / in-kernel projection)."""
+    return (fused_attention_fits(n_heads, s, d, itemsize)
+            or _resolve_hb(n_heads, s, d, itemsize) is not None)
+
+
 def _resolve_knobs(b, n_heads, q_len, k_len, rate, itemsize,
                    nb_fwd, nb_bwd, save_probs, d=None):
     """Shared blocking/residual-mode knob resolution for the fused
@@ -407,6 +465,116 @@ def _attn_bwd_packed_saved_kernel(p_ref, pd_ref, qkv_ref, g_ref, dqkv_ref,
             dqs.append(dq.astype(dqkv_ref.dtype))
             dks.append(dk.astype(dqkv_ref.dtype))
         dqkv_ref[b] = jnp.concatenate(dqs + dks + dvs, axis=-1)
+
+
+def _attn_fwd_packed_hb_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref,
+                               o_ref, s_ref, *, scale: float, rate: float,
+                               hb: int, dh: int, nb: int, n_hb: int):
+    """Head-blocked packed forward: grid (B//nb, H//hb); q_ref/k_ref/
+    v_ref are [nb, S, hb·Dh] column-sliced views of the SAME packed
+    [B, S, 3·D] projection output (three in_specs with q/k/v-part index
+    maps), o_ref the [nb, S, hb·Dh] column block of the [B, S, D]
+    context. The [hb, S, S] f32 scratch is what lets the fused path run
+    where the full [H, S, S] block exceeds scoped VMEM (S>≈380 at base
+    geometry — the long-sequence regime; the reference truncates at 50,
+    multimodal_driver.py:45). Same whole-row softmax and elementwise
+    chain as _attn_fwd_packed_kernel, batched over the hb heads.
+
+    Dropout draws one [hb, S, S] block per (row, head-block), seeded
+    ``seed + global_row·n_hb + j`` — the recompute backward replays the
+    identical stream (hb is resolved once from static shapes, so fwd
+    and bwd always agree; at hb=H, n_hb=1 this reduces to the full
+    kernel's per-row stream)."""
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    for b in range(nb):
+        bias = bias_ref[b].astype(f32)                      # [1, S]
+        for h in range(hb):
+            q = q_ref[b, :, h * dh:(h + 1) * dh]            # [S, Dh]
+            k = k_ref[b, :, h * dh:(h + 1) * dh]
+            s_ref[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # [S, S]
+        p = _softmax_f32(s_ref[:] * scale + bias[None])     # [hb, S, S]
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0]
+                            + (pl.program_id(0) * nb + b) * n_hb
+                            + pl.program_id(1))
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+        pc = p.astype(q_ref.dtype)
+        outs = []
+        for h in range(hb):
+            v = v_ref[b, :, h * dh:(h + 1) * dh]
+            o = jax.lax.dot_general(pc[h], v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+            outs.append(o.astype(o_ref.dtype))
+        o_ref[b] = jnp.concatenate(outs, axis=-1)           # [S, hb·Dh]
+
+
+def _attn_bwd_packed_hb_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref,
+                               g_ref, dq_ref, dk_ref, dv_ref, s_ref, t_ref,
+                               *, scale: float, rate: float, hb: int,
+                               dh: int, nb: int, n_hb: int):
+    """Head-blocked recompute backward twin of the hb forward: same
+    (row, head-block) seeding and [hb, S, S] draw (stream replay);
+    emits dq/dk/dv as three [nb, S, hb·Dh] column blocks (the caller
+    concatenates into the packed [B, S, 3·D] cotangent — three separate
+    outputs because the q/k/v column ranges of one head block are not
+    contiguous in the packed layout)."""
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    for b in range(nb):
+        bias = bias_ref[b].astype(f32)
+        for h in range(hb):
+            q = q_ref[b, :, h * dh:(h + 1) * dh]
+            k = k_ref[b, :, h * dh:(h + 1) * dh]
+            s_ref[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        p = _softmax_f32(s_ref[:] * scale + bias[None])     # [hb, S, S]
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0]
+                            + (pl.program_id(0) * nb + b) * n_hb
+                            + pl.program_id(1))
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            pd = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+        else:
+            pd = p
+        pd_c = pd.astype(q_ref.dtype)
+        dvs = []
+        for h in range(hb):
+            v = v_ref[b, :, h * dh:(h + 1) * dh]
+            g = g_ref[b, :, h * dh:(h + 1) * dh]
+            dv = jax.lax.dot_general(pd_c[h], g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dvs.append(dv.astype(dv_ref.dtype))
+            t_ref[h] = jax.lax.dot_general(                 # dpd
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        t = pd * t_ref[:]
+        ds = (t - p * jnp.sum(t, axis=-1, keepdims=True)) * scale
+        ds_c = ds.astype(q_ref.dtype)
+        dqs, dks = [], []
+        for h in range(hb):
+            q = q_ref[b, :, h * dh:(h + 1) * dh]
+            k = k_ref[b, :, h * dh:(h + 1) * dh]
+            dq = jax.lax.dot_general(ds_c[h], k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dk = jax.lax.dot_general(ds_c[h], q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dqs.append(dq.astype(dq_ref.dtype))
+            dks.append(dk.astype(dk_ref.dtype))
+        dq_ref[b] = jnp.concatenate(dqs, axis=-1)
+        dk_ref[b] = jnp.concatenate(dks, axis=-1)
+        dv_ref[b] = jnp.concatenate(dvs, axis=-1)
 
 
 def _attn_fwd_rel_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref, o_ref,
@@ -827,6 +995,91 @@ def _bwd_packed_saved_pallas(p, pd, qkv, g, *, scale, n_heads, interpret,
     )(p, pd, qkv, g)
 
 
+def _hb_packed_specs(nb, s, hb, dh, n_hb):
+    """Block specs for the head-blocked packed kernels: q/k/v are three
+    [nb, S, hb·Dh] views of the same packed [B, S, 3·D] array (the q/k/v
+    parts start at column-block 0, n_hb, 2·n_hb), ctx/grads use the
+    matching [nb, S, hb·Dh] block of a [B, S, D] array. bias/seed are
+    grid-invariant along the head-block axis (no re-fetch)."""
+    def col(part):
+        return pl.BlockSpec((nb, s, hb * dh),
+                            lambda i, j, part=part: (i, 0, part * n_hb + j),
+                            memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((nb, s, hb * dh), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((nb, 1, s), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    return seed, bias, col(0), col(1), col(2), out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "hb",
+                                    "interpret", "nb"))
+def _fwd_packed_hb_pallas(qkv, bias, seed, *, scale, rate, n_heads, hb,
+                          interpret, nb=None):
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    n_hb = n_heads // hb
+    if nb is None:
+        nb = _pick_nb_packed(
+            b, _hb_row_bytes(s, hb, dh, 4, qkv.dtype.itemsize),
+            fixed_bytes=_scratch_bytes(hb, s, s))
+    seed_spec, bias_spec, q_spec, k_spec, v_spec, out_spec = \
+        _hb_packed_specs(nb, s, hb, dh, n_hb)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_packed_hb_kernel, scale=scale,
+                          rate=rate, hb=hb, dh=dh, nb=nb, n_hb=n_hb),
+        grid=(b // nb, n_hb),
+        in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((hb, s, s), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_heads * s * s * dh + 8 * b * n_heads * s * s,
+            bytes_accessed=qkv.dtype.itemsize * b * s * (d3 + d),
+            transcendentals=b * n_heads * s * s,
+        ),
+    )(seed, bias, qkv, qkv, qkv)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "hb",
+                                    "interpret", "nb"))
+def _bwd_packed_hb_pallas(qkv, bias, seed, g, *, scale, rate, n_heads, hb,
+                          interpret, nb=None):
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    n_hb = n_heads // hb
+    if nb is None:
+        nb = _pick_nb_packed(
+            b, _hb_row_bytes(s, hb, dh, 7, qkv.dtype.itemsize),
+            fixed_bytes=_scratch_bytes(hb, s, s, 2))
+    seed_spec, bias_spec, q_spec, k_spec, v_spec, out_spec = \
+        _hb_packed_specs(nb, s, hb, dh, n_hb)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_packed_hb_kernel, scale=scale,
+                          rate=rate, hb=hb, dh=dh, nb=nb, n_hb=n_hb),
+        grid=(b // nb, n_hb),
+        in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec, out_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((b, s, d), qkv.dtype)
+                        for _ in range(3)),
+        scratch_shapes=[pltpu.VMEM((hb, s, s), jnp.float32),
+                        pltpu.VMEM((hb, s, s), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n_heads * s * s * dh + 12 * b * n_heads * s * s,
+            bytes_accessed=qkv.dtype.itemsize * b * s * (2 * d3 + d),
+            transcendentals=b * n_heads * s * s,
+        ),
+    )(seed, bias, qkv, qkv, qkv, g)
+
+
 def _rel_specs(nb, q_len, k_len, d, h):
     q = pl.BlockSpec((nb, q_len, d), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
@@ -1074,6 +1327,41 @@ def _fap_bwd(scale, rate, n_heads, interpret, nb_fwd, nb_bwd, save,
 _fused_attention_packed.defvjp(_fap_fwd, _fap_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _fused_attention_packed_hb(qkv, bias, seed, scale, rate, n_heads, hb,
+                               interpret, nb_fwd, nb_bwd):
+    # Head-blocked variant: always recompute backward (saving the
+    # [B,H,S,S] probs at the geometries that need head-blocking would
+    # exceed the residual cap anyway, and keeping nothing of size S² in
+    # HBM is the point in the long-seq regime).
+    return _fwd_packed_hb_pallas(qkv, bias, seed, scale=scale, rate=rate,
+                                 n_heads=n_heads, hb=hb,
+                                 interpret=interpret, nb=nb_fwd)
+
+
+def _faph_fwd(qkv, bias, seed, scale, rate, n_heads, hb, interpret,
+              nb_fwd, nb_bwd):
+    out = _fwd_packed_hb_pallas(qkv, bias, seed, scale=scale, rate=rate,
+                                n_heads=n_heads, hb=hb,
+                                interpret=interpret, nb=nb_fwd)
+    return out, (qkv, bias, seed)
+
+
+def _faph_bwd(scale, rate, n_heads, hb, interpret, nb_fwd, nb_bwd,
+              residuals, g):
+    qkv, bias, seed = residuals
+    dq, dk, dv = _bwd_packed_hb_pallas(qkv, bias, seed, g, scale=scale,
+                                       rate=rate, n_heads=n_heads, hb=hb,
+                                       interpret=interpret, nb=nb_bwd)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    dbias = jnp.zeros_like(bias)
+    dseed = np.zeros((1, 1), jax.dtypes.float0)
+    return dqkv, dbias, dseed
+
+
+_fused_attention_packed_hb.defvjp(_faph_fwd, _faph_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _fused_attention(q, k, v, bias, seed, scale, rate, interpret,
                      nb_fwd, nb_bwd, save):
@@ -1206,6 +1494,14 @@ def fused_attention_packed(
     transposes of the split-tensor API (and their backward twins) never
     reach HBM. Same dropout/residual semantics and knobs as
     ``fused_attention``.
+
+    Long sequences: when the full-H kernel's [H,S,S] scratch exceeds
+    scoped VMEM (S>≈380 at base geometry) this entry transparently
+    switches to the head-blocked grid (``_resolve_hb``: [hb,S,S]
+    scratch, recompute backward, dropout stream seeded per (row,
+    head-block)) — the fused path covers S=768 at bert-base bf16.
+    Beyond ANY fit, raises ValueError; model dispatch gates on
+    ``fused_attention_fits_hb`` and falls back to flash/einsum first.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1247,9 +1543,19 @@ def fused_attention_packed(
     nb_fwd, nb_bwd, save_probs = _resolve_knobs(
         b, n_heads, s, s, rate, qkv.dtype.itemsize, nb_fwd, nb_bwd,
         save_probs, d=qkv.shape[-1] // 3)
-    return _fused_attention_packed(qkv, bias, seed, float(scale), rate,
-                                   n_heads, bool(interpret), nb_fwd, nb_bwd,
-                                   save_probs)
+    if fused_attention_fits(n_heads, s, d, qkv.dtype.itemsize):
+        return _fused_attention_packed(qkv, bias, seed, float(scale), rate,
+                                       n_heads, bool(interpret), nb_fwd,
+                                       nb_bwd, save_probs)
+    hb = _resolve_hb(n_heads, s, d, qkv.dtype.itemsize)
+    if hb is None:
+        raise ValueError(
+            f"fused attention cannot fit scoped VMEM at H={n_heads} "
+            f"S={s} D={d} even head-blocked; use flash or einsum "
+            "(model dispatch gates on fused_attention_fits_hb)")
+    return _fused_attention_packed_hb(qkv, bias, seed, float(scale), rate,
+                                      n_heads, hb, bool(interpret),
+                                      nb_fwd, nb_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -171,6 +171,136 @@ def test_packed_dropout_offtpu_fallback():
                                atol=1e-6, rtol=1e-6)
 
 
+def test_fits_hb_extends_fused_range():
+    """Head-blocking carries the packed fused path beyond the full-H
+    [H,S,S] scoped-VMEM fit: at bert-base bf16 geometry the full kernel
+    tops out near S≈380 (the S=512 compile failure in BENCHMARKS.md
+    "Long-sequence scaling"), the head-blocked grid reaches S=768."""
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        _resolve_hb, fused_attention_fits, fused_attention_fits_hb)
+
+    assert fused_attention_fits(12, 50, 768)
+    assert not fused_attention_fits(12, 512, 768)
+    assert fused_attention_fits_hb(12, 512, 768)
+    assert _resolve_hb(12, 512, 768, 2) == 4
+    assert fused_attention_fits_hb(12, 768, 768)
+    assert _resolve_hb(12, 768, 768, 2) == 2
+    # beyond every head-blocked fit → callers fall back to flash/einsum
+    assert not fused_attention_fits_hb(12, 1024, 768)
+    # hb·Dh must tile to 128 lanes: at Dh=64 odd head-blocks are skipped
+    assert _resolve_hb(12, 768, 768, 2) % 2 == 0
+
+
+def test_hb_env_override_validated(monkeypatch):
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        _resolve_hb)
+
+    monkeypatch.setenv("FUSED_ATTN_HB", "5")
+    with pytest.raises(ValueError, match="must divide"):
+        _resolve_hb(12, 512, 768, 2)
+    monkeypatch.setenv("FUSED_ATTN_HB", "2")
+    assert _resolve_hb(12, 512, 768, 2) == 2
+    monkeypatch.setenv("FUSED_ATTN_HB", "12")
+    # forced block that cannot fit → None (callers fall back)
+    assert _resolve_hb(12, 512, 768, 2) is None
+
+
+def test_packed_head_blocked_matches_einsum_and_full(monkeypatch):
+    """Shrinking the VMEM budget below the full-H kernel's footprint
+    must reroute fused_attention_packed onto the head-blocked grid with
+    identical fp32 values and grads (same whole-row softmax math, grid
+    split over head blocks)."""
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    q, k, v, mask = _inputs()
+    bias = extended_attention_mask(mask)
+    qkv = _pack(q, k, v)
+
+    def f_ref(qkv_):
+        b, s, _ = qkv_.shape
+        qq, kk, vv = [jnp.moveaxis(qkv_.reshape(b, s, 3, H, DH)[:, :, i],
+                                   2, 1) for i in range(3)]
+        ctx = dot_product_attention(qq, kk, vv, bias, scale=SCALE)
+        return jnp.sum(jnp.tanh(jnp.moveaxis(ctx, 1, 2).reshape(b, s, -1)))
+
+    def f_new(qkv_):
+        return jnp.sum(jnp.tanh(fused_attention_packed(
+            qkv_, mask, n_heads=H, scale=SCALE)))
+
+    vr, gr = jax.value_and_grad(f_ref)(qkv)
+    v_full, g_full = jax.value_and_grad(f_new)(qkv)
+
+    monkeypatch.setenv("FUSED_ATTN_VMEM_BUDGET", "600000")
+    assert not fa.fused_attention_fits(H, S, H * DH, 4)
+    assert fa._resolve_hb(H, S, H * DH, 4) == 2
+    v_hb, g_hb = jax.value_and_grad(f_new)(qkv)
+
+    np.testing.assert_allclose(float(v_hb), float(vr), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_hb), np.asarray(gr),
+                               atol=1e-5, rtol=1e-5)
+    # vs the full-H kernel the head-blocked grid is bit-identical
+    np.testing.assert_allclose(float(v_hb), float(v_full), rtol=0)
+    np.testing.assert_allclose(np.asarray(g_hb), np.asarray(g_full),
+                               atol=0, rtol=0)
+
+
+def test_packed_head_blocked_no_fit_raises(monkeypatch):
+    qkv = jnp.zeros((2, S, 3 * H * DH), jnp.float32)
+    monkeypatch.setenv("FUSED_ATTN_VMEM_BUDGET", "100000")
+    with pytest.raises(ValueError, match="cannot fit scoped VMEM"):
+        fused_attention_packed(qkv, None, n_heads=H, scale=SCALE)
+
+
+def test_model_dispatch_head_blocked_equals_einsum(monkeypatch):
+    """Model-level: with the budget shrunk so only the head-blocked
+    variant fits, BertSelfAttention must still take the fused path
+    (fused_attention_fits_hb gate) and match the einsum model."""
+    import dataclasses
+
+    from bert_multimodal_transformer_tpu.config import (
+        BertConfig, MultimodalConfig)
+    from bert_multimodal_transformer_tpu.models.bert import (
+        MagBertForSequenceClassification)
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    cfg = dataclasses.replace(BertConfig.tiny(), hidden_size=256,
+                              num_attention_heads=4,
+                              intermediate_size=512)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.5,
+                          injection_index=0)
+    rng = np.random.RandomState(5)
+    batch, seq = 2, 20
+    ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (batch, seq)),
+                      jnp.int32)
+    vis = jnp.asarray(rng.randn(batch, seq, 5), jnp.float32)
+    aco = jnp.asarray(rng.randn(batch, seq, 7), jnp.float32)
+    mask = np.ones((batch, seq), np.int32)
+    mask[1, 15:] = 0
+    mask = jnp.asarray(mask)
+    seg = jnp.zeros((batch, seq), jnp.int32)
+
+    m_ein = MagBertForSequenceClassification(cfg, mm, visual_dim=5,
+                                             acoustic_dim=7)
+    params = m_ein.init(jax.random.PRNGKey(0), ids, vis, aco, mask, seg)[
+        "params"]
+    out_e = m_ein.apply({"params": params}, ids, vis, aco,
+                        attention_mask=mask, token_type_ids=seg,
+                        deterministic=True)
+
+    monkeypatch.setenv("FUSED_ATTN_VMEM_BUDGET", "300000")
+    d = cfg.hidden_size
+    assert not fa.fused_attention_fits(4, seq, d, 4)
+    assert fa.fused_attention_fits_hb(4, seq, d, 4)
+    cfg_f = dataclasses.replace(cfg, attention_impl="fused")
+    m_fus = MagBertForSequenceClassification(cfg_f, mm, visual_dim=5,
+                                             acoustic_dim=7)
+    out_f = m_fus.apply({"params": params}, ids, vis, aco,
+                        attention_mask=mask, token_type_ids=seg,
+                        deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("save", [False, True])
 def test_rel_attention_matches_einsum_with_bias_grad(save):
     # fused_rel_attention vs the XLNet-style einsum score assembly:

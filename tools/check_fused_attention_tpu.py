@@ -283,6 +283,83 @@ def main():
     print(f"rel bwd PRNG replay: FD vs grad rel diff = {rel_d:.3e}")
     assert rel_d < 5e-2, rel_d
 
+    # ---- 2e. head-blocked long-seq variant (S=512) --------------------
+    # Beyond the full-H scoped-VMEM fit the packed entry reroutes onto
+    # the head-blocked grid (ops/fused_attention.py::_resolve_hb) — the
+    # S=512 geometry that failed to compile pre-guard (BENCHMARKS.md
+    # "Long-sequence scaling"). Validate parity + dropout replay on the
+    # real lowering (interpret mode cannot catch Mosaic block-rule bugs).
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        _resolve_hb, fused_attention_fits)
+    BL, SL = 8, 512
+    assert not fused_attention_fits(H, SL, H * DH, 2)
+    hb = _resolve_hb(H, SL, H * DH, 2)
+    print(f"head-blocked S={SL}: hb = {hb}")
+    ql = jnp.asarray(rng.randn(BL, H, SL, DH), jnp.bfloat16)
+    kl = jnp.asarray(rng.randn(BL, H, SL, DH), jnp.bfloat16)
+    vl = jnp.asarray(rng.randn(BL, H, SL, DH), jnp.bfloat16)
+    mask_l = np.ones((BL, SL), np.int32)
+    mask_l[:, 500:] = 0
+    mask_l = jnp.asarray(mask_l)
+    qkv_l = jnp.stack([jnp.moveaxis(t, 1, 2) for t in (ql, kl, vl)],
+                      axis=2).reshape(BL, SL, 3 * H * DH)
+    ref_l = dot_product_attention(ql, kl, vl,
+                                  extended_attention_mask(mask_l),
+                                  scale=scale)
+    ref_l_flat = jnp.moveaxis(ref_l, 1, 2).reshape(BL, SL, H * DH)
+    out_l = fused_attention_packed(qkv_l, mask_l, n_heads=H, scale=scale)
+    d = float(jnp.max(jnp.abs(out_l.astype(jnp.float32)
+                              - ref_l_flat.astype(jnp.float32))))
+    print(f"hb fwd parity (bf16, no dropout): max|diff| = {d:.3e}")
+    assert d < 2e-2, d
+
+    def loss_hb_ref(qkv_):
+        qq, kk, vv = [jnp.moveaxis(
+            qkv_.reshape(BL, SL, 3, H, DH)[:, :, i], 2, 1)
+            for i in range(3)]
+        return jnp.sum(jnp.square(dot_product_attention(
+            qq, kk, vv, extended_attention_mask(mask_l), scale=scale)
+            .astype(jnp.float32)))
+
+    def loss_hb_new(qkv_):
+        return jnp.sum(jnp.square(fused_attention_packed(
+            qkv_, mask_l, n_heads=H, scale=scale).astype(jnp.float32)))
+
+    gr_l = jax.grad(loss_hb_ref)(qkv_l)
+    gn_l = jax.grad(loss_hb_new)(qkv_l)
+    rel = (float(jnp.max(jnp.abs(gn_l.astype(jnp.float32)
+                                 - gr_l.astype(jnp.float32))))
+           / max(float(jnp.max(jnp.abs(gr_l.astype(jnp.float32)))), 1e-9))
+    print(f"hb grad parity: max rel = {rel:.3e}")
+    assert rel < 5e-2, rel
+
+    o1l = fused_attention_packed(qkv_l, None, n_heads=H, scale=scale,
+                                 dropout_rate=rate, dropout_rng=key,
+                                 deterministic=False)
+    o2l = fused_attention_packed(qkv_l, None, n_heads=H, scale=scale,
+                                 dropout_rate=rate, dropout_rng=key,
+                                 deterministic=False)
+    same = float(jnp.max(jnp.abs(o1l.astype(jnp.float32)
+                                 - o2l.astype(jnp.float32))))
+    print(f"hb same-seed replay: max|diff| = {same:.3e}")
+    assert same == 0.0, same
+
+    def ghb(qkv_):
+        return jnp.sum(fused_attention_packed(
+            qkv_, None, n_heads=H, scale=scale, dropout_rate=rate,
+            dropout_rng=key, deterministic=False).astype(jnp.float32))
+
+    dqkv_l = jax.grad(ghb)(qkv_l)
+    dirn_np = np.zeros(qkv_l.shape, np.float32)
+    dirn_np[:, :, 2 * H * DH:] = rng.randn(BL, SL, H * DH)
+    dirn_l = jnp.asarray(dirn_np, jnp.bfloat16)
+    fd = (ghb(qkv_l + 0.5 * dirn_l) - ghb(qkv_l - 0.5 * dirn_l)) / 1.0
+    an = float(jnp.sum(dqkv_l.astype(jnp.float32)
+                       * dirn_l.astype(jnp.float32)))
+    rel = abs(float(fd) - an) / max(abs(an), 1e-9)
+    print(f"hb bwd PRNG replay: FD vs grad rel diff = {rel:.3e}")
+    assert rel < 5e-2, rel
+
     # ---- 3. microbenchmark -------------------------------------------
     def bench(fn, label, n=50):
         carry = jnp.zeros((), jnp.float32)
