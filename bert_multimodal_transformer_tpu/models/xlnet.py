@@ -44,6 +44,8 @@ from bert_multimodal_transformer_tpu.models.mag import MAG
 from bert_multimodal_transformer_tpu.ops.activations import ACT2FN
 from bert_multimodal_transformer_tpu.ops.fused_attention import (
     fused_rel_attention,
+    fused_rel_attention_fits,
+    fused_rel_attention_fits_hb,
 )
 
 Dtype = Any
@@ -173,8 +175,25 @@ class XLNetRelativeAttention(nn.Module):
         bd_eq = ("bqhf,bphf->bhqp" if k_head_r.ndim == 4
                  else "bqhf,phf->bhqp")
 
+        # Scoped-VMEM fit gate (mirrors models/bert.py): beyond the
+        # full-H fit the rel entry head-blocks its grid
+        # (fused_rel_attention_fits_hb — K includes mems, so long memory
+        # also routes here); beyond every fit, fall through to the
+        # einsum path below (rel attention has no flash analogue — the
+        # streamed score bias is itself [B,H,Q,K]). TP needs the
+        # stricter full-H fit (shard_map'd split kernels).
+        item = jnp.dtype(self.dtype).itemsize
+        nh_gate, qlen_gate = q_head.shape[2], q_head.shape[1]
+        d_gate = nh_gate * q_head.shape[3]
+        rel_fits = fused_rel_attention_fits(
+            nh_gate, qlen_gate, klen, d_gate, item, item)
+        rel_fits_hb = fused_rel_attention_fits_hb(
+            nh_gate, qlen_gate, klen, d_gate, item, item)
+
         if (cfg.attention_impl == "fused" and head_mask is None
-                and not output_attentions):
+                and not output_attentions
+                and (rel_fits if cfg.tp_attention_mesh is not None
+                     else rel_fits_hb)):
             # Pallas rel-attention kernel (ops/fused_attention.py): the
             # QK dot, softmax, and prob-dropout run in VMEM; only ONE
             # [B,H,Q,K] tensor (ebias, differentiable) is streamed
@@ -192,7 +211,8 @@ class XLNetRelativeAttention(nn.Module):
                   + self.r_w_bias.reshape(-1)).astype(dt)
             if (cfg.rel_bias_impl == "inkernel"
                     and k_head_r.ndim == 3
-                    and k_head_r.shape[0] >= qlen2 + klen):
+                    and k_head_r.shape[0] >= qlen2 + klen
+                    and rel_fits):
                 # Ingredients-fused path: no [B,H,Q,P]/[B,H,Q,K] HBM
                 # tensors at all — bd, rel-shift, segment and mask biases
                 # assemble in VMEM (fused_rel_attention_ingredients).

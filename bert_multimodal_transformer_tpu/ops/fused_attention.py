@@ -137,6 +137,75 @@ def fused_attention_fits_hb(n_heads: int, s: int, d: int,
             or _resolve_hb(n_heads, s, d, itemsize) is not None)
 
 
+def fused_rel_attention_fits(n_heads: int, q_len: int, k_len: int,
+                             d: int, itemsize: int = 2,
+                             eb_itemsize: int = 2) -> bool:
+    """Whether the full-H rel-bias kernels (XLNet) can compile at this
+    geometry: minimal-footprint mode (nb=1, recompute backward) — the
+    [H,Q,K] f32 score scratch (one fwd, two bwd) plus the double-
+    buffered q/k/v/g/grad rows and the streamed ebias/debias blocks —
+    must fit the scoped-VMEM budget. k_len includes mems, so long
+    memory ALSO outgrows the fit, not just long sequences."""
+    budget = _vmem_budget()
+    subq = (q_len + 15) // 16 * 16
+    subk = (k_len + 15) // 16 * 16
+    lane_k = (k_len + 127) // 128 * 128
+    eb = n_heads * subq * lane_k * eb_itemsize
+    row_f = (2 * subq * d + 2 * subk * d) * itemsize + eb
+    row_b = (2 * subq * d + 4 * subk * d) * itemsize + 2 * eb
+    fwd = _scratch_bytes(n_heads, q_len, k_len) + 2 * row_f
+    bwd = _scratch_bytes(n_heads, q_len, k_len, 2) + 2 * row_b
+    return fwd <= budget and bwd <= budget
+
+
+def _resolve_rel_hb(n_heads: int, q_len: int, k_len: int, d: int,
+                    itemsize: int, eb_itemsize: int = 2):
+    """Head-block size for the head-blocked rel kernels (same contract
+    as _resolve_hb: largest divisor of n_heads fitting both passes,
+    hb·Dh tiling to 128 lanes, FUSED_ATTN_HB override)."""
+    dh = d // n_heads
+    budget = _vmem_budget()
+    subq = (q_len + 15) // 16 * 16
+    subk = (k_len + 15) // 16 * 16
+    lane_k = (k_len + 127) // 128 * 128
+
+    def fits(hb):
+        if (hb * dh) % 128 != 0:
+            return False
+        lane_d = (hb * dh + 127) // 128 * 128
+        eb = hb * subq * lane_k * eb_itemsize
+        row_f = (subq + 2 * subk + subq) * lane_d * itemsize + eb
+        row_b = (2 * subq + 4 * subk) * lane_d * itemsize + 2 * eb
+        fwd = _scratch_bytes(hb, q_len, k_len) + 2 * row_f
+        bwd = _scratch_bytes(hb, q_len, k_len, 2) + 2 * row_b
+        return fwd <= budget and bwd <= budget
+
+    if "FUSED_ATTN_HB" in os.environ:
+        hb = int(os.environ["FUSED_ATTN_HB"])
+        if hb < 1 or n_heads % hb != 0:
+            raise ValueError(
+                f"FUSED_ATTN_HB={hb} must divide n_heads={n_heads}")
+        return hb if fits(hb) else None
+    for hb in range(n_heads, 0, -1):
+        if n_heads % hb == 0 and fits(hb):
+            return hb
+    return None
+
+
+def fused_rel_attention_fits_hb(n_heads: int, q_len: int, k_len: int,
+                                d: int, itemsize: int = 2,
+                                eb_itemsize: int = 2) -> bool:
+    """Whether ANY rel-bias fused variant can compile at this geometry —
+    the full-H kernel or the head-blocked grid. models/xlnet.py gates
+    its fused dispatch on this and falls back to the einsum path beyond
+    (rel attention has no flash analogue here: the streamed score bias
+    is itself [B,H,Q,K])."""
+    return (fused_rel_attention_fits(n_heads, q_len, k_len, d, itemsize,
+                                     eb_itemsize)
+            or _resolve_rel_hb(n_heads, q_len, k_len, d, itemsize,
+                               eb_itemsize) is not None)
+
+
 def _resolve_knobs(b, n_heads, q_len, k_len, rate, itemsize,
                    nb_fwd, nb_bwd, save_probs, d=None):
     """Shared blocking/residual-mode knob resolution for the fused
@@ -724,6 +793,107 @@ def _attn_bwd_rel_saved_kernel(p_ref, pd_ref, q_ref, k_ref, v_ref, g_ref,
         dv_ref[b] = jnp.concatenate(dvs, axis=-1)
 
 
+def _attn_fwd_rel_hb_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref,
+                            o_ref, s_ref, *, scale: float, rate: float,
+                            hb: int, dh: int, nb: int, n_hb: int):
+    """Head-blocked rel-bias forward: grid (B//nb, H//hb); q/k/v/o are
+    [nb, ·, hb·Dh] head-column blocks, ebias_ref the matching
+    [nb, hb, Q, K] block. Same whole-row softmax as _attn_fwd_rel_kernel
+    on an [hb, Q, K] scratch — this is what lets XLNet's fused path run
+    where the full [H,Q,K] block exceeds scoped VMEM (long sequences OR
+    long mems: K includes the memory length). Dropout is seeded per
+    (row, head-block) exactly like _attn_fwd_packed_hb_kernel."""
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    for b in range(nb):
+        for h in range(hb):
+            q = q_ref[b, :, h * dh:(h + 1) * dh]            # [Q, Dh]
+            k = k_ref[b, :, h * dh:(h + 1) * dh]            # [K, Dh]
+            s_ref[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # [Q, K]
+        p = _softmax_f32(s_ref[:] * scale
+                         + ebias_ref[b].astype(f32))        # [hb, Q, K]
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0]
+                            + (pl.program_id(0) * nb + b) * n_hb
+                            + pl.program_id(1))
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            p = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+        pc = p.astype(q_ref.dtype)
+        outs = []
+        for h in range(hb):
+            v = v_ref[b, :, h * dh:(h + 1) * dh]
+            o = jax.lax.dot_general(pc[h], v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+            outs.append(o.astype(o_ref.dtype))
+        o_ref[b] = jnp.concatenate(outs, axis=-1)           # [Q, hb·Dh]
+
+
+def _attn_bwd_rel_hb_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref,
+                            g_ref, dq_ref, dk_ref, dv_ref, debias_ref,
+                            s_ref, t_ref, *, scale: float, rate: float,
+                            hb: int, dh: int, nb: int, n_hb: int):
+    """Head-blocked recompute backward twin: replays the fwd's
+    (row, head-block) dropout stream; dq/dk/dv/debias are the head-column
+    (resp. head) blocks of the full cotangents — every block is written
+    by exactly one program, no cross-program accumulation."""
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    for b in range(nb):
+        for h in range(hb):
+            q = q_ref[b, :, h * dh:(h + 1) * dh]
+            k = k_ref[b, :, h * dh:(h + 1) * dh]
+            s_ref[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        p = _softmax_f32(s_ref[:] * scale
+                         + ebias_ref[b].astype(f32))        # [hb, Q, K]
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0]
+                            + (pl.program_id(0) * nb + b) * n_hb
+                            + pl.program_id(1))
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            pd = jnp.where(bits >= thresh, p * inv_keep, 0.0)
+        else:
+            pd = p
+        pd_c = pd.astype(q_ref.dtype)
+        dvs = []
+        for h in range(hb):
+            v = v_ref[b, :, h * dh:(h + 1) * dh]
+            g = g_ref[b, :, h * dh:(h + 1) * dh]
+            dv = jax.lax.dot_general(pd_c[h], g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dvs.append(dv.astype(dv_ref.dtype))
+            t_ref[h] = jax.lax.dot_general(                 # dpd
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        t = pd * t_ref[:]
+        ds = t - p * jnp.sum(t, axis=-1, keepdims=True)     # dscore
+        debias_ref[b] = ds.astype(debias_ref.dtype)
+        ds_c = (ds * scale).astype(q_ref.dtype)
+        dqs, dks = [], []
+        for h in range(hb):
+            q = q_ref[b, :, h * dh:(h + 1) * dh]
+            k = k_ref[b, :, h * dh:(h + 1) * dh]
+            dq = jax.lax.dot_general(ds_c[h], k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dk = jax.lax.dot_general(ds_c[h], q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            dqs.append(dq.astype(dq_ref.dtype))
+            dks.append(dk.astype(dk_ref.dtype))
+        dq_ref[b] = jnp.concatenate(dqs, axis=-1)
+        dk_ref[b] = jnp.concatenate(dks, axis=-1)
+        dv_ref[b] = jnp.concatenate(dvs, axis=-1)
+
+
 def _scratch_bytes(h: int, q: int, k: int, n: int = 1) -> int:
     """Bytes of n [h, q, k] f32 VMEM scratch blocks (lane/sublane padded).
     Scratch is per-PROGRAM (reused across the nb rows), so it subtracts
@@ -1228,6 +1398,132 @@ def _bwd_rel_saved_pallas(p, pd, q, k, v, g, *, scale, n_heads, interpret,
             transcendentals=0,
         ),
     )(p, pd, q, k, v, g)
+
+
+def _rel_hb_specs(nb, q_len, k_len, hb, dh):
+    q = pl.BlockSpec((nb, q_len, hb * dh), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM)
+    kv = pl.BlockSpec((nb, k_len, hb * dh), lambda i, j: (i, 0, j),
+                      memory_space=pltpu.VMEM)
+    eb = pl.BlockSpec((nb, hb, q_len, k_len), lambda i, j: (i, j, 0, 0),
+                      memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    return seed, eb, q, kv
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "hb",
+                                    "interpret", "nb"))
+def _fwd_rel_hb_pallas(q, k, v, ebias, seed, *, scale, rate, n_heads, hb,
+                       interpret, nb=None):
+    b, q_len, d = q.shape
+    k_len = k.shape[1]
+    dh = d // n_heads
+    n_hb = n_heads // hb
+    if nb is None:
+        subq = (q_len + 15) // 16 * 16
+        lane_k = (k_len + 127) // 128 * 128
+        lane_d = (hb * dh + 127) // 128 * 128
+        row = ((2 * subq + 2 * ((k_len + 15) // 16 * 16)) * lane_d
+               * q.dtype.itemsize
+               + hb * subq * lane_k * ebias.dtype.itemsize)
+        nb = _pick_nb_packed(
+            b, row, fixed_bytes=_scratch_bytes(hb, q_len, k_len))
+    seed_spec, eb_spec, q_spec, kv_spec = _rel_hb_specs(
+        nb, q_len, k_len, hb, dh)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_rel_hb_kernel, scale=scale, rate=rate,
+                          hb=hb, dh=dh, nb=nb, n_hb=n_hb),
+        grid=(b // nb, n_hb),
+        in_specs=[seed_spec, eb_spec, q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, q_len, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((hb, q_len, k_len), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_heads * q_len * k_len * dh
+            + 8 * b * n_heads * q_len * k_len,
+            bytes_accessed=q.dtype.itemsize * b * (q_len + 2 * k_len) * d
+            + 4 * b * n_heads * q_len * k_len,
+            transcendentals=b * n_heads * q_len * k_len,
+        ),
+    )(seed, ebias, q, k, v)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "hb",
+                                    "interpret", "nb"))
+def _bwd_rel_hb_pallas(q, k, v, ebias, seed, g, *, scale, rate, n_heads,
+                       hb, interpret, nb=None):
+    b, q_len, d = q.shape
+    k_len = k.shape[1]
+    dh = d // n_heads
+    n_hb = n_heads // hb
+    if nb is None:
+        subq = (q_len + 15) // 16 * 16
+        lane_k = (k_len + 127) // 128 * 128
+        lane_d = (hb * dh + 127) // 128 * 128
+        row = ((2 * subq + 4 * ((k_len + 15) // 16 * 16)) * lane_d
+               * q.dtype.itemsize
+               + 2 * hb * subq * lane_k * ebias.dtype.itemsize)
+        nb = _pick_nb_packed(
+            b, row, fixed_bytes=_scratch_bytes(hb, q_len, k_len, 2))
+    seed_spec, eb_spec, q_spec, kv_spec = _rel_hb_specs(
+        nb, q_len, k_len, hb, dh)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_rel_hb_kernel, scale=scale, rate=rate,
+                          hb=hb, dh=dh, nb=nb, n_hb=n_hb),
+        grid=(b // nb, n_hb),
+        in_specs=[seed_spec, eb_spec, q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=(q_spec, kv_spec, kv_spec, eb_spec),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype),
+                   jax.ShapeDtypeStruct((b, n_heads, q_len, k_len),
+                                        ebias.dtype)),
+        scratch_shapes=[pltpu.VMEM((hb, q_len, k_len), jnp.float32),
+                        pltpu.VMEM((hb, q_len, k_len), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n_heads * q_len * k_len * dh
+            + 12 * b * n_heads * q_len * k_len,
+            bytes_accessed=q.dtype.itemsize * b * (3 * q_len + 4 * k_len)
+            * d + 8 * b * n_heads * q_len * k_len,
+            transcendentals=b * n_heads * q_len * k_len,
+        ),
+    )(seed, ebias, q, k, v, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _fused_rel_attention_hb(q, k, v, ebias, seed, scale, rate, n_heads,
+                            hb, interpret, nb_fwd_bwd):
+    # Head-blocked variant: always recompute backward (see
+    # _fused_attention_packed_hb — nothing of size Q·K stays in HBM).
+    return _fwd_rel_hb_pallas(q, k, v, ebias, seed, scale=scale,
+                              rate=rate, n_heads=n_heads, hb=hb,
+                              interpret=interpret, nb=nb_fwd_bwd[0])
+
+
+def _frelhb_fwd(q, k, v, ebias, seed, scale, rate, n_heads, hb, interpret,
+                nb_fwd_bwd):
+    out = _fwd_rel_hb_pallas(q, k, v, ebias, seed, scale=scale, rate=rate,
+                             n_heads=n_heads, hb=hb, interpret=interpret,
+                             nb=nb_fwd_bwd[0])
+    return out, (q, k, v, ebias, seed)
+
+
+def _frelhb_bwd(scale, rate, n_heads, hb, interpret, nb_fwd_bwd,
+                residuals, g):
+    q, k, v, ebias, seed = residuals
+    dq, dk, dv, debias = _bwd_rel_hb_pallas(
+        q, k, v, ebias, seed, g, scale=scale, rate=rate, n_heads=n_heads,
+        hb=hb, interpret=interpret, nb=nb_fwd_bwd[1])
+    dseed = np.zeros((1, 1), jax.dtypes.float0)
+    return dq, dk, dv, debias, dseed
+
+
+_fused_rel_attention_hb.defvjp(_frelhb_fwd, _frelhb_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
@@ -1973,6 +2269,13 @@ def fused_rel_attention(
     ebias is differentiable — the backward kernels emit dscore for it.
     Layout contract matches the ``bqhf`` einsum family: reshaping
     [B,Q,H,Dh] ↔ [B,Q,D] is free.
+
+    Long sequences / long mems: when the full-H kernel's [H,Q,K]
+    scratch exceeds scoped VMEM this entry transparently switches to
+    the head-blocked grid (``_resolve_rel_hb``; recompute backward,
+    dropout seeded per (row, head-block)). Beyond ANY fit, raises
+    ValueError; models/xlnet.py gates on ``fused_rel_attention_fits_hb``
+    and falls back to the einsum path first.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -2006,9 +2309,22 @@ def fused_rel_attention(
     nb_fwd, nb_bwd, save_probs = _resolve_knobs(
         b, n_heads, q_len, k.shape[1], rate, q.dtype.itemsize, nb_fwd,
         nb_bwd, save_probs)
-    return _fused_rel_attention(q, k, v, ebias, seed, float(scale), rate,
-                                n_heads, bool(interpret),
-                                (nb_fwd, nb_bwd), save_probs)
+    if fused_rel_attention_fits(n_heads, q_len, k.shape[1], d,
+                                q.dtype.itemsize, ebias.dtype.itemsize):
+        return _fused_rel_attention(q, k, v, ebias, seed, float(scale),
+                                    rate, n_heads, bool(interpret),
+                                    (nb_fwd, nb_bwd), save_probs)
+    hb = _resolve_rel_hb(n_heads, q_len, k.shape[1], d, q.dtype.itemsize,
+                         ebias.dtype.itemsize)
+    if hb is None:
+        raise ValueError(
+            f"fused rel attention cannot fit scoped VMEM at H={n_heads} "
+            f"Q={q_len} K={k.shape[1]} D={d} even head-blocked; use the "
+            "einsum path (model dispatch gates on "
+            "fused_rel_attention_fits_hb)")
+    return _fused_rel_attention_hb(q, k, v, ebias, seed, float(scale),
+                                   rate, n_heads, hb, bool(interpret),
+                                   (nb_fwd, nb_bwd))
 
 
 # --------------------------------------------------------------------------

@@ -483,6 +483,132 @@ def test_xlnet_model_fused_equals_einsum_deterministic(rel_bias_impl):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_rel_fits_hb_ranges():
+    """The rel-bias kernels get the same head-blocked extension as the
+    packed ones; K includes mems, so long memory also routes through the
+    fit gates (before these gates the XLNet fused dispatch would FAIL TO
+    COMPILE at S=512 — same scoped-VMEM OOM as the packed kernel)."""
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        _resolve_rel_hb, fused_rel_attention_fits,
+        fused_rel_attention_fits_hb)
+
+    assert fused_rel_attention_fits(12, 50, 50, 768)
+    assert not fused_rel_attention_fits(12, 512, 512, 768)
+    assert fused_rel_attention_fits_hb(12, 512, 512, 768)
+    assert _resolve_rel_hb(12, 512, 512, 768, 2) == 2
+    # the streamed ebias/debias blocks cap the reach earlier than the
+    # packed kernels (S=768) and long mems exceed it at S=512 — both
+    # fall back to the einsum path via the model gate
+    assert not fused_rel_attention_fits_hb(12, 768, 768, 768)
+    assert not fused_rel_attention_fits_hb(12, 512, 1024, 768)
+
+
+def test_rel_head_blocked_matches_einsum_and_full(monkeypatch):
+    B2, S2 = 3, 40
+    D = H * DH
+    rng = np.random.RandomState(21)
+    q = jnp.asarray(rng.randn(B2, S2, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B2, S2, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B2, S2, D), jnp.float32)
+    eb = jnp.asarray(rng.randn(B2, H, S2, S2) * 0.3, jnp.float32)
+
+    def rel_ref(q_, k_, v_, eb_):
+        qh = q_.reshape(B2, S2, H, DH)
+        kh = k_.reshape(B2, S2, H, DH)
+        vh = v_.reshape(B2, S2, H, DH)
+        score = jnp.einsum("bqhf,bkhf->bhqk", qh, kh,
+                           preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(score * SCALE + eb_, axis=-1)
+        return jnp.einsum("bhqk,bkhf->bqhf", probs.astype(q_.dtype),
+                          vh).reshape(B2, S2, D)
+
+    def loss_ref(q_, k_, v_, eb_):
+        return jnp.sum(jnp.tanh(rel_ref(q_, k_, v_, eb_)))
+
+    def loss_new(q_, k_, v_, eb_):
+        return jnp.sum(jnp.tanh(fused_rel_attention(
+            q_, k_, v_, eb_, n_heads=H, scale=SCALE)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, eb)
+    g_full = jax.grad(loss_new, argnums=(0, 1, 2, 3))(q, k, v, eb)
+
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+    monkeypatch.setenv("FUSED_ATTN_VMEM_BUDGET", "700000")
+    assert not fa.fused_rel_attention_fits(H, S2, S2, D, 4, 4)
+    assert fa._resolve_rel_hb(H, S2, S2, D, 4, 4) == 2
+    g_hb = jax.grad(loss_new, argnums=(0, 1, 2, 3))(q, k, v, eb)
+    for name, a, b_full, b_hb in zip("qkve", gr, g_full, g_hb):
+        np.testing.assert_allclose(np.asarray(b_hb), np.asarray(a),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"d{name} vs einsum")
+        # vs the full-H kernel the head-blocked grid is bit-identical
+        np.testing.assert_allclose(np.asarray(b_hb), np.asarray(b_full),
+                                   atol=0, rtol=0,
+                                   err_msg=f"d{name} vs full kernel")
+
+
+def _xlnet_hb_geometry():
+    """XLNet geometry whose d_head=64 admits head-blocking (the tiny
+    preset's d_head=16 never can: hb·16 is not a 128-lane multiple for
+    any hb ≤ n_head)."""
+    import dataclasses
+
+    from bert_multimodal_transformer_tpu.config import XLNetConfig
+
+    return dataclasses.replace(XLNetConfig.tiny(vocab_size=64),
+                               d_model=256, n_head=4, d_inner=128)
+
+
+@pytest.mark.parametrize("budget,expect_fused",
+                         [("300000", True), ("50000", False)])
+def test_xlnet_model_head_blocked_and_beyond_fit(monkeypatch, budget,
+                                                 expect_fused):
+    """Model-level: under a budget where only the head-blocked rel
+    kernel fits, the fused XLNet must match einsum; under a budget where
+    NOTHING fits, the gate must fall back to the einsum path (identical
+    outputs) instead of failing to compile."""
+    import dataclasses
+
+    from bert_multimodal_transformer_tpu.config import MultimodalConfig
+    from bert_multimodal_transformer_tpu.models.xlnet import (
+        MagXLNetForSequenceClassification)
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    cfg = _xlnet_hb_geometry()
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.5,
+                          injection_index=1)
+    rng = np.random.RandomState(8)
+    batch, seq = 2, 12
+    ids = jnp.asarray(rng.randint(0, 64, (batch, seq)), jnp.int32)
+    vis = jnp.asarray(rng.randn(batch, seq, 5), jnp.float32)
+    aco = jnp.asarray(rng.randn(batch, seq, 7), jnp.float32)
+    mask_np = np.ones((batch, seq), np.int32)
+    mask_np[1, :4] = 0
+    mask = jnp.asarray(mask_np)
+    seg = jnp.zeros((batch, seq), jnp.int32)
+
+    m_ein = MagXLNetForSequenceClassification(cfg, mm, visual_dim=5,
+                                              acoustic_dim=7)
+    params = m_ein.init(jax.random.PRNGKey(0), ids, vis, aco, mask, seg)[
+        "params"]
+    out_e = m_ein.apply({"params": params}, ids, vis, aco,
+                        attention_mask=mask, token_type_ids=seg,
+                        deterministic=True)
+
+    monkeypatch.setenv("FUSED_ATTN_VMEM_BUDGET", budget)
+    assert not fa.fused_rel_attention_fits(4, seq, seq, 256, 4, 4)
+    assert (fa._resolve_rel_hb(4, seq, seq, 256, 4, 4)
+            is not None) == expect_fused
+    cfg_f = dataclasses.replace(cfg, attention_impl="fused")
+    m_fus = MagXLNetForSequenceClassification(cfg_f, mm, visual_dim=5,
+                                              acoustic_dim=7)
+    out_f = m_fus.apply({"params": params}, ids, vis, aco,
+                        attention_mask=mask, token_type_ids=seg,
+                        deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("variant", ["bi_data", "uni"])
 def test_inkernel_ineligible_variants_fall_back_to_stream(variant):
     """bi_data (per-example position streams, k_head_r.ndim==4) and uni

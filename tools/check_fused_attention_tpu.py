@@ -360,6 +360,80 @@ def main():
     print(f"hb bwd PRNG replay: FD vs grad rel diff = {rel:.3e}")
     assert rel < 5e-2, rel
 
+    # ---- 2f. head-blocked rel-bias variant (XLNet, S=512) --------------
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        _resolve_rel_hb, fused_rel_attention_fits)
+    D = H * DH
+    assert not fused_rel_attention_fits(H, SL, SL, D, 2, 2)
+    hb_r = _resolve_rel_hb(H, SL, SL, D, 2, 2)
+    print(f"rel head-blocked Q=K={SL}: hb = {hb_r}")
+    qr = jnp.asarray(rng.randn(BL, SL, D), jnp.bfloat16)
+    kr = jnp.asarray(rng.randn(BL, SL, D), jnp.bfloat16)
+    vr = jnp.asarray(rng.randn(BL, SL, D), jnp.bfloat16)
+    ebr = jnp.asarray(rng.randn(BL, H, SL, SL) * 0.3, jnp.bfloat16)
+
+    def rel_ref_l(q_, k_, v_, eb_):
+        qh = q_.reshape(BL, SL, H, DH)
+        kh = k_.reshape(BL, SL, H, DH)
+        vh = v_.reshape(BL, SL, H, DH)
+        score = jnp.einsum("bqhf,bkhf->bhqk", qh, kh,
+                           preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(score * scale + eb_.astype(jnp.float32),
+                               axis=-1)
+        return jnp.einsum("bhqk,bkhf->bqhf", probs.astype(q_.dtype),
+                          vh).reshape(BL, SL, D)
+
+    out_rhb = fused_rel_attention(qr, kr, vr, ebr, n_heads=H, scale=scale)
+    ref_rhb = rel_ref_l(qr, kr, vr, ebr)
+    d = float(jnp.max(jnp.abs(out_rhb.astype(jnp.float32)
+                              - ref_rhb.astype(jnp.float32))))
+    print(f"rel hb fwd parity (bf16, no dropout): max|diff| = {d:.3e}")
+    assert d < 2e-2, d
+
+    def loss_rhb_ref(q_, k_, v_, eb_):
+        return jnp.sum(jnp.square(rel_ref_l(q_, k_, v_, eb_)
+                                  .astype(jnp.float32)))
+
+    def loss_rhb_new(q_, k_, v_, eb_):
+        return jnp.sum(jnp.square(fused_rel_attention(
+            q_, k_, v_, eb_, n_heads=H, scale=scale)
+            .astype(jnp.float32)))
+
+    grr = jax.grad(loss_rhb_ref, argnums=(0, 1, 2, 3))(qr, kr, vr, ebr)
+    grn = jax.grad(loss_rhb_new, argnums=(0, 1, 2, 3))(qr, kr, vr, ebr)
+    for name, a_, b_ in zip(["q", "k", "v", "ebias"], grr, grn):
+        rel_d = (float(jnp.max(jnp.abs(a_.astype(jnp.float32)
+                                       - b_.astype(jnp.float32))))
+                 / max(float(jnp.max(jnp.abs(
+                     a_.astype(jnp.float32)))), 1e-9))
+        print(f"rel hb grad d{name}: max rel = {rel_d:.3e}")
+        assert rel_d < 5e-2, (name, rel_d)
+
+    o1rh = fused_rel_attention(qr, kr, vr, ebr, n_heads=H, scale=scale,
+                               dropout_rate=rate, dropout_rng=key,
+                               deterministic=False)
+    o2rh = fused_rel_attention(qr, kr, vr, ebr, n_heads=H, scale=scale,
+                               dropout_rate=rate, dropout_rng=key,
+                               deterministic=False)
+    same = float(jnp.max(jnp.abs(o1rh.astype(jnp.float32)
+                                 - o2rh.astype(jnp.float32))))
+    print(f"rel hb same-seed replay: max|diff| = {same:.3e}")
+    assert same == 0.0, same
+
+    def grelhb(vv):
+        return jnp.sum(fused_rel_attention(
+            qr, kr, vv, ebr, n_heads=H, scale=scale, dropout_rate=rate,
+            dropout_rng=key, deterministic=False).astype(jnp.float32))
+
+    dvrh = jax.grad(grelhb)(vr)
+    dirn_rh = jnp.asarray(rng.randn(BL, SL, D), jnp.bfloat16)
+    fd = (grelhb(vr + 0.5 * dirn_rh) - grelhb(vr - 0.5 * dirn_rh)) / 1.0
+    an = float(jnp.sum(dvrh.astype(jnp.float32)
+                       * dirn_rh.astype(jnp.float32)))
+    rel_d = abs(float(fd) - an) / max(abs(an), 1e-9)
+    print(f"rel hb bwd PRNG replay: FD vs grad rel diff = {rel_d:.3e}")
+    assert rel_d < 5e-2, rel_d
+
     # ---- 3. microbenchmark -------------------------------------------
     def bench(fn, label, n=50):
         carry = jnp.zeros((), jnp.float32)
