@@ -221,7 +221,11 @@ def main():
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_measured.json")
-    if os.path.exists(baseline_path):
+    # The measured baseline is the torch reference at ITS geometry
+    # (seq 50, multimodal_driver.py:45); a per-example multiple at a
+    # different sequence length would be apples-to-oranges, so long-seq
+    # runs report vs_baseline: null like eval mode does.
+    if os.path.exists(baseline_path) and seq == 50:
         try:
             with open(baseline_path) as f:
                 base = json.load(f)

@@ -64,19 +64,26 @@ def _vmem_budget() -> int:
 
 def fused_attention_fits(n_heads: int, s: int, d: int,
                          itemsize: int = 2) -> bool:
-    """Whether the short-seq fused kernels can compile at this geometry
-    at all: the minimal-footprint mode (nb=1, recompute backward) must
-    fit the scoped-VMEM budget — the [H,S,S] f32 score scratch plus the
-    double-buffered qkv/out row blocks. The whole-row VMEM softmax is a
-    short-sequence design; beyond ~S=380 at bert-base geometry the
-    scratch alone approaches the 16 MB scoped limit and callers should
+    """Whether the full-H short-seq fused kernels can compile at this
+    geometry: the minimal-footprint mode (nb=1, recompute backward) of
+    BOTH passes must fit the scoped-VMEM budget — fwd = one [H,S,S] f32
+    score scratch plus the double-buffered qkv/out rows; bwd = TWO
+    scratches plus the qkv/g/dqkv rows (the bwd check is what actually
+    binds: it fails ~100 rows of S before the fwd does, and a fwd-only
+    check would route S≈400-470 train steps onto a backward that cannot
+    compile). The whole-row VMEM softmax is a short-sequence design;
+    beyond ~S=370 at bert-base bf16 the packed entry head-blocks its
+    grid instead (fused_attention_fits_hb), and beyond every fit callers
     fall back (flash for the dropout-free path, einsum otherwise) —
     models/bert.py does this. Measured: S=512 b32 eval failed to compile
     with a 20.41 MB stack allocation before this guard (BENCHMARKS.md
     "Long-sequence scaling")."""
     sub = (s + 15) // 16 * 16
-    row = sub * 3 * d * itemsize + sub * d * itemsize
-    return _scratch_bytes(n_heads, s, s) + 2 * row <= _vmem_budget()
+    row_f = sub * 3 * d * itemsize + sub * d * itemsize
+    row_b = 2 * sub * 3 * d * itemsize + sub * d * itemsize
+    budget = _vmem_budget()
+    return (_scratch_bytes(n_heads, s, s) + 2 * row_f <= budget
+            and _scratch_bytes(n_heads, s, s, 2) + 2 * row_b <= budget)
 
 
 def _hb_row_bytes(s: int, hb: int, dh: int, n_arrays: int,

@@ -191,6 +191,21 @@ def test_fits_hb_extends_fused_range():
     assert _resolve_hb(12, 768, 768, 2) % 2 == 0
 
 
+def test_fits_bounds_both_passes():
+    """fused_attention_fits must bound the recompute BACKWARD footprint
+    (two [H,S,S] scratches + qkv/g/dqkv rows), not just the forward: a
+    fwd-only check admitted S≈272-470 at base bf16 geometry whose
+    backward could not compile (~18-25 MB per program). The boundary is
+    S=256 full-H; beyond, the head-blocked grid takes over seamlessly."""
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        _resolve_hb, fused_attention_fits)
+
+    assert fused_attention_fits(12, 256, 768)
+    assert not fused_attention_fits(12, 272, 768)
+    assert _resolve_hb(12, 272, 768, 2) == 6
+    assert _resolve_hb(12, 320, 768, 2) == 6
+
+
 def test_hb_env_override_validated(monkeypatch):
     from bert_multimodal_transformer_tpu.ops.fused_attention import (
         _resolve_hb)
