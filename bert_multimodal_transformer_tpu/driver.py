@@ -126,6 +126,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "attention over the model axis (both families; "
                         "einsum via GSPMD, fused via shard_map'd Pallas "
                         "kernels; needs n_head %% mp == 0)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="Pipeline-parallel stage count: encoder layers "
+                        "split into N stages over a 'pipe' mesh axis, "
+                        "GPipe microbatch schedule, activations over ICI "
+                        "(parallel/pp.py); data axis gets the remaining "
+                        "devices. BERT family only; needs "
+                        "num_hidden_layers %% N == 0")
+    p.add_argument("--pp_microbatches", type=int, default=4,
+                   help="With --pipeline_parallel > 1: microbatches per "
+                        "step (the pipeline's accumulation factor; the "
+                        "per-data-shard batch must divide by it)")
     p.add_argument("--rng_impl", type=str, default="rbg",
                    choices=["threefry2x32", "rbg"],
                    help="Dropout PRNG: rbg uses the TPU hardware RNG "
@@ -241,12 +252,42 @@ def main(argv=None) -> int:
     # mesh before the model: --tp_shard_attention threads it into the
     # model config (tp_attention_mesh) for the head-sharded attention
     # constraints / shard_map'd fused kernels.
-    try:
-        mesh = make_mesh(MeshConfig(data_parallel=-1,
-                                    model_parallel=args.model_parallel))
-    except ValueError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
+    use_pp = args.pipeline_parallel > 1
+    if use_pp:
+        if args.model_parallel > 1 or args.tp_shard_attention:
+            print("error: --pipeline_parallel does not compose with "
+                  "--model_parallel/--tp_shard_attention (one 2-D mesh "
+                  "per run)", file=sys.stderr)
+            return 2
+        if is_xlnet:
+            print("error: --pipeline_parallel supports the BERT family "
+                  "(XLNet's layer-1 MAG injection is not pipelined)",
+                  file=sys.stderr)
+            return 2
+        if args.remat:
+            print("error: --remat is not applied by the pipeline "
+                  "trainer (parallel/pp.py builds the stage layers "
+                  "directly); drop one of the flags", file=sys.stderr)
+            return 2
+        from bert_multimodal_transformer_tpu.parallel.pp import (
+            make_pp_mesh,
+        )
+
+        n_dev = len(jax.devices())
+        if n_dev % args.pipeline_parallel != 0:
+            print(f"error: --pipeline_parallel {args.pipeline_parallel} "
+                  f"does not divide the {n_dev} devices",
+                  file=sys.stderr)
+            return 2
+        mesh = make_pp_mesh(args.pipeline_parallel,
+                            data_parallel=n_dev // args.pipeline_parallel)
+    else:
+        try:
+            mesh = make_mesh(MeshConfig(data_parallel=-1,
+                                        model_parallel=args.model_parallel))
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
 
     vocab_size = getattr(tokenizer, "vocab_size", 30522)
     if is_xlnet:
@@ -347,9 +388,22 @@ def main(argv=None) -> int:
                   f"divisible by --model_parallel "
                   f"({args.model_parallel})", file=sys.stderr)
             return 2
-    trainer = Trainer(model=model, tx=tx, mesh=mesh,
-                      grad_accum=args.gradient_accumulation_step,
-                      tp_shard_attention=args.tp_shard_attention)
+    if use_pp:
+        from bert_multimodal_transformer_tpu.parallel.pp import (
+            PipelineTrainer,
+        )
+
+        if args.gradient_accumulation_step != 1:
+            print("error: --gradient_accumulation_step is superseded by "
+                  "--pp_microbatches under --pipeline_parallel",
+                  file=sys.stderr)
+            return 2
+        trainer = PipelineTrainer(model=model, tx=tx, mesh=mesh,
+                                  n_micro=args.pp_microbatches)
+    else:
+        trainer = Trainer(model=model, tx=tx, mesh=mesh,
+                          grad_accum=args.gradient_accumulation_step,
+                          tp_shard_attention=args.tp_shard_attention)
 
     sample = next(iter(train_it))[0]
     state = trainer.init_state(rng, sample)
@@ -359,10 +413,22 @@ def main(argv=None) -> int:
             load_pretrained_into_params,
         )
 
-        params = load_pretrained_into_params(
-            state.params, args.pretrained_checkpoint, family=family)
-        # place loaded params with the state's shardings (under TP these
-        # are per-leaf model-axis shardings, not plain replication)
+        if use_pp:
+            # the converter speaks the model layout; round-trip through it
+            from bert_multimodal_transformer_tpu.parallel.pp import (
+                model_params_from_pp_params,
+                pp_params_from_model_params,
+            )
+
+            template = model_params_from_pp_params(
+                jax.device_get(state.params))
+            params = pp_params_from_model_params(load_pretrained_into_params(
+                template, args.pretrained_checkpoint, family=family))
+        else:
+            params = load_pretrained_into_params(
+                state.params, args.pretrained_checkpoint, family=family)
+        # place loaded params with the state's shardings (under TP/PP
+        # these are per-leaf mesh shardings, not plain replication)
         param_shardings = jax.tree_util.tree_map(
             lambda a: a.sharding, state.params)
         state = state.replace(
@@ -381,8 +447,25 @@ def main(argv=None) -> int:
             print("error: --predict_only requires --checkpoint_dir",
                   file=sys.stderr)
             return 2
-        predictor = Predictor.from_checkpoint(
-            model, args.checkpoint_dir, batch_size=args.test_batch_size)
+        from bert_multimodal_transformer_tpu.utils.checkpoint import (
+            CheckpointManager as _CM,
+        )
+
+        _params = _CM(args.checkpoint_dir).restore_params()
+        if _params is None:
+            print(f"error: no checkpoint under {args.checkpoint_dir}",
+                  file=sys.stderr)
+            return 2
+        if "prologue" in _params:
+            # checkpoint written by a --pipeline_parallel run: stored in
+            # the pipeline layout, serve in the model layout
+            from bert_multimodal_transformer_tpu.parallel.pp import (
+                model_params_from_pp_params,
+            )
+
+            _params = model_params_from_pp_params(_params)
+        predictor = Predictor(model, _params,
+                              batch_size=args.test_batch_size)
         data = load_pickle_splits(pickle_path)
         test_split = convert_to_features(
             data["test"], args.max_seq_length, tokenizer, family)
@@ -489,6 +572,12 @@ def main(argv=None) -> int:
         import torch as _torch
 
         params_np = jax.device_get(state.params)
+        if use_pp:
+            from bert_multimodal_transformer_tpu.parallel.pp import (
+                model_params_from_pp_params,
+            )
+
+            params_np = model_params_from_pp_params(params_np)
         if is_xlnet:
             sd = export_xlnet_state_dict(params_np, cfg.n_layer)
         else:

@@ -230,6 +230,53 @@ def test_driver_qkv_fusion_flag(tmp_path, capsys):
     assert "BERT" in capsys.readouterr().err
 
 
+def test_driver_pipeline_parallel(tmp_path, capsys):
+    """--pipeline_parallel through the full CLI on the virtual mesh:
+    train epochs (incl. a ragged tail through the masked pipeline step),
+    checkpoint in pipeline layout, --predict_only converts it back to
+    the model layout, --export_hf writes model-layout weights. Plus the
+    combination guards."""
+    import json
+
+    rc = run_driver(tmp_path,
+                    extra=["--pipeline_parallel", "2",
+                           "--pp_microbatches", "2",
+                           "--synthetic_sizes", "20", "8", "8",
+                           "--export_hf", str(tmp_path / "pp.bin")],
+                    epochs=1)
+    assert rc == 0
+    rec = json.loads((tmp_path / "ckpt" / "metrics.jsonl")
+                     .read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["test_mae"])
+    assert (tmp_path / "pp.bin").exists()
+
+    capsys.readouterr()
+    rc = run_driver(tmp_path,
+                    extra=["--pipeline_parallel", "2",
+                           "--pp_microbatches", "2",
+                           "--synthetic_sizes", "20", "8", "8",
+                           "--predict_only"], epochs=1)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["test_mae"])
+
+    # guards: no TP composition, no XLNet, no grad-accum double-counting
+    rc = driver.main(["--model", "bert-base-uncased", "--synthetic",
+                      "--tiny", "--pipeline_parallel", "2",
+                      "--model_parallel", "2"])
+    assert rc == 2
+    assert "compose" in capsys.readouterr().err
+    rc = driver.main(["--model", "xlnet-base-cased", "--synthetic",
+                      "--tiny", "--pipeline_parallel", "2"])
+    assert rc == 2
+    assert "BERT family" in capsys.readouterr().err
+    rc = driver.main(["--model", "bert-base-uncased", "--synthetic",
+                      "--tiny", "--pipeline_parallel", "2",
+                      "--gradient_accumulation_step", "2"])
+    assert rc == 2
+    assert "--pp_microbatches" in capsys.readouterr().err
+
+
 def test_driver_export_hf(tmp_path):
     """--export_hf writes the fine-tuned encoder as an HF-format torch
     .bin that loads into a transformers BertModel of the same geometry
