@@ -150,8 +150,16 @@ class BertSelfAttention(nn.Module):
 
         fused_fits = fused_attention_fits(
             h, s, d, jnp.dtype(self.dtype).itemsize)
+        # the hb fit is compile-verified on TPU (the probe needs the
+        # exact production kernel parameters — dropout rate, softmax
+        # scale, dtype; ops/fused_attention.py::_resolve_hb_plan)
         fused_fits_hb = fused_attention_fits_hb(
-            h, s, d, jnp.dtype(self.dtype).itemsize)
+            h, s, d, jnp.dtype(self.dtype).itemsize,
+            batch=b,
+            rate=(0.0 if deterministic
+                  else cfg.attention_probs_dropout_prob),
+            scale=1.0 / (dh ** 0.5),
+            dtype=jnp.dtype(self.dtype))
 
         use_qkvproj = (cfg.attention_impl == "fused" and cfg.qkv_fusion
                        and tp_mesh is None and head_mask is None

@@ -187,8 +187,14 @@ class XLNetRelativeAttention(nn.Module):
         d_gate = nh_gate * q_head.shape[3]
         rel_fits = fused_rel_attention_fits(
             nh_gate, qlen_gate, klen, d_gate, item, item)
+        # compile-verified on TPU: the probe needs the exact production
+        # kernel parameters (ops/fused_attention.py::_resolve_rel_hb_plan)
         rel_fits_hb = fused_rel_attention_fits_hb(
-            nh_gate, qlen_gate, klen, d_gate, item, item)
+            nh_gate, qlen_gate, klen, d_gate, item, item,
+            batch=q_head.shape[0],
+            rate=(0.0 if deterministic else cfg.dropout),
+            scale=scale,
+            dtype=jnp.dtype(self.dtype), eb_dtype=jnp.dtype(self.dtype))
 
         if (cfg.attention_impl == "fused" and head_mask is None
                 and not output_attentions

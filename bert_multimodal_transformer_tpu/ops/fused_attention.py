@@ -130,18 +130,32 @@ def _resolve_hb(n_heads: int, s: int, d: int, itemsize: int):
 
 
 def fused_attention_fits_hb(n_heads: int, s: int, d: int,
-                            itemsize: int = 2) -> bool:
+                            itemsize: int = 2, *,
+                            batch: Optional[int] = None,
+                            rate: float = 0.1,
+                            scale: float = 1.0,
+                            dtype=None) -> bool:
     """Whether ANY packed fused variant can compile at this geometry:
     the full-H kernel (``fused_attention_fits``) or the head-blocked
     grid (grid dim over H//hb head blocks, [hb,S,S] scratch per
-    program). Head-blocking carries the fused path — in-VMEM softmax +
-    prob-dropout, no [B,H,S,S] residuals — through S=768 at bert-base
-    bf16 geometry (vs ~380 full-H); beyond, callers degrade to flash
-    (dropout-free) or einsum. models/bert.py's non-TP packed dispatch
-    gates on this; the TP and qkvproj paths still require the full-H
-    fit (split kernels / in-kernel projection)."""
-    return (fused_attention_fits(n_heads, s, d, itemsize)
-            or _resolve_hb(n_heads, s, d, itemsize) is not None)
+    program). Head-blocking carries the fused path deep into the
+    long-seq regime (S=640 at bert-base bf16 with the compile-verified
+    plan); beyond, callers degrade to flash (dropout-free) or einsum.
+    models/bert.py's non-TP packed dispatch gates on this; the TP and
+    qkvproj paths still require the full-H fit (split kernels /
+    in-kernel projection).
+
+    On TPU the head-blocked answer is COMPILE-VERIFIED (``
+    _resolve_hb_plan`` — see the probe note above): pass ``batch``/
+    ``rate``/``scale``/``dtype`` so the probe compiles the exact
+    production kernel; the defaults probe a representative train-mode
+    configuration."""
+    if fused_attention_fits(n_heads, s, d, itemsize):
+        return True
+    return _resolve_hb_plan(
+        batch if batch is not None else 8, n_heads, s, d, itemsize,
+        rate=rate, scale=scale,
+        dtype=dtype if dtype is not None else jnp.bfloat16) is not None
 
 
 def fused_rel_attention_fits(n_heads: int, q_len: int, k_len: int,
@@ -199,18 +213,274 @@ def _resolve_rel_hb(n_heads: int, q_len: int, k_len: int, d: int,
     return None
 
 
+# -- compile-probe planning for the head-blocked kernels --------------------
+#
+# The arithmetic model above (scratch + double-buffered operand blocks)
+# UNDER-predicts Mosaic's actual scoped-VMEM stack for the head-blocked
+# kernels, and the misses are NOT monotonic in either S or nb — measured
+# on hardware (tools/probe_hb_vmem.py, 2026-08-19, base geometry bf16):
+# bwd S=448 hb=4 nb=1 allocates 18.28 MB (fails to compile) while
+# S=512 hb=4 nb=1 fits; fwd S=320 hb=6 nb=4 allocates 16.96 MB (fails)
+# while nb=2 fits; bwd S=320 hb=6 allocates MORE at nb=2 (22.06 MB)
+# than at nb=4 (18.76 MB). No closed form fits that table, so on TPU the
+# hb dispatch VERIFIES its planned (hb, nb) by AOT-compiling the
+# standalone kernel (one remote compile per geometry/pass, cached here
+# and in the persistent compilation cache) and walks DOWN — nb toward 1,
+# then hb to the next divisor — until a configuration actually compiles.
+# Off-TPU (interpret mode) there is no scoped limit and the arithmetic
+# plan is used as-is. FUSED_ATTN_PROBE=0 disables verification.
+
+_PROBE_CACHE: dict = {}
+
+
+def _probe_enabled() -> bool:
+    import jax
+
+    return (os.environ.get("FUSED_ATTN_PROBE", "1") == "1"
+            and jax.default_backend() == "tpu")
+
+
+def _hb_kernel_compiles(pass_name: str, s: int, d: int, n_heads: int,
+                        hb: int, nb: int, rate: float, scale: float,
+                        dtype) -> bool:
+    """AOT-compile the standalone head-blocked kernel (b=nb → one grid
+    step; the per-program scoped stack is grid-size-independent,
+    verified in the probe table). Cached per geometry/pass."""
+    import jax
+
+    key = (pass_name, s, d, n_heads, hb, nb, float(rate), float(scale),
+           jnp.dtype(dtype).str)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    qkv = jax.ShapeDtypeStruct((nb, s, 3 * d), dtype)
+    bias = jax.ShapeDtypeStruct((nb, 1, s), jnp.float32)
+    seed = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    try:
+        if pass_name == "fwd":
+            _fwd_packed_hb_pallas.lower(
+                qkv, bias, seed, scale=scale, rate=rate,
+                n_heads=n_heads, hb=hb, interpret=False, nb=nb).compile()
+        else:
+            g = jax.ShapeDtypeStruct((nb, s, d), dtype)
+            _bwd_packed_hb_pallas.lower(
+                qkv, bias, seed, g, scale=scale, rate=rate,
+                n_heads=n_heads, hb=hb, interpret=False, nb=nb).compile()
+        ok = True
+    except Exception:  # noqa: BLE001 - any compile failure means "walk on"
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
+def _walk_nb(pass_name, b, s, d, n_heads, hb, nb0, rate, scale, dtype):
+    """Largest nb ≤ nb0 (halving, keeping b % nb == 0) whose kernel
+    compiles; None if even nb=1 does not."""
+    nb = max(1, nb0)
+    while nb >= 1:
+        if b % nb == 0 and _hb_kernel_compiles(
+                pass_name, s, d, n_heads, hb, nb, rate, scale, dtype):
+            return nb
+        nb //= 2
+    return None
+
+
+def _resolve_hb_plan(b: int, n_heads: int, s: int, d: int, itemsize: int,
+                     rate: float = 0.1, scale: float = 1.0,
+                     dtype=jnp.bfloat16, nb_fwd=None, nb_bwd=None):
+    """(hb, nb_fwd, nb_bwd) for the head-blocked packed kernels, or None.
+
+    The arithmetic (``_resolve_hb`` + ``_pick_nb_packed``) proposes;
+    on TPU each pass is compile-verified (``_hb_kernel_compiles``) with
+    nb walked toward 1 and hb toward the next divisor on failure.
+    Explicit ``nb_fwd``/``nb_bwd`` (user-forced, e.g. FUSED_ATTN_NB_*)
+    are passed through verified-but-not-walked: a forced block size that
+    cannot compile surfaces as no-fit rather than silently shrinking."""
+    dh = d // n_heads
+    probe = _probe_enabled()
+
+    if "FUSED_ATTN_HB" in os.environ:
+        candidates = [_resolve_hb(n_heads, s, d, itemsize)]
+        if candidates[0] is None:
+            return None
+    else:
+        budget = _vmem_budget()
+
+        def arith_fits(hb):
+            if (hb * dh) % 128 != 0:
+                return False
+            fwd = (_scratch_bytes(hb, s, s)
+                   + 2 * _hb_row_bytes(s, hb, dh, 4, itemsize))
+            bwd = (_scratch_bytes(hb, s, s, 2)
+                   + 2 * _hb_row_bytes(s, hb, dh, 7, itemsize))
+            return fwd <= budget and bwd <= budget
+
+        candidates = [hb for hb in range(n_heads, 0, -1)
+                      if n_heads % hb == 0 and arith_fits(hb)]
+
+    for hb in candidates:
+        nb_f0 = nb_fwd if nb_fwd is not None else _pick_nb_packed(
+            b, _hb_row_bytes(s, hb, dh, 4, itemsize),
+            fixed_bytes=_scratch_bytes(hb, s, s))
+        nb_b0 = nb_bwd if nb_bwd is not None else _pick_nb_packed(
+            b, _hb_row_bytes(s, hb, dh, 7, itemsize),
+            fixed_bytes=_scratch_bytes(hb, s, s, 2))
+        if not probe:
+            return hb, nb_f0, nb_b0
+        if nb_fwd is not None:
+            nb_f = nb_f0 if _hb_kernel_compiles(
+                "fwd", s, d, n_heads, hb, nb_f0, rate, scale,
+                dtype) else None
+        else:
+            nb_f = _walk_nb("fwd", b, s, d, n_heads, hb, nb_f0, rate,
+                            scale, dtype)
+        if nb_f is None:
+            continue
+        if nb_bwd is not None:
+            nb_b = nb_b0 if _hb_kernel_compiles(
+                "bwd", s, d, n_heads, hb, nb_b0, rate, scale,
+                dtype) else None
+        else:
+            nb_b = _walk_nb("bwd", b, s, d, n_heads, hb, nb_b0, rate,
+                            scale, dtype)
+        if nb_b is None:
+            continue
+        return hb, nb_f, nb_b
+    return None
+
+
+def _rel_hb_kernel_compiles(pass_name: str, q_len: int, k_len: int,
+                            d: int, n_heads: int, hb: int, nb: int,
+                            rate: float, scale: float, dtype,
+                            eb_dtype) -> bool:
+    """Rel twin of ``_hb_kernel_compiles``: AOT-compile the standalone
+    head-blocked rel kernel at b=nb. Cached per geometry/pass."""
+    import jax
+
+    key = ("rel", pass_name, q_len, k_len, d, n_heads, hb, nb,
+           float(rate), float(scale), jnp.dtype(dtype).str,
+           jnp.dtype(eb_dtype).str)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    q = jax.ShapeDtypeStruct((nb, q_len, d), dtype)
+    kv = jax.ShapeDtypeStruct((nb, k_len, d), dtype)
+    ebias = jax.ShapeDtypeStruct((nb, n_heads, q_len, k_len), eb_dtype)
+    seed = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    try:
+        if pass_name == "fwd":
+            _fwd_rel_hb_pallas.lower(
+                q, kv, kv, ebias, seed, scale=scale, rate=rate,
+                n_heads=n_heads, hb=hb, interpret=False, nb=nb).compile()
+        else:
+            g = jax.ShapeDtypeStruct((nb, q_len, d), dtype)
+            _bwd_rel_hb_pallas.lower(
+                q, kv, kv, ebias, seed, g, scale=scale, rate=rate,
+                n_heads=n_heads, hb=hb, interpret=False, nb=nb).compile()
+        ok = True
+    except Exception:  # noqa: BLE001 - any compile failure means "walk on"
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
+def _resolve_rel_hb_plan(b: int, n_heads: int, q_len: int, k_len: int,
+                         d: int, itemsize: int, eb_itemsize: int = 2,
+                         rate: float = 0.1, scale: float = 1.0,
+                         dtype=jnp.bfloat16, eb_dtype=jnp.bfloat16,
+                         nb_fwd=None, nb_bwd=None):
+    """Rel twin of ``_resolve_hb_plan``: arithmetic proposes (hb, nb),
+    the compile probe verifies and walks down on TPU."""
+    dh = d // n_heads
+    probe = _probe_enabled()
+    subq = (q_len + 15) // 16 * 16
+    subk = (k_len + 15) // 16 * 16
+    lane_k = (k_len + 127) // 128 * 128
+
+    if "FUSED_ATTN_HB" in os.environ:
+        candidates = [_resolve_rel_hb(n_heads, q_len, k_len, d, itemsize,
+                                      eb_itemsize)]
+        if candidates[0] is None:
+            return None
+    else:
+        budget = _vmem_budget()
+
+        def arith_fits(hb):
+            if (hb * dh) % 128 != 0:
+                return False
+            lane_d = (hb * dh + 127) // 128 * 128
+            eb = hb * subq * lane_k * eb_itemsize
+            row_f = (subq + 2 * subk + subq) * lane_d * itemsize + eb
+            row_b = (2 * subq + 4 * subk) * lane_d * itemsize + 2 * eb
+            return (_scratch_bytes(hb, q_len, k_len) + 2 * row_f <= budget
+                    and _scratch_bytes(hb, q_len, k_len, 2) + 2 * row_b
+                    <= budget)
+
+        candidates = [hb for hb in range(n_heads, 0, -1)
+                      if n_heads % hb == 0 and arith_fits(hb)]
+
+    def walk(pass_name, nb0):
+        nb = max(1, nb0)
+        while nb >= 1:
+            if b % nb == 0 and _rel_hb_kernel_compiles(
+                    pass_name, q_len, k_len, d, n_heads, hb, nb, rate,
+                    scale, dtype, eb_dtype):
+                return nb
+            nb //= 2
+        return None
+
+    for hb in candidates:
+        lane_d = (hb * dh + 127) // 128 * 128
+        eb = hb * subq * lane_k * eb_itemsize
+        row_f = (subq + 2 * subk + subq) * lane_d * itemsize + eb
+        row_b = (2 * subq + 4 * subk) * lane_d * itemsize + 2 * eb
+        nb_f0 = nb_fwd if nb_fwd is not None else _pick_nb_packed(
+            b, row_f, fixed_bytes=_scratch_bytes(hb, q_len, k_len))
+        nb_b0 = nb_bwd if nb_bwd is not None else _pick_nb_packed(
+            b, row_b, fixed_bytes=_scratch_bytes(hb, q_len, k_len, 2))
+        if not probe:
+            return hb, nb_f0, nb_b0
+        if nb_fwd is not None:
+            nb_f = nb_f0 if _rel_hb_kernel_compiles(
+                "fwd", q_len, k_len, d, n_heads, hb, nb_f0, rate, scale,
+                dtype, eb_dtype) else None
+        else:
+            nb_f = walk("fwd", nb_f0)
+        if nb_f is None:
+            continue
+        if nb_bwd is not None:
+            nb_b = nb_b0 if _rel_hb_kernel_compiles(
+                "bwd", q_len, k_len, d, n_heads, hb, nb_b0, rate, scale,
+                dtype, eb_dtype) else None
+        else:
+            nb_b = walk("bwd", nb_b0)
+        if nb_b is None:
+            continue
+        return hb, nb_f, nb_b
+    return None
+
+
 def fused_rel_attention_fits_hb(n_heads: int, q_len: int, k_len: int,
                                 d: int, itemsize: int = 2,
-                                eb_itemsize: int = 2) -> bool:
+                                eb_itemsize: int = 2, *,
+                                batch: Optional[int] = None,
+                                rate: float = 0.1,
+                                scale: float = 1.0,
+                                dtype=None,
+                                eb_dtype=None) -> bool:
     """Whether ANY rel-bias fused variant can compile at this geometry —
     the full-H kernel or the head-blocked grid. models/xlnet.py gates
     its fused dispatch on this and falls back to the einsum path beyond
     (rel attention has no flash analogue here: the streamed score bias
-    is itself [B,H,Q,K])."""
-    return (fused_rel_attention_fits(n_heads, q_len, k_len, d, itemsize,
-                                     eb_itemsize)
-            or _resolve_rel_hb(n_heads, q_len, k_len, d, itemsize,
-                               eb_itemsize) is not None)
+    is itself [B,H,Q,K]). On TPU the head-blocked answer is
+    compile-verified (``_resolve_rel_hb_plan`` — see the probe note)."""
+    if fused_rel_attention_fits(n_heads, q_len, k_len, d, itemsize,
+                                eb_itemsize):
+        return True
+    return _resolve_rel_hb_plan(
+        batch if batch is not None else 8, n_heads, q_len, k_len, d,
+        itemsize, eb_itemsize, rate=rate, scale=scale,
+        dtype=dtype if dtype is not None else jnp.bfloat16,
+        eb_dtype=eb_dtype if eb_dtype is not None else jnp.bfloat16,
+    ) is not None
 
 
 def _resolve_knobs(b, n_heads, q_len, k_len, rate, itemsize,
@@ -1850,12 +2120,15 @@ def fused_attention_packed(
         return _fused_attention_packed(qkv, bias, seed, float(scale), rate,
                                        n_heads, bool(interpret), nb_fwd,
                                        nb_bwd, save_probs)
-    hb = _resolve_hb(n_heads, s, d, qkv.dtype.itemsize)
-    if hb is None:
+    plan = _resolve_hb_plan(b, n_heads, s, d, qkv.dtype.itemsize,
+                            rate=rate, scale=float(scale),
+                            dtype=qkv.dtype, nb_fwd=nb_fwd, nb_bwd=nb_bwd)
+    if plan is None:
         raise ValueError(
             f"fused attention cannot fit scoped VMEM at H={n_heads} "
             f"S={s} D={d} even head-blocked; use flash or einsum "
             "(model dispatch gates on fused_attention_fits_hb)")
+    hb, nb_fwd, nb_bwd = plan
     return _fused_attention_packed_hb(qkv, bias, seed, float(scale), rate,
                                       n_heads, hb, bool(interpret),
                                       nb_fwd, nb_bwd)
@@ -2321,14 +2594,17 @@ def fused_rel_attention(
         return _fused_rel_attention(q, k, v, ebias, seed, float(scale),
                                     rate, n_heads, bool(interpret),
                                     (nb_fwd, nb_bwd), save_probs)
-    hb = _resolve_rel_hb(n_heads, q_len, k.shape[1], d, q.dtype.itemsize,
-                         ebias.dtype.itemsize)
-    if hb is None:
+    plan = _resolve_rel_hb_plan(
+        b, n_heads, q_len, k.shape[1], d, q.dtype.itemsize,
+        ebias.dtype.itemsize, rate=rate, scale=float(scale),
+        dtype=q.dtype, eb_dtype=ebias.dtype, nb_fwd=nb_fwd, nb_bwd=nb_bwd)
+    if plan is None:
         raise ValueError(
             f"fused rel attention cannot fit scoped VMEM at H={n_heads} "
             f"Q={q_len} K={k.shape[1]} D={d} even head-blocked; use the "
             "einsum path (model dispatch gates on "
             "fused_rel_attention_fits_hb)")
+    hb, nb_fwd, nb_bwd = plan
     return _fused_rel_attention_hb(q, k, v, ebias, seed, float(scale),
                                    rate, n_heads, hb, bool(interpret),
                                    (nb_fwd, nb_bwd))

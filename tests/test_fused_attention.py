@@ -206,6 +206,102 @@ def test_fits_bounds_both_passes():
     assert _resolve_hb(12, 320, 768, 2) == 6
 
 
+def _fake_probe(monkeypatch, table):
+    """Install a fake compile probe: table maps (pass, hb, nb) -> bool
+    (default False). Returns the call log."""
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    calls = []
+
+    def fake(pass_name, s, d, n_heads, hb, nb, rate, scale, dtype):
+        calls.append((pass_name, hb, nb))
+        return table.get((pass_name, hb, nb), False)
+
+    monkeypatch.setattr(fa, "_probe_enabled", lambda: True)
+    monkeypatch.setattr(fa, "_hb_kernel_compiles", fake)
+    return calls
+
+
+def test_hb_plan_walks_nb_on_compile_failure(monkeypatch):
+    """The S=320 hardware table: fwd compiles at nb=2 but not the
+    arithmetic pick nb=4 (16.96 MB scoped); the plan must walk nb down
+    instead of shipping a kernel that cannot compile."""
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    calls = _fake_probe(monkeypatch, {
+        ("fwd", 6, 2): True, ("bwd", 6, 1): True})
+    plan = fa._resolve_hb_plan(8, 12, 320, 768, 2, rate=0.1)
+    assert plan == (6, 2, 1)
+    assert ("fwd", 6, 4) in calls  # arithmetic pick tried first
+
+
+def test_hb_plan_walks_hb_when_bwd_never_compiles(monkeypatch):
+    """The S=448 hardware table: hb=4 bwd fails even at nb=1 (18.28 MB);
+    the plan must degrade to the next divisor (hb=2) rather than fail."""
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    table = {("fwd", 4, nb): True for nb in (1, 2, 4, 8)}
+    table.update({("fwd", 2, nb): True for nb in (1, 2, 4, 8)})
+    table[("bwd", 2, 4)] = True
+    calls = _fake_probe(monkeypatch, table)
+    plan = fa._resolve_hb_plan(8, 12, 448, 768, 2, rate=0.1)
+    assert plan is not None and plan[0] == 2
+    assert ("bwd", 4, 1) in calls  # hb=4 was tried and rejected
+
+
+def test_hb_plan_none_when_nothing_compiles(monkeypatch):
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    _fake_probe(monkeypatch, {})
+    assert fa._resolve_hb_plan(8, 12, 512, 768, 2, rate=0.1) is None
+    # the model gate consults the same plan
+    assert not fa.fused_attention_fits_hb(12, 512, 768, 2, batch=8,
+                                          rate=0.1)
+
+
+def test_hb_plan_forced_nb_not_walked(monkeypatch):
+    """A user-forced FUSED_ATTN_NB_* block size that cannot compile must
+    surface as no-fit, not silently shrink."""
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    calls = _fake_probe(monkeypatch, {("fwd", 6, 2): True,
+                                      ("bwd", 6, 1): True})
+    assert fa._resolve_hb_plan(8, 12, 320, 768, 2, rate=0.1,
+                               nb_fwd=4) is None
+    assert ("fwd", 6, 2) not in calls  # no walk below the forced value
+
+
+def test_rel_hb_plan_walks_and_gates(monkeypatch):
+    """The rel twin: plan walks nb/hb on compile failure and the XLNet
+    gate (fused_rel_attention_fits_hb) consults it."""
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    calls = []
+
+    def fake(pass_name, q_len, k_len, d, n_heads, hb, nb, rate, scale,
+             dtype, eb_dtype):
+        calls.append((pass_name, hb, nb))
+        return (pass_name, hb, nb) in {("fwd", 2, 1), ("bwd", 2, 1)}
+
+    monkeypatch.setattr(fa, "_probe_enabled", lambda: True)
+    monkeypatch.setattr(fa, "_rel_hb_kernel_compiles", fake)
+    plan = fa._resolve_rel_hb_plan(8, 12, 512, 512, 768, 2)
+    assert plan == (2, 1, 1)
+    assert fa.fused_rel_attention_fits_hb(12, 512, 512, 768, 2, batch=8)
+    monkeypatch.setattr(fa, "_rel_hb_kernel_compiles",
+                        lambda *a, **k: False)
+    assert fa._resolve_rel_hb_plan(8, 12, 512, 512, 768, 2) is None
+
+
+def test_hb_plan_arithmetic_when_probe_off(monkeypatch):
+    """Off-TPU (or FUSED_ATTN_PROBE=0) the plan is pure arithmetic —
+    the CPU/interpret path has no scoped-VMEM limit."""
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    plan = fa._resolve_hb_plan(8, 12, 320, 768, 2, rate=0.1)
+    assert plan is not None and plan[0] == fa._resolve_hb(12, 320, 768, 2)
+
+
 def test_hb_env_override_validated(monkeypatch):
     from bert_multimodal_transformer_tpu.ops.fused_attention import (
         _resolve_hb)
