@@ -137,6 +137,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="With --pipeline_parallel > 1: microbatches per "
                         "step (the pipeline's accumulation factor; the "
                         "per-data-shard batch must divide by it)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: store params + optimizer moments "
+                        "sharded over the data axis (parallel/fsdp.py; "
+                        "XLA inserts the all-gather/reduce-scatter "
+                        "schedule). Composes with --model_parallel; "
+                        "not with --pipeline_parallel")
     p.add_argument("--rng_impl", type=str, default="rbg",
                    choices=["threefry2x32", "rbg"],
                    help="Dropout PRNG: rbg uses the TPU hardware RNG "
@@ -258,6 +264,11 @@ def main(argv=None) -> int:
             print("error: --pipeline_parallel does not compose with "
                   "--model_parallel/--tp_shard_attention (one 2-D mesh "
                   "per run)", file=sys.stderr)
+            return 2
+        if args.fsdp:
+            print("error: --fsdp does not compose with "
+                  "--pipeline_parallel (the pipeline trainer owns its "
+                  "stage-sharded state layout)", file=sys.stderr)
             return 2
         if is_xlnet:
             print("error: --pipeline_parallel supports the BERT family "
@@ -403,7 +414,8 @@ def main(argv=None) -> int:
     else:
         trainer = Trainer(model=model, tx=tx, mesh=mesh,
                           grad_accum=args.gradient_accumulation_step,
-                          tp_shard_attention=args.tp_shard_attention)
+                          tp_shard_attention=args.tp_shard_attention,
+                          fsdp=args.fsdp)
 
     sample = next(iter(train_it))[0]
     state = trainer.init_state(rng, sample)

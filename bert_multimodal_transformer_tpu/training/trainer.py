@@ -191,6 +191,9 @@ class Trainer:
     # relative-attention weights (einsum attention path only —
     # parallel/tp.py docstring).
     tp_shard_attention: bool = False
+    # ZeRO-3: shard params + optimizer moments over the data axis
+    # (parallel/fsdp.py); composes with TP on a 2-D mesh.
+    fsdp: bool = False
 
     def __post_init__(self):
         if self.mesh is None:
@@ -226,38 +229,47 @@ class Trainer:
         # model-axis > 1 → tensor parallelism: params carry per-leaf
         # shardings (parallel/tp.py rules) instead of being replicated;
         # the jitted steps then inherit shardings from their arguments
-        # and XLA SPMD inserts the FFN collectives.
+        # and XLA SPMD inserts the FFN collectives. FSDP (ZeRO-3,
+        # parallel/fsdp.py) works the same way: the state is device_put
+        # with per-leaf data-axis shardings and the steps infer.
         self._tp = self.mesh.shape.get("model", 1) > 1
+        explicit = not (self._tp or self.fsdp)
 
         train_step = make_train_step(self.grad_accum)
         self._train_step = jax.jit(
             train_step,
-            in_shardings=None if self._tp else (self._rep, self._bsh),
-            out_shardings=None if self._tp else (self._rep, self._rep),
+            in_shardings=(self._rep, self._bsh) if explicit else None,
+            out_shardings=(self._rep, self._rep) if explicit else None,
             donate_argnums=(0,) if self.donate else (),
         )
         # compiled lazily — only a training run whose final batch is
         # actually ragged ever pays for this variant
         self._train_step_masked = jax.jit(
             make_masked_train_step(self.grad_accum),
-            in_shardings=None if self._tp else (self._rep, self._bsh,
-                                                self._bsh),
-            out_shardings=None if self._tp else (self._rep, self._rep),
+            in_shardings=(self._rep, self._bsh,
+                          self._bsh) if explicit else None,
+            out_shardings=(self._rep, self._rep) if explicit else None,
             donate_argnums=(0,) if self.donate else (),
         )
         self._eval_step = jax.jit(
             eval_step,
-            in_shardings=None if self._tp else (self._rep, self._bsh,
-                                                self._bsh),
-            out_shardings=None if self._tp else (self._rep, self._rep),
+            in_shardings=(self._rep, self._bsh,
+                          self._bsh) if explicit else None,
+            out_shardings=(self._rep, self._rep) if explicit else None,
         )
         self._predict_step = jax.jit(
             predict_step,
-            in_shardings=None if self._tp else (self._rep, self._bsh),
-            out_shardings=None if self._tp else (self._bsh, self._bsh),
+            in_shardings=(self._rep, self._bsh) if explicit else None,
+            out_shardings=(self._bsh, self._bsh) if explicit else None,
         )
 
     def _state_sharding(self, state):
+        if self.fsdp:
+            from bert_multimodal_transformer_tpu.parallel.fsdp import (
+                make_fsdp_state_shardings)
+            return make_fsdp_state_shardings(
+                state, self.mesh,
+                shard_attention=self.tp_shard_attention)
         if not self._tp:
             return self._rep
         from bert_multimodal_transformer_tpu.parallel.tp import (

@@ -119,6 +119,22 @@ def test_driver_tp_cli_smoke(tmp_path):
     assert rc == 0
 
 
+def test_driver_fsdp_cli_smoke(tmp_path, capsys):
+    """--fsdp through the full CLI on the virtual mesh (mechanism tested
+    in test_fsdp; this covers the driver wiring), and its rejection
+    under --pipeline_parallel."""
+    rc = run_driver(tmp_path, extra=["--fsdp"])
+    assert rc == 0
+    rec = json.loads((tmp_path / "ckpt" / "metrics.jsonl")
+                     .read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"])
+
+    rc = driver.main(["--model", "bert-base-uncased", "--synthetic",
+                      "--tiny", "--fsdp", "--pipeline_parallel", "2"])
+    assert rc == 2
+    assert "--fsdp" in capsys.readouterr().err
+
+
 def test_driver_rejects_inert_rel_bias_impl(capsys):
     """--rel_bias_impl inkernel is only read by the fused rel-attention
     path: without --attention_impl fused (or on the BERT family) it would
