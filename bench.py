@@ -70,9 +70,12 @@ def main():
     from bert_multimodal_transformer_tpu.training.trainer import Trainer
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
-    # BENCH_SEQ: sequence length (≤ max_position_embeddings=512). The
-    # reference truncates at 50; longer values exercise the long-seq
-    # scaling story (BENCH_ATTN=flash engages in eval mode / dropout-off).
+    # BENCH_SEQ: sequence length. The reference truncates at 50; longer
+    # values exercise the long-seq scaling story (fused dispatch:
+    # full-H -> head-blocked -> flash-streamed; BENCH_ATTN=flash is the
+    # dropout-free kernel, eval mode). Past max_position_embeddings=512
+    # position ids clip (XLA gather) — identical compute, synthetic
+    # positions; the CLI driver extends the table instead.
     seq = int(os.environ.get("BENCH_SEQ", "50"))
     n_steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = 5

@@ -350,6 +350,13 @@ def main(argv=None) -> int:
         import dataclasses
         if args.synthetic and not args.tiny:
             cfg = dataclasses.replace(cfg, vocab_size=max(vocab_size, 128))
+        if args.max_seq_length > cfg.max_position_embeddings:
+            # BERT's absolute position table would silently CLIP indices
+            # past its size (XLA gather semantics) — extend it instead.
+            # Warm-starting a [512, D] checkpoint into the longer table
+            # fails loudly in the converter, which is the honest outcome.
+            cfg = dataclasses.replace(
+                cfg, max_position_embeddings=args.max_seq_length)
         if args.rel_bias_impl != "stream":
             print("error: --rel_bias_impl applies only to the XLNet "
                   "family's fused rel-attention", file=sys.stderr)

@@ -137,29 +137,36 @@ class BertSelfAttention(nn.Module):
         # Long-sequence guards for the fused-kernel variants: the full-H
         # kernels' [H,S,S] f32 scratch outgrows the 16 MB scoped-VMEM
         # limit near S≈380 at base geometry. The non-TP packed entry
-        # then head-blocks its grid ([hb,S,S] scratch), carrying the
-        # fused path through S=768 (fused_attention_fits_hb); the
-        # TP/qkvproj paths need the full-H fit (split kernels /
-        # in-kernel projection). Beyond any fit, degrade to flash
-        # (dropout-free) or einsum instead of failing to compile
-        # (BENCHMARKS.md "Long-sequence scaling").
+        # then head-blocks its grid ([hb,S,S] scratch, compile-verified
+        # through S=640 at base bf16, fused_attention_fits_hb) and
+        # beyond that streams k-blocks flash-style with in-kernel
+        # dropout replay (fused_attention_fits_fs — HBM-bound, any
+        # 128-divisible S); the TP/qkvproj paths need the full-H fit
+        # (split kernels / in-kernel projection). Beyond every fit,
+        # degrade to flash (dropout-free) or einsum instead of failing
+        # to compile (BENCHMARKS.md "Long-sequence scaling").
         from bert_multimodal_transformer_tpu.ops.fused_attention import (
             fused_attention_fits,
+            fused_attention_fits_fs,
             fused_attention_fits_hb,
         )
 
         fused_fits = fused_attention_fits(
             h, s, d, jnp.dtype(self.dtype).itemsize)
-        # the hb fit is compile-verified on TPU (the probe needs the
-        # exact production kernel parameters — dropout rate, softmax
-        # scale, dtype; ops/fused_attention.py::_resolve_hb_plan)
-        fused_fits_hb = fused_attention_fits_hb(
-            h, s, d, jnp.dtype(self.dtype).itemsize,
+        # the hb/fs fits are compile-verified on TPU (the probe needs
+        # the exact production kernel parameters — dropout rate,
+        # softmax scale, dtype; ops/fused_attention.py::
+        # _resolve_hb_plan / _resolve_fs_plan)
+        fit_kwargs = dict(
             batch=b,
             rate=(0.0 if deterministic
                   else cfg.attention_probs_dropout_prob),
             scale=1.0 / (dh ** 0.5),
             dtype=jnp.dtype(self.dtype))
+        fused_fits_hb = fused_attention_fits_hb(
+            h, s, d, jnp.dtype(self.dtype).itemsize, **fit_kwargs)
+        fused_fits_any = fused_fits_hb or fused_attention_fits_fs(
+            h, s, d, jnp.dtype(self.dtype).itemsize, **fit_kwargs)
 
         use_qkvproj = (cfg.attention_impl == "fused" and cfg.qkv_fusion
                        and tp_mesh is None and head_mask is None
@@ -197,7 +204,7 @@ class BertSelfAttention(nn.Module):
                         and fused_fits)
         use_fused = (cfg.attention_impl == "fused" and tp_mesh is None
                      and head_mask is None and not output_attentions
-                     and fused_fits_hb)
+                     and fused_fits_any)
         if use_qkvproj:
             from bert_multimodal_transformer_tpu.ops.fused_attention import (
                 fused_attention_qkvproj,
@@ -265,11 +272,12 @@ class BertSelfAttention(nn.Module):
             q, k, v = [jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)]
             # flash kernel has no attention-prob dropout: only take it
             # when it cannot change semantics (eval, or dropout == 0).
-            # attention_impl="fused" beyond even the head-blocked fit
-            # (S>768 at base bf16), or under TP beyond the full-H fit,
-            # also lands here — flash IS the long-seq design (O(S)
-            # memory), so it is the right degradation when dropout
-            # permits; einsum otherwise.
+            # attention_impl="fused" beyond even the head-blocked AND
+            # flash-streamed fits (S not 128-divisible, exotic head
+            # geometry), or under TP beyond the full-H fit, also lands
+            # here — flash IS the long-seq design (O(S) memory), so it
+            # is the right degradation when dropout permits; einsum
+            # otherwise.
             use_flash = (cfg.attention_impl in ("flash", "fused")
                          and head_mask is None and s % 128 == 0
                          and not output_attentions

@@ -483,6 +483,110 @@ def fused_rel_attention_fits_hb(n_heads: int, q_len: int, k_len: int,
     ) is not None
 
 
+# -- flash-streamed (fs) planning: the tier beyond head-blocking ------------
+
+
+def _fs_min_hb(n_heads: int, dh: int):
+    """Smallest head-block whose flat lane width is 128-aligned (the
+    packed column slices address [·, hb·Dh] lanes)."""
+    for hb in range(1, n_heads + 1):
+        if n_heads % hb == 0 and (hb * dh) % 128 == 0:
+            return hb
+    return None
+
+
+def _fs_candidates(s: int):
+    """(qb, kb) block pairs, best-first: bigger kb keeps the QK/PV dots
+    MXU-shaped; qb caps the per-program working set."""
+    for kb in (512, 256, 128):
+        if s % kb:
+            continue
+        for qb in (256, 128):
+            if s % qb or qb > s:
+                continue
+            yield qb, kb
+
+
+def _fs_kernel_compiles(pass_name: str, s: int, d: int, n_heads: int,
+                        hb: int, qb: int, kb: int, rate: float,
+                        scale: float, dtype) -> bool:
+    """AOT-compile the standalone flash-streamed kernel (b=1 → one
+    batch-grid step; the per-program scoped stack is grid-size-
+    independent). Cached per geometry/pass like the hb probe."""
+    import jax
+
+    key = ("fs", pass_name, s, d, n_heads, hb, qb, kb, float(rate),
+           float(scale), jnp.dtype(dtype).str)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    qkv = jax.ShapeDtypeStruct((1, s, 3 * d), dtype)
+    bias = jax.ShapeDtypeStruct((1, 1, s), jnp.float32)
+    seed = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    try:
+        if pass_name == "fwd":
+            _fwd_packed_fs_pallas.lower(
+                qkv, bias, seed, scale=scale, rate=rate,
+                n_heads=n_heads, hb=hb, qb=qb, kb=kb,
+                interpret=False).compile()
+        else:
+            o = jax.ShapeDtypeStruct((1, s, d), dtype)
+            lse = jax.ShapeDtypeStruct((1, n_heads, s), jnp.float32)
+            g = jax.ShapeDtypeStruct((1, s, d), dtype)
+            _bwd_packed_fs_pallas.lower(
+                qkv, bias, seed, o, lse, g, scale=scale, rate=rate,
+                n_heads=n_heads, hb=hb, qb=qb, kb=kb,
+                interpret=False).compile()
+        ok = True
+    except Exception:  # noqa: BLE001 - any compile failure means "walk on"
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
+def _resolve_fs_plan(b: int, n_heads: int, s: int, d: int, itemsize: int,
+                     rate: float = 0.1, scale: float = 1.0,
+                     dtype=jnp.bfloat16):
+    """(hb, qb, kb) for the flash-streamed packed kernels, or None.
+
+    Requires S divisible by a 128-multiple block and a 128-lane-aligned
+    head block. On TPU the (qb, kb) choice is compile-verified
+    (``_fs_kernel_compiles``) best-first; off-TPU the first candidate
+    is used (interpret mode has no scoped limit)."""
+    del itemsize, b
+    dh = d // n_heads
+    hb = _fs_min_hb(n_heads, dh)
+    if hb is None:
+        return None
+    probe = _probe_enabled()
+    for qb, kb in _fs_candidates(s):
+        if not probe:
+            return hb, qb, kb
+        if (_fs_kernel_compiles("fwd", s, d, n_heads, hb, qb, kb, rate,
+                                scale, dtype)
+                and _fs_kernel_compiles("bwd", s, d, n_heads, hb, qb,
+                                        kb, rate, scale, dtype)):
+            return hb, qb, kb
+    return None
+
+
+def fused_attention_fits_fs(n_heads: int, s: int, d: int,
+                            itemsize: int = 2, *,
+                            batch: Optional[int] = None,
+                            rate: float = 0.1,
+                            scale: float = 1.0,
+                            dtype=None) -> bool:
+    """Whether the flash-streamed packed kernels cover this geometry —
+    the dropout-preserving long-sequence tier past the head-blocked
+    reach (S>640 at base bf16; scratch is [hb, qb, kb], so S is
+    HBM-bound). models/bert.py's packed dispatch takes fused →
+    head-blocked → flash-streamed before degrading to the stock flash
+    (dropout-free) or einsum."""
+    return _resolve_fs_plan(
+        batch if batch is not None else 8, n_heads, s, d, itemsize,
+        rate=rate, scale=scale,
+        dtype=dtype if dtype is not None else jnp.bfloat16) is not None
+
+
 def _resolve_knobs(b, n_heads, q_len, k_len, rate, itemsize,
                    nb_fwd, nb_bwd, save_probs, d=None):
     """Shared blocking/residual-mode knob resolution for the fused
@@ -921,6 +1025,162 @@ def _attn_bwd_packed_hb_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref,
         dq_ref[b] = jnp.concatenate(dqs, axis=-1)
         dk_ref[b] = jnp.concatenate(dks, axis=-1)
         dv_ref[b] = jnp.concatenate(dvs, axis=-1)
+
+
+def _attn_fwd_packed_fs_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref,
+                               o_ref, lse_ref, s_ref, *, scale: float,
+                               rate: float, hb: int, dh: int, nb: int,
+                               n_hb: int, n_qb: int, kb: int):
+    """Flash-streamed packed forward: grid (B//nb, H//hb, S//qb); each
+    program owns a [nb, qb, hb·Dh] query block and streams the FULL key
+    row in kb-column blocks with the online-softmax recurrence
+    (running rowmax m, denominator l, rescaled accumulator) — scratch
+    is [hb, qb, kb], never [·, S, S], so S is bounded by HBM rather
+    than scoped VMEM. This is the long-sequence tier BEYOND the
+    head-blocked kernels (S>640 at base bf16, BENCHMARKS.md), and
+    unlike the stock flash kernel (ops/attention.py::flash_attention)
+    it keeps the reference's attention-prob DROPOUT semantics
+    (modeling.py:6-51 trains with it): dropout is applied to the
+    unnormalized exp weights — mask ⊙ e(s−m)/keep accumulated against
+    an UNdropped denominator l is algebraically identical to dropout
+    on softmax probs — with one [hb, qb, kb] hardware-PRNG draw per
+    (row, head-block, q-block, k-block), so the recompute backward
+    replays the identical stream from the same seed formula.
+
+    Emits the context block and the per-row log-sum-exp (m + log l)
+    the backward needs to rebuild probabilities blockwise."""
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    qb = q_ref.shape[1]
+    s_len = k_ref.shape[1]
+    n_kb = s_len // kb
+    for b in range(nb):
+        bias = bias_ref[b].astype(f32)                       # [1, S]
+        qs = [q_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
+        m = jnp.full((hb, qb), -jnp.inf, f32)
+        l = jnp.zeros((hb, qb), f32)
+        acc = [jnp.zeros((qb, dh), f32) for _ in range(hb)]
+        for ki in range(n_kb):
+            for h in range(hb):
+                k = k_ref[b, ki * kb:(ki + 1) * kb, h * dh:(h + 1) * dh]
+                s_ref[h] = jax.lax.dot_general(
+                    qs[h], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)              # [qb, kb]
+            sb = (s_ref[:] * scale
+                  + bias[None, :, ki * kb:(ki + 1) * kb])    # [hb, qb, kb]
+            m_new = jnp.maximum(m, jnp.max(sb, axis=-1))
+            alpha = jnp.exp(m - m_new)                       # [hb, qb]
+            e = jnp.exp(sb - m_new[..., None])
+            l = l * alpha + jnp.sum(e, axis=-1)
+            if rate > 0.0:
+                pltpu.prng_seed(
+                    seed_ref[0, 0]
+                    + (((pl.program_id(0) * nb + b) * n_hb
+                        + pl.program_id(1)) * n_qb
+                       + pl.program_id(2)) * n_kb + ki)
+                bits = pltpu.bitcast(pltpu.prng_random_bits(e.shape),
+                                     jnp.uint32)
+                e = jnp.where(bits >= thresh, e * inv_keep, 0.0)
+            ec = e.astype(q_ref.dtype)
+            for h in range(hb):
+                v = v_ref[b, ki * kb:(ki + 1) * kb, h * dh:(h + 1) * dh]
+                pv = jax.lax.dot_general(
+                    ec[h], v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)              # [qb, Dh]
+                acc[h] = acc[h] * alpha[h][:, None] + pv
+            m = m_new
+        o_ref[b] = jnp.concatenate(
+            [(acc[h] / l[h][:, None]).astype(o_ref.dtype)
+             for h in range(hb)], axis=-1)                   # [qb, hb·Dh]
+        lse_ref[b] = m + jnp.log(l)                          # [hb, qb]
+
+
+def _attn_bwd_packed_fs_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref,
+                               o_ref, lse_ref, g_ref, dq_ref, dk_ref,
+                               dv_ref, s_ref, t_ref, *, scale: float,
+                               rate: float, hb: int, dh: int, nb: int,
+                               n_hb: int, n_qb: int, kb: int):
+    """Flash-streamed recompute backward: same grid and (row,
+    head-block, q-block, k-block) dropout seeding as the forward (bit
+    replay); probabilities are rebuilt per kb block from the saved
+    log-sum-exp (p = exp(s·scale + bias − lse), no second softmax
+    pass), δ = Σ g⊙o per row supplies the softmax-backward rowsum
+    (with dropout, rowsum(dp⊙p) ≡ rowsum(g⊙o) exactly). dq accumulates
+    within the program; dk/dv are f32 output blocks REVISITED across
+    the minormost (q-block) grid dimension — zero-initialized at
+    q-block 0, accumulated by every program on the same (batch,
+    head-block) row, which is the standard flash backward schedule."""
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    qb = q_ref.shape[1]
+    s_len = k_ref.shape[1]
+    n_kb = s_len // kb
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    for b in range(nb):
+        bias = bias_ref[b].astype(f32)                       # [1, S]
+        lse = lse_ref[b]                                     # [hb, qb]
+        qs = [q_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
+        gs = [g_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
+        delta = jnp.stack(
+            [jnp.sum(gs[h].astype(f32)
+                     * o_ref[b, :, h * dh:(h + 1) * dh].astype(f32),
+                     axis=-1) for h in range(hb)])           # [hb, qb]
+        dqs = [jnp.zeros((qb, dh), f32) for _ in range(hb)]
+        for ki in range(n_kb):
+            for h in range(hb):
+                k = k_ref[b, ki * kb:(ki + 1) * kb, h * dh:(h + 1) * dh]
+                s_ref[h] = jax.lax.dot_general(
+                    qs[h], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+            p = jnp.exp(s_ref[:] * scale
+                        + bias[None, :, ki * kb:(ki + 1) * kb]
+                        - lse[..., None])                    # [hb, qb, kb]
+            for h in range(hb):
+                v = v_ref[b, ki * kb:(ki + 1) * kb, h * dh:(h + 1) * dh]
+                t_ref[h] = jax.lax.dot_general(              # dpd
+                    gs[h], v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)              # [qb, kb]
+            if rate > 0.0:
+                pltpu.prng_seed(
+                    seed_ref[0, 0]
+                    + (((pl.program_id(0) * nb + b) * n_hb
+                        + pl.program_id(1)) * n_qb
+                       + pl.program_id(2)) * n_kb + ki)
+                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                     jnp.uint32)
+                keep = bits >= thresh
+                pd = jnp.where(keep, p * inv_keep, 0.0)
+                dp = jnp.where(keep, t_ref[:] * inv_keep, 0.0)
+            else:
+                pd = p
+                dp = t_ref[:]
+            ds = (p * (dp - delta[..., None])) * scale
+            ds_c = ds.astype(q_ref.dtype)
+            pd_c = pd.astype(q_ref.dtype)
+            ksl = slice(ki * kb, (ki + 1) * kb)
+            for h in range(hb):
+                k = k_ref[b, ksl, h * dh:(h + 1) * dh]
+                csl = slice(h * dh, (h + 1) * dh)
+                dqs[h] = dqs[h] + jax.lax.dot_general(
+                    ds_c[h], k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)              # [qb, Dh]
+                dk_ref[b, ksl, csl] += jax.lax.dot_general(
+                    ds_c[h], qs[h], (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)              # [kb, Dh]
+                dv_ref[b, ksl, csl] += jax.lax.dot_general(
+                    pd_c[h], gs[h], (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+        dq_ref[b] = jnp.concatenate(
+            [dqs[h].astype(dq_ref.dtype) for h in range(hb)], axis=-1)
 
 
 def _attn_fwd_rel_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref, o_ref,
@@ -1527,6 +1787,108 @@ def _bwd_packed_hb_pallas(qkv, bias, seed, g, *, scale, rate, n_heads, hb,
     )(seed, bias, qkv, qkv, qkv, g)
 
 
+def _fs_packed_specs(nb, s, qb, hb, dh, n_hb):
+    """Block specs for the flash-streamed packed kernels: grid
+    (B//nb, H//hb, S//qb). The query/context/grad blocks are
+    [nb, qb, hb·Dh] tiles of the packed [B, S, 3·D] projection (q part)
+    or of a [B, S, D] array; the key/value blocks hold the FULL row
+    ([nb, S, hb·Dh], q-block-invariant — fetched once per (batch,
+    head-block)); lse is [nb, hb, qb] of a [B, H, S] f32 array."""
+    def col(part, full_rows):
+        if full_rows:
+            return pl.BlockSpec(
+                (nb, s, hb * dh),
+                lambda i, j, qi, part=part: (i, 0, part * n_hb + j),
+                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (nb, qb, hb * dh),
+            lambda i, j, qi, part=part: (i, qi, part * n_hb + j),
+            memory_space=pltpu.VMEM)
+    qblk = pl.BlockSpec((nb, qb, hb * dh), lambda i, j, qi: (i, qi, j),
+                        memory_space=pltpu.VMEM)
+    kvfull = pl.BlockSpec((nb, s, hb * dh), lambda i, j, qi: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    lse = pl.BlockSpec((nb, hb, qb), lambda i, j, qi: (i, j, qi),
+                       memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((nb, 1, s), lambda i, j, qi: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda i, j, qi: (0, 0),
+                        memory_space=pltpu.SMEM)
+    return seed, bias, col(0, False), col(1, True), col(2, True), \
+        qblk, kvfull, lse
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "hb",
+                                    "qb", "kb", "interpret", "nb"))
+def _fwd_packed_fs_pallas(qkv, bias, seed, *, scale, rate, n_heads, hb,
+                          qb, kb, interpret, nb=1):
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    n_hb = n_heads // hb
+    n_qb = s // qb
+    (seed_spec, bias_spec, q_spec, k_spec, v_spec,
+     qblk_spec, _, lse_spec) = _fs_packed_specs(nb, s, qb, hb, dh, n_hb)
+    out, lse = pl.pallas_call(
+        functools.partial(_attn_fwd_packed_fs_kernel, scale=scale,
+                          rate=rate, hb=hb, dh=dh, nb=nb, n_hb=n_hb,
+                          n_qb=n_qb, kb=kb),
+        grid=(b // nb, n_hb, n_qb),
+        in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec],
+        out_specs=(qblk_spec, lse_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, n_heads, s), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((hb, qb, kb), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_heads * s * s * dh + 10 * b * n_heads * s * s,
+            bytes_accessed=qkv.dtype.itemsize * b * s * (d3 + d),
+            transcendentals=2 * b * n_heads * s * s,
+        ),
+    )(seed, bias, qkv, qkv, qkv)
+    return out, lse
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "hb",
+                                    "qb", "kb", "interpret", "nb"))
+def _bwd_packed_fs_pallas(qkv, bias, seed, o, lse, g, *, scale, rate,
+                          n_heads, hb, qb, kb, interpret, nb=1):
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    n_hb = n_heads // hb
+    n_qb = s // qb
+    (seed_spec, bias_spec, q_spec, k_spec, v_spec,
+     qblk_spec, kvfull_spec, lse_spec) = _fs_packed_specs(
+        nb, s, qb, hb, dh, n_hb)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_packed_fs_kernel, scale=scale,
+                          rate=rate, hb=hb, dh=dh, nb=nb, n_hb=n_hb,
+                          n_qb=n_qb, kb=kb),
+        grid=(b // nb, n_hb, n_qb),
+        in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec,
+                  qblk_spec, lse_spec, qblk_spec],
+        # dk/dv are revisited across the minormost (q-block) grid dim:
+        # f32 accumulation across programs, cast by the caller
+        out_specs=(qblk_spec, kvfull_spec, kvfull_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, s, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, s, d), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((hb, qb, kb), jnp.float32),
+                        pltpu.VMEM((hb, qb, kb), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n_heads * s * s * dh + 14 * b * n_heads * s * s,
+            bytes_accessed=qkv.dtype.itemsize * b * s * (2 * d3 + 2 * d)
+            + 8 * b * s * d,
+            transcendentals=b * n_heads * s * s,
+        ),
+    )(seed, bias, qkv, qkv, qkv, o, lse, g)
+    return dq, dk, dv
+
+
 def _rel_specs(nb, q_len, k_len, d, h):
     q = pl.BlockSpec((nb, q_len, d), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
@@ -1935,6 +2297,41 @@ def _faph_bwd(scale, rate, n_heads, hb, interpret, nb_fwd, nb_bwd,
 _fused_attention_packed_hb.defvjp(_faph_fwd, _faph_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _fused_attention_packed_fs(qkv, bias, seed, scale, rate, n_heads, hb,
+                               qb, kb, interpret):
+    out, _ = _fwd_packed_fs_pallas(qkv, bias, seed, scale=scale,
+                                   rate=rate, n_heads=n_heads, hb=hb,
+                                   qb=qb, kb=kb, interpret=interpret)
+    return out
+
+
+def _faps_fwd(qkv, bias, seed, scale, rate, n_heads, hb, qb, kb,
+              interpret):
+    out, lse = _fwd_packed_fs_pallas(qkv, bias, seed, scale=scale,
+                                     rate=rate, n_heads=n_heads, hb=hb,
+                                     qb=qb, kb=kb, interpret=interpret)
+    # o and lse are the flash residuals (δ = Σ g⊙o and the blockwise
+    # prob rebuild); everything S²-sized is recomputed
+    return out, (qkv, bias, seed, out, lse)
+
+
+def _faps_bwd(scale, rate, n_heads, hb, qb, kb, interpret, residuals, g):
+    qkv, bias, seed, out, lse = residuals
+    dq, dk, dv = _bwd_packed_fs_pallas(qkv, bias, seed, out, lse, g,
+                                       scale=scale, rate=rate,
+                                       n_heads=n_heads, hb=hb, qb=qb,
+                                       kb=kb, interpret=interpret)
+    dqkv = jnp.concatenate([dq, dk.astype(qkv.dtype),
+                            dv.astype(qkv.dtype)], axis=-1)
+    dbias = jnp.zeros_like(bias)
+    dseed = np.zeros((1, 1), jax.dtypes.float0)
+    return dqkv, dbias, dseed
+
+
+_fused_attention_packed_fs.defvjp(_faps_fwd, _faps_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _fused_attention(q, k, v, bias, seed, scale, rate, interpret,
                      nb_fwd, nb_bwd, save):
@@ -2070,11 +2467,16 @@ def fused_attention_packed(
 
     Long sequences: when the full-H kernel's [H,S,S] scratch exceeds
     scoped VMEM (S>≈380 at base geometry) this entry transparently
-    switches to the head-blocked grid (``_resolve_hb``: [hb,S,S]
+    switches to the head-blocked grid (``_resolve_hb_plan``: [hb,S,S]
     scratch, recompute backward, dropout stream seeded per (row,
-    head-block)) — the fused path covers S=768 at bert-base bf16.
-    Beyond ANY fit, raises ValueError; model dispatch gates on
-    ``fused_attention_fits_hb`` and falls back to flash/einsum first.
+    head-block)) — compile-verified through S=640 at bert-base bf16 —
+    and beyond that to the flash-streamed kernels
+    (``_resolve_fs_plan``: online softmax over kb-column blocks,
+    [hb,qb,kb] scratch, dropout replay per (row, head-block, q-block,
+    k-block)), which keep the prob-dropout semantics at any S that
+    fits HBM. Beyond every fit, raises ValueError; model dispatch
+    gates on ``fused_attention_fits_hb`` / ``fused_attention_fits_fs``
+    and falls back to flash/einsum first.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -2123,15 +2525,24 @@ def fused_attention_packed(
     plan = _resolve_hb_plan(b, n_heads, s, d, qkv.dtype.itemsize,
                             rate=rate, scale=float(scale),
                             dtype=qkv.dtype, nb_fwd=nb_fwd, nb_bwd=nb_bwd)
-    if plan is None:
+    if plan is not None:
+        hb, nb_fwd, nb_bwd = plan
+        return _fused_attention_packed_hb(qkv, bias, seed, float(scale),
+                                          rate, n_heads, hb,
+                                          bool(interpret), nb_fwd, nb_bwd)
+    fs_plan = _resolve_fs_plan(b, n_heads, s, d, qkv.dtype.itemsize,
+                               rate=rate, scale=float(scale),
+                               dtype=qkv.dtype)
+    if fs_plan is None:
         raise ValueError(
             f"fused attention cannot fit scoped VMEM at H={n_heads} "
-            f"S={s} D={d} even head-blocked; use flash or einsum "
-            "(model dispatch gates on fused_attention_fits_hb)")
-    hb, nb_fwd, nb_bwd = plan
-    return _fused_attention_packed_hb(qkv, bias, seed, float(scale), rate,
-                                      n_heads, hb, bool(interpret),
-                                      nb_fwd, nb_bwd)
+            f"S={s} D={d} even head-blocked or flash-streamed; use "
+            "flash or einsum (model dispatch gates on "
+            "fused_attention_fits_hb / fused_attention_fits_fs)")
+    hb, qb, kb = fs_plan
+    return _fused_attention_packed_fs(qkv, bias, seed, float(scale), rate,
+                                      n_heads, hb, qb, kb,
+                                      bool(interpret))
 
 
 # ---------------------------------------------------------------------------

@@ -135,6 +135,18 @@ def test_driver_fsdp_cli_smoke(tmp_path, capsys):
     assert "--fsdp" in capsys.readouterr().err
 
 
+def test_driver_extends_position_table_past_config(tmp_path):
+    """--max_seq_length beyond max_position_embeddings must extend the
+    BERT position table (XLA gather would silently CLIP position ids
+    otherwise — every position past the table would share one
+    embedding). Tiny config has a 64-entry table; train at 80."""
+    rc = run_driver(tmp_path, extra=["--max_seq_length", "80"])
+    assert rc == 0
+    rec = json.loads((tmp_path / "ckpt" / "metrics.jsonl")
+                     .read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"])
+
+
 def test_driver_rejects_inert_rel_bias_impl(capsys):
     """--rel_bias_impl inkernel is only read by the fused rel-attention
     path: without --attention_impl fused (or on the BERT family) it would

@@ -1124,3 +1124,113 @@ def test_qkvproj_model_level_parity():
                                    deterministic=True)
     np.testing.assert_allclose(np.asarray(out_fused),
                                np.asarray(out_split), atol=1e-5)
+
+
+# -- flash-streamed (fs) tier: the dropout-preserving long-seq kernels ------
+
+FS_B, FS_H, FS_S, FS_DH = 2, 2, 256, 64
+FS_D = FS_H * FS_DH
+FS_SCALE = 1.0 / FS_DH ** 0.5
+
+
+def _fs_inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    qkv = jnp.asarray(rng.randn(FS_B, FS_S, 3 * FS_D).astype(np.float32))
+    mask = np.ones((FS_B, FS_S), np.int32)
+    mask[0, -40:] = 0
+    g = jnp.asarray(rng.randn(FS_B, FS_S, FS_D).astype(np.float32))
+    return qkv, jnp.asarray(mask), g
+
+
+def _fs_ref(qkv, mask):
+    q, k, v = [jnp.moveaxis(
+        qkv.reshape(FS_B, FS_S, 3, FS_H, FS_DH)[:, :, i], 2, 1)
+        for i in range(3)]
+    ctx = dot_product_attention(q, k, v, extended_attention_mask(mask),
+                                scale=FS_SCALE)
+    return jnp.moveaxis(ctx, 1, 2).reshape(FS_B, FS_S, FS_D)
+
+
+@pytest.mark.parametrize("qb,kb", [(128, 128), (128, 256), (256, 128),
+                                   (256, 256)])
+def test_fs_matches_einsum_all_blockings(qb, kb):
+    """Online-softmax recurrence + grid-revisited dk/dv accumulation at
+    every (q-block, k-block) shape, fp32 interpret mode: fwd and grads
+    must match the whole-row softmax reference to fp32 precision."""
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        _fused_attention_packed_fs)
+
+    qkv, mask, g = _fs_inputs()
+    bias = ((1.0 - mask.astype(jnp.float32)) * -10000.0)[:, None, :]
+    seed = jnp.zeros((1, 1), jnp.int32)
+
+    def fs(x):
+        return _fused_attention_packed_fs(x, bias, seed, float(FS_SCALE),
+                                          0.0, FS_H, 2, qb, kb, True)
+
+    np.testing.assert_allclose(np.asarray(fs(qkv)),
+                               np.asarray(_fs_ref(qkv, mask)),
+                               atol=2e-5, rtol=2e-5)
+    dref = jax.grad(lambda x: jnp.vdot(_fs_ref(x, mask), g))(qkv)
+    dfs = jax.grad(lambda x: jnp.vdot(fs(x), g))(qkv)
+    np.testing.assert_allclose(np.asarray(dfs), np.asarray(dref),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_fs_plan_resolution():
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    # min 128-lane-aligned head block: dh=64 -> hb=2; off-TPU the first
+    # (qb, kb) candidate is used
+    assert fa._resolve_fs_plan(8, 12, 768, 768, 2) == (2, 256, 256)
+    assert fa._resolve_fs_plan(8, 12, 1024, 768, 2) == (2, 256, 512)
+    # S not divisible by 128 -> no fs tier
+    assert fa._resolve_fs_plan(8, 12, 700, 768, 2) is None
+    # no 128-aligned head block (dh=16, n_heads=2 -> hb=8 impossible)
+    assert fa._resolve_fs_plan(8, 2, 256, 32, 2) is None
+    assert fa.fused_attention_fits_fs(12, 1024, 768, 2, batch=8)
+    assert not fa.fused_attention_fits_fs(12, 700, 768, 2, batch=8)
+
+
+def test_fs_probe_walk(monkeypatch):
+    """On TPU the (qb, kb) choice is compile-verified best-first: if the
+    big blocks fail to compile the plan walks to smaller ones, and a
+    geometry where nothing compiles reports no-fit."""
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    calls = []
+
+    def fake(pass_name, s, d, n_heads, hb, qb, kb, rate, scale, dtype):
+        calls.append((pass_name, qb, kb))
+        return (qb, kb) == (128, 128)
+
+    monkeypatch.setattr(fa, "_probe_enabled", lambda: True)
+    monkeypatch.setattr(fa, "_fs_kernel_compiles", fake)
+    assert fa._resolve_fs_plan(8, 12, 512, 768, 2) == (2, 128, 128)
+    assert ("fwd", 256, 512) in calls  # best candidate tried first
+    monkeypatch.setattr(fa, "_fs_kernel_compiles",
+                        lambda *a, **k: False)
+    assert fa._resolve_fs_plan(8, 12, 512, 768, 2) is None
+    assert not fa.fused_attention_fits_fs(12, 512, 768, 2, batch=8)
+
+
+def test_packed_dispatch_routes_to_fs(monkeypatch):
+    """When neither the full-H kernel nor a head-blocked plan fits, the
+    packed entry must land on the flash-streamed tier (not raise) and
+    still match the reference."""
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    qkv, mask, _ = _fs_inputs()
+    monkeypatch.setattr(fa, "fused_attention_fits",
+                        lambda *a, **k: False)
+    monkeypatch.setattr(fa, "_resolve_hb_plan", lambda *a, **k: None)
+    out = fa.fused_attention_packed(qkv, mask, n_heads=FS_H,
+                                    scale=FS_SCALE)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_fs_ref(qkv, mask)),
+                               atol=2e-5, rtol=2e-5)
+    # beyond even the fs tier the entry still raises
+    monkeypatch.setattr(fa, "_resolve_fs_plan", lambda *a, **k: None)
+    with pytest.raises(ValueError, match="flash-streamed"):
+        fa.fused_attention_packed(qkv, mask, n_heads=FS_H,
+                                  scale=FS_SCALE)

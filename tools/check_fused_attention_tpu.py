@@ -434,6 +434,86 @@ def main():
     print(f"rel hb bwd PRNG replay: FD vs grad rel diff = {rel_d:.3e}")
     assert rel_d < 5e-2, rel_d
 
+    # ---- 2g. flash-streamed long-seq variant (S=768) -------------------
+    # Beyond the head-blocked reach (bwd S=768 allocates 16.10 MB scoped,
+    # BENCHMARKS.md) the packed entry reroutes onto the flash-streamed
+    # kernels (online softmax over kb blocks, dropout replay per
+    # (row, head-block, q-block, k-block)). Validate the real lowering.
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        _resolve_fs_plan, _resolve_hb_plan)
+    BF, SF = 4, 768
+    hb_plan = _resolve_hb_plan(BF, H, SF, H * DH, 2, rate=rate,
+                               scale=scale)
+    fs_plan = _resolve_fs_plan(BF, H, SF, H * DH, 2, rate=rate,
+                               scale=scale)
+    print(f"flash-streamed S={SF}: hb plan = {hb_plan}, "
+          f"fs plan = {fs_plan}")
+    assert fs_plan is not None
+    qf = jnp.asarray(rng.randn(BF, H, SF, DH), jnp.bfloat16)
+    kf = jnp.asarray(rng.randn(BF, H, SF, DH), jnp.bfloat16)
+    vf = jnp.asarray(rng.randn(BF, H, SF, DH), jnp.bfloat16)
+    mask_f = np.ones((BF, SF), np.int32)
+    mask_f[:, 700:] = 0
+    mask_f = jnp.asarray(mask_f)
+    qkv_f = jnp.stack([jnp.moveaxis(t, 1, 2) for t in (qf, kf, vf)],
+                      axis=2).reshape(BF, SF, 3 * H * DH)
+    ref_f = dot_product_attention(qf, kf, vf,
+                                  extended_attention_mask(mask_f),
+                                  scale=scale)
+    ref_f_flat = jnp.moveaxis(ref_f, 1, 2).reshape(BF, SF, H * DH)
+    out_f = fused_attention_packed(qkv_f, mask_f, n_heads=H, scale=scale)
+    d = float(jnp.max(jnp.abs(out_f.astype(jnp.float32)
+                              - ref_f_flat.astype(jnp.float32))))
+    print(f"fs fwd parity (bf16, no dropout): max|diff| = {d:.3e}")
+    assert d < 2e-2, d
+
+    def loss_fs_ref(qkv_):
+        qq, kk, vv = [jnp.moveaxis(
+            qkv_.reshape(BF, SF, 3, H, DH)[:, :, i], 2, 1)
+            for i in range(3)]
+        return jnp.sum(jnp.square(dot_product_attention(
+            qq, kk, vv, extended_attention_mask(mask_f), scale=scale)
+            .astype(jnp.float32)))
+
+    def loss_fs_new(qkv_):
+        return jnp.sum(jnp.square(fused_attention_packed(
+            qkv_, mask_f, n_heads=H, scale=scale).astype(jnp.float32)))
+
+    gr_f = jax.grad(loss_fs_ref)(qkv_f)
+    gn_f = jax.grad(loss_fs_new)(qkv_f)
+    rel = (float(jnp.max(jnp.abs(gn_f.astype(jnp.float32)
+                                 - gr_f.astype(jnp.float32))))
+           / max(float(jnp.max(jnp.abs(gr_f.astype(jnp.float32)))), 1e-9))
+    print(f"fs grad parity: max rel = {rel:.3e}")
+    assert rel < 5e-2, rel
+
+    o1f = fused_attention_packed(qkv_f, None, n_heads=H, scale=scale,
+                                 dropout_rate=rate, dropout_rng=key,
+                                 deterministic=False)
+    o2f = fused_attention_packed(qkv_f, None, n_heads=H, scale=scale,
+                                 dropout_rate=rate, dropout_rng=key,
+                                 deterministic=False)
+    same = float(jnp.max(jnp.abs(o1f.astype(jnp.float32)
+                                 - o2f.astype(jnp.float32))))
+    print(f"fs same-seed replay: max|diff| = {same:.3e}")
+    assert same == 0.0, same
+
+    def gfs(qkv_):
+        return jnp.sum(fused_attention_packed(
+            qkv_, None, n_heads=H, scale=scale, dropout_rate=rate,
+            dropout_rng=key, deterministic=False).astype(jnp.float32))
+
+    dqkv_f = jax.grad(gfs)(qkv_f)
+    dirn_np = np.zeros(qkv_f.shape, np.float32)
+    dirn_np[:, :, 2 * H * DH:] = rng.randn(BF, SF, H * DH)
+    dirn_f = jnp.asarray(dirn_np, jnp.bfloat16)
+    fd = (gfs(qkv_f + 0.5 * dirn_f) - gfs(qkv_f - 0.5 * dirn_f)) / 1.0
+    an = float(jnp.sum(dqkv_f.astype(jnp.float32)
+                       * dirn_f.astype(jnp.float32)))
+    rel = abs(float(fd) - an) / max(abs(an), 1e-9)
+    print(f"fs bwd PRNG replay: FD vs grad rel diff = {rel:.3e}")
+    assert rel < 5e-2, rel
+
     # ---- 3. microbenchmark -------------------------------------------
     def bench(fn, label, n=50):
         carry = jnp.zeros((), jnp.float32)
