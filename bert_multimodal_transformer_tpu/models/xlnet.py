@@ -45,6 +45,7 @@ from bert_multimodal_transformer_tpu.ops.activations import ACT2FN
 from bert_multimodal_transformer_tpu.ops.fused_attention import (
     fused_rel_attention,
     fused_rel_attention_fits,
+    fused_rel_attention_fits_fs,
     fused_rel_attention_fits_hb,
 )
 
@@ -178,28 +179,35 @@ class XLNetRelativeAttention(nn.Module):
         # Scoped-VMEM fit gate (mirrors models/bert.py): beyond the
         # full-H fit the rel entry head-blocks its grid
         # (fused_rel_attention_fits_hb — K includes mems, so long memory
-        # also routes here); beyond every fit, fall through to the
-        # einsum path below (rel attention has no flash analogue — the
-        # streamed score bias is itself [B,H,Q,K]). TP needs the
-        # stricter full-H fit (shard_map'd split kernels).
+        # also routes here), then flash-streams kb-column key blocks
+        # with the ebias sliced into VMEM per block
+        # (fused_rel_attention_fits_fs); only beyond every fit, fall
+        # through to the einsum path below. TP needs the stricter
+        # full-H fit (shard_map'd split kernels).
         item = jnp.dtype(self.dtype).itemsize
         nh_gate, qlen_gate = q_head.shape[2], q_head.shape[1]
         d_gate = nh_gate * q_head.shape[3]
         rel_fits = fused_rel_attention_fits(
             nh_gate, qlen_gate, klen, d_gate, item, item)
         # compile-verified on TPU: the probe needs the exact production
-        # kernel parameters (ops/fused_attention.py::_resolve_rel_hb_plan)
-        rel_fits_hb = fused_rel_attention_fits_hb(
-            nh_gate, qlen_gate, klen, d_gate, item, item,
+        # kernel parameters (ops/fused_attention.py::_resolve_rel_hb_plan
+        # / _resolve_rel_fs_plan)
+        rel_fit_kwargs = dict(
             batch=q_head.shape[0],
             rate=(0.0 if deterministic else cfg.dropout),
             scale=scale,
             dtype=jnp.dtype(self.dtype), eb_dtype=jnp.dtype(self.dtype))
+        rel_fits_hb = fused_rel_attention_fits_hb(
+            nh_gate, qlen_gate, klen, d_gate, item, item,
+            **rel_fit_kwargs)
+        rel_fits_any = rel_fits_hb or fused_rel_attention_fits_fs(
+            nh_gate, qlen_gate, klen, d_gate, item, item,
+            **rel_fit_kwargs)
 
         if (cfg.attention_impl == "fused" and head_mask is None
                 and not output_attentions
                 and (rel_fits if cfg.tp_attention_mesh is not None
-                     else rel_fits_hb)):
+                     else rel_fits_any)):
             # Pallas rel-attention kernel (ops/fused_attention.py): the
             # QK dot, softmax, and prob-dropout run in VMEM; only ONE
             # [B,H,Q,K] tensor (ebias, differentiable) is streamed

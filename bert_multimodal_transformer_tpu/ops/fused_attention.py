@@ -587,6 +587,95 @@ def fused_attention_fits_fs(n_heads: int, s: int, d: int,
         dtype=dtype if dtype is not None else jnp.bfloat16) is not None
 
 
+def _rel_fs_kernel_compiles(pass_name: str, q_len: int, k_len: int,
+                            d: int, n_heads: int, hb: int, qb: int,
+                            kb: int, rate: float, scale: float, dtype,
+                            eb_dtype) -> bool:
+    """Rel twin of ``_fs_kernel_compiles``."""
+    import jax
+
+    key = ("relfs", pass_name, q_len, k_len, d, n_heads, hb, qb, kb,
+           float(rate), float(scale), jnp.dtype(dtype).str,
+           jnp.dtype(eb_dtype).str)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    q = jax.ShapeDtypeStruct((1, q_len, d), dtype)
+    kv = jax.ShapeDtypeStruct((1, k_len, d), dtype)
+    ebias = jax.ShapeDtypeStruct((1, n_heads, q_len, k_len), eb_dtype)
+    seed = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    try:
+        if pass_name == "fwd":
+            _fwd_rel_fs_pallas.lower(
+                q, kv, kv, ebias, seed, scale=scale, rate=rate,
+                n_heads=n_heads, hb=hb, qb=qb, kb=kb,
+                interpret=False).compile()
+        else:
+            o = jax.ShapeDtypeStruct((1, q_len, d), dtype)
+            lse = jax.ShapeDtypeStruct((1, n_heads, q_len), jnp.float32)
+            g = jax.ShapeDtypeStruct((1, q_len, d), dtype)
+            _bwd_rel_fs_pallas.lower(
+                q, kv, kv, ebias, seed, o, lse, g, scale=scale,
+                rate=rate, n_heads=n_heads, hb=hb, qb=qb, kb=kb,
+                interpret=False).compile()
+        ok = True
+    except Exception:  # noqa: BLE001 - any compile failure means "walk on"
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
+def _resolve_rel_fs_plan(b: int, n_heads: int, q_len: int, k_len: int,
+                         d: int, itemsize: int, eb_itemsize: int = 2,
+                         rate: float = 0.1, scale: float = 1.0,
+                         dtype=jnp.bfloat16, eb_dtype=jnp.bfloat16):
+    """(hb, qb, kb) for the flash-streamed rel kernels, or None —
+    Q block-divisible for qb, K (incl. mems) for kb."""
+    del itemsize, eb_itemsize, b
+    dh = d // n_heads
+    hb = _fs_min_hb(n_heads, dh)
+    if hb is None:
+        return None
+    probe = _probe_enabled()
+    for kb in (512, 256, 128):
+        if k_len % kb:
+            continue
+        for qb in (256, 128):
+            if q_len % qb:
+                continue
+            if not probe:
+                return hb, qb, kb
+            if (_rel_fs_kernel_compiles("fwd", q_len, k_len, d, n_heads,
+                                        hb, qb, kb, rate, scale, dtype,
+                                        eb_dtype)
+                    and _rel_fs_kernel_compiles("bwd", q_len, k_len, d,
+                                                n_heads, hb, qb, kb,
+                                                rate, scale, dtype,
+                                                eb_dtype)):
+                return hb, qb, kb
+    return None
+
+
+def fused_rel_attention_fits_fs(n_heads: int, q_len: int, k_len: int,
+                                d: int, itemsize: int = 2,
+                                eb_itemsize: int = 2, *,
+                                batch: Optional[int] = None,
+                                rate: float = 0.1,
+                                scale: float = 1.0,
+                                dtype=None,
+                                eb_dtype=None) -> bool:
+    """Whether the flash-streamed rel kernels cover this geometry — the
+    dropout-preserving tier past the head-blocked Q=K=512 reach (the
+    [B,H,Q,K] ebias stays an HBM stream; only [hb,qb,kb] slices ever
+    enter VMEM). models/xlnet.py's fused dispatch takes full-H →
+    head-blocked → flash-streamed before falling back to einsum."""
+    return _resolve_rel_fs_plan(
+        batch if batch is not None else 8, n_heads, q_len, k_len, d,
+        itemsize, eb_itemsize, rate=rate, scale=scale,
+        dtype=dtype if dtype is not None else jnp.bfloat16,
+        eb_dtype=eb_dtype if eb_dtype is not None else jnp.bfloat16,
+    ) is not None
+
+
 def _resolve_knobs(b, n_heads, q_len, k_len, rate, itemsize,
                    nb_fwd, nb_bwd, save_probs, d=None):
     """Shared blocking/residual-mode knob resolution for the fused
@@ -1431,6 +1520,149 @@ def _attn_bwd_rel_hb_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref,
         dv_ref[b] = jnp.concatenate(dvs, axis=-1)
 
 
+def _attn_fwd_rel_fs_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref,
+                            o_ref, lse_ref, s_ref, *, scale: float,
+                            rate: float, hb: int, dh: int, nb: int,
+                            n_hb: int, n_qb: int, kb: int):
+    """Flash-streamed rel-bias forward: the rel twin of
+    ``_attn_fwd_packed_fs_kernel`` — grid (B//nb, H//hb, Q//qb), the
+    FULL key row streamed in kb blocks with the online-softmax
+    recurrence against the matching [hb, qb, kb] ebias slices. Extends
+    XLNet's fused path past the head-blocked Q=K=512 reach (K includes
+    mems) with the reference's prob-dropout semantics intact: one
+    hardware-PRNG draw per (row, head-block, q-block, k-block), masks
+    applied to the unnormalized exp weights against an undropped
+    denominator."""
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    qb = q_ref.shape[1]
+    k_len = k_ref.shape[1]
+    n_kb = k_len // kb
+    for b in range(nb):
+        qs = [q_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
+        m = jnp.full((hb, qb), -jnp.inf, f32)
+        l = jnp.zeros((hb, qb), f32)
+        acc = [jnp.zeros((qb, dh), f32) for _ in range(hb)]
+        for ki in range(n_kb):
+            ksl = slice(ki * kb, (ki + 1) * kb)
+            for h in range(hb):
+                k = k_ref[b, ksl, h * dh:(h + 1) * dh]
+                s_ref[h] = jax.lax.dot_general(
+                    qs[h], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)              # [qb, kb]
+            sb = (s_ref[:] * scale
+                  + ebias_ref[b, :, :, ksl].astype(f32))     # [hb, qb, kb]
+            m_new = jnp.maximum(m, jnp.max(sb, axis=-1))
+            alpha = jnp.exp(m - m_new)
+            e = jnp.exp(sb - m_new[..., None])
+            l = l * alpha + jnp.sum(e, axis=-1)
+            if rate > 0.0:
+                pltpu.prng_seed(
+                    seed_ref[0, 0]
+                    + (((pl.program_id(0) * nb + b) * n_hb
+                        + pl.program_id(1)) * n_qb
+                       + pl.program_id(2)) * n_kb + ki)
+                bits = pltpu.bitcast(pltpu.prng_random_bits(e.shape),
+                                     jnp.uint32)
+                e = jnp.where(bits >= thresh, e * inv_keep, 0.0)
+            ec = e.astype(q_ref.dtype)
+            for h in range(hb):
+                v = v_ref[b, ksl, h * dh:(h + 1) * dh]
+                pv = jax.lax.dot_general(
+                    ec[h], v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                acc[h] = acc[h] * alpha[h][:, None] + pv
+            m = m_new
+        o_ref[b] = jnp.concatenate(
+            [(acc[h] / l[h][:, None]).astype(o_ref.dtype)
+             for h in range(hb)], axis=-1)
+        lse_ref[b] = m + jnp.log(l)
+
+
+def _attn_bwd_rel_fs_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref,
+                            o_ref, lse_ref, g_ref, dq_ref, dk_ref,
+                            dv_ref, debias_ref, s_ref, t_ref, *,
+                            scale: float, rate: float, hb: int, dh: int,
+                            nb: int, n_hb: int, n_qb: int, kb: int):
+    """Flash-streamed rel recompute backward: dropout replay from the
+    forward's seed formula, probabilities rebuilt per kb block from the
+    saved log-sum-exp, δ = Σ g⊙o. debias (the differentiable score-bias
+    cotangent, unscaled dscore exactly like the whole-row kernels) is
+    written blockwise by the program that owns the q rows; dk/dv are
+    f32 outputs revisited across the minormost (q-block) grid dim."""
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    qb = q_ref.shape[1]
+    k_len = k_ref.shape[1]
+    n_kb = k_len // kb
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    for b in range(nb):
+        lse = lse_ref[b]                                     # [hb, qb]
+        qs = [q_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
+        gs = [g_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
+        delta = jnp.stack(
+            [jnp.sum(gs[h].astype(f32)
+                     * o_ref[b, :, h * dh:(h + 1) * dh].astype(f32),
+                     axis=-1) for h in range(hb)])           # [hb, qb]
+        dqs = [jnp.zeros((qb, dh), f32) for _ in range(hb)]
+        for ki in range(n_kb):
+            ksl = slice(ki * kb, (ki + 1) * kb)
+            for h in range(hb):
+                k = k_ref[b, ksl, h * dh:(h + 1) * dh]
+                s_ref[h] = jax.lax.dot_general(
+                    qs[h], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+            p = jnp.exp(s_ref[:] * scale
+                        + ebias_ref[b, :, :, ksl].astype(f32)
+                        - lse[..., None])                    # [hb, qb, kb]
+            for h in range(hb):
+                v = v_ref[b, ksl, h * dh:(h + 1) * dh]
+                t_ref[h] = jax.lax.dot_general(              # dpd
+                    gs[h], v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+            if rate > 0.0:
+                pltpu.prng_seed(
+                    seed_ref[0, 0]
+                    + (((pl.program_id(0) * nb + b) * n_hb
+                        + pl.program_id(1)) * n_qb
+                       + pl.program_id(2)) * n_kb + ki)
+                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                     jnp.uint32)
+                keep = bits >= thresh
+                pd = jnp.where(keep, p * inv_keep, 0.0)
+                dp = jnp.where(keep, t_ref[:] * inv_keep, 0.0)
+            else:
+                pd = p
+                dp = t_ref[:]
+            ds = p * (dp - delta[..., None])                 # unscaled
+            debias_ref[b, :, :, ksl] = ds.astype(debias_ref.dtype)
+            ds_c = (ds * scale).astype(q_ref.dtype)
+            pd_c = pd.astype(q_ref.dtype)
+            for h in range(hb):
+                k = k_ref[b, ksl, h * dh:(h + 1) * dh]
+                csl = slice(h * dh, (h + 1) * dh)
+                dqs[h] = dqs[h] + jax.lax.dot_general(
+                    ds_c[h], k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                dk_ref[b, ksl, csl] += jax.lax.dot_general(
+                    ds_c[h], qs[h], (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                dv_ref[b, ksl, csl] += jax.lax.dot_general(
+                    pd_c[h], gs[h], (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+        dq_ref[b] = jnp.concatenate(
+            [dqs[h].astype(dq_ref.dtype) for h in range(hb)], axis=-1)
+
+
 def _scratch_bytes(h: int, q: int, k: int, n: int = 1) -> int:
     """Bytes of n [h, q, k] f32 VMEM scratch blocks (lane/sublane padded).
     Scratch is per-PROGRAM (reused across the nb rows), so it subtracts
@@ -2132,6 +2364,127 @@ def _bwd_rel_hb_pallas(q, k, v, ebias, seed, g, *, scale, rate, n_heads,
             transcendentals=b * n_heads * q_len * k_len,
         ),
     )(seed, ebias, q, k, v, g)
+
+
+def _rel_fs_specs(nb, q_len, k_len, qb, hb, dh):
+    """Block specs for the flash-streamed rel kernels: grid
+    (B//nb, H//hb, Q//qb). q/o/g/dq are [nb, qb, hb·Dh] tiles; k/v (and
+    dk/dv) hold the full key row [nb, K, hb·Dh]; ebias/debias the
+    [nb, hb, qb, K] slice owned by the program; lse [nb, hb, qb]."""
+    qblk = pl.BlockSpec((nb, qb, hb * dh), lambda i, j, qi: (i, qi, j),
+                        memory_space=pltpu.VMEM)
+    kv = pl.BlockSpec((nb, k_len, hb * dh), lambda i, j, qi: (i, 0, j),
+                      memory_space=pltpu.VMEM)
+    eb = pl.BlockSpec((nb, hb, qb, k_len),
+                      lambda i, j, qi: (i, j, qi, 0),
+                      memory_space=pltpu.VMEM)
+    lse = pl.BlockSpec((nb, hb, qb), lambda i, j, qi: (i, j, qi),
+                       memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda i, j, qi: (0, 0),
+                        memory_space=pltpu.SMEM)
+    return seed, eb, qblk, kv, lse
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "hb",
+                                    "qb", "kb", "interpret", "nb"))
+def _fwd_rel_fs_pallas(q, k, v, ebias, seed, *, scale, rate, n_heads, hb,
+                       qb, kb, interpret, nb=1):
+    b, q_len, d = q.shape
+    k_len = k.shape[1]
+    dh = d // n_heads
+    n_hb = n_heads // hb
+    n_qb = q_len // qb
+    seed_spec, eb_spec, qblk_spec, kv_spec, lse_spec = _rel_fs_specs(
+        nb, q_len, k_len, qb, hb, dh)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_rel_fs_kernel, scale=scale, rate=rate,
+                          hb=hb, dh=dh, nb=nb, n_hb=n_hb, n_qb=n_qb,
+                          kb=kb),
+        grid=(b // nb, n_hb, n_qb),
+        in_specs=[seed_spec, eb_spec, qblk_spec, kv_spec, kv_spec],
+        out_specs=(qblk_spec, lse_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, q_len, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, n_heads, q_len),
+                                        jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((hb, qb, kb), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_heads * q_len * k_len * dh
+            + 10 * b * n_heads * q_len * k_len,
+            bytes_accessed=q.dtype.itemsize * b * (q_len + 2 * k_len) * d
+            + ebias.dtype.itemsize * b * n_heads * q_len * k_len,
+            transcendentals=2 * b * n_heads * q_len * k_len,
+        ),
+    )(seed, ebias, q, k, v)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "hb",
+                                    "qb", "kb", "interpret", "nb"))
+def _bwd_rel_fs_pallas(q, k, v, ebias, seed, o, lse, g, *, scale, rate,
+                       n_heads, hb, qb, kb, interpret, nb=1):
+    b, q_len, d = q.shape
+    k_len = k.shape[1]
+    dh = d // n_heads
+    n_hb = n_heads // hb
+    n_qb = q_len // qb
+    seed_spec, eb_spec, qblk_spec, kv_spec, lse_spec = _rel_fs_specs(
+        nb, q_len, k_len, qb, hb, dh)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_rel_fs_kernel, scale=scale, rate=rate,
+                          hb=hb, dh=dh, nb=nb, n_hb=n_hb, n_qb=n_qb,
+                          kb=kb),
+        grid=(b // nb, n_hb, n_qb),
+        in_specs=[seed_spec, eb_spec, qblk_spec, kv_spec, kv_spec,
+                  qblk_spec, lse_spec, qblk_spec],
+        out_specs=(qblk_spec, kv_spec, kv_spec, eb_spec),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(v.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((b, n_heads, q_len, k_len),
+                                        ebias.dtype)),
+        scratch_shapes=[pltpu.VMEM((hb, qb, kb), jnp.float32),
+                        pltpu.VMEM((hb, qb, kb), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n_heads * q_len * k_len * dh
+            + 14 * b * n_heads * q_len * k_len,
+            bytes_accessed=q.dtype.itemsize * b * (3 * q_len + 4 * k_len)
+            * d + 2 * ebias.dtype.itemsize * b * n_heads * q_len * k_len,
+            transcendentals=b * n_heads * q_len * k_len,
+        ),
+    )(seed, ebias, q, k, v, o, lse, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _fused_rel_attention_fs(q, k, v, ebias, seed, scale, rate, n_heads,
+                            hb, qb, kb, interpret):
+    out, _ = _fwd_rel_fs_pallas(q, k, v, ebias, seed, scale=scale,
+                                rate=rate, n_heads=n_heads, hb=hb, qb=qb,
+                                kb=kb, interpret=interpret)
+    return out
+
+
+def _frelfs_fwd(q, k, v, ebias, seed, scale, rate, n_heads, hb, qb, kb,
+                interpret):
+    out, lse = _fwd_rel_fs_pallas(q, k, v, ebias, seed, scale=scale,
+                                  rate=rate, n_heads=n_heads, hb=hb,
+                                  qb=qb, kb=kb, interpret=interpret)
+    return out, (q, k, v, ebias, seed, out, lse)
+
+
+def _frelfs_bwd(scale, rate, n_heads, hb, qb, kb, interpret, residuals,
+                g):
+    q, k, v, ebias, seed, out, lse = residuals
+    dq, dk, dv, debias = _bwd_rel_fs_pallas(
+        q, k, v, ebias, seed, out, lse, g, scale=scale, rate=rate,
+        n_heads=n_heads, hb=hb, qb=qb, kb=kb, interpret=interpret)
+    dseed = np.zeros((1, 1), jax.dtypes.float0)
+    return (dq, dk.astype(k.dtype), dv.astype(v.dtype), debias, dseed)
+
+
+_fused_rel_attention_fs.defvjp(_frelfs_fwd, _frelfs_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
@@ -2963,9 +3316,13 @@ def fused_rel_attention(
 
     Long sequences / long mems: when the full-H kernel's [H,Q,K]
     scratch exceeds scoped VMEM this entry transparently switches to
-    the head-blocked grid (``_resolve_rel_hb``; recompute backward,
-    dropout seeded per (row, head-block)). Beyond ANY fit, raises
-    ValueError; models/xlnet.py gates on ``fused_rel_attention_fits_hb``
+    the head-blocked grid (``_resolve_rel_hb_plan``; recompute
+    backward, dropout seeded per (row, head-block)) and beyond that to
+    the flash-streamed kernels (``_resolve_rel_fs_plan``: online
+    softmax over kb-column key blocks, [hb,qb,kb] scratch and ebias
+    slices, dropout replay per (row, head-block, q-block, k-block)).
+    Beyond every fit, raises ValueError; models/xlnet.py gates on
+    ``fused_rel_attention_fits_hb`` / ``fused_rel_attention_fits_fs``
     and falls back to the einsum path first.
     """
     if interpret is None:
@@ -3009,16 +3366,25 @@ def fused_rel_attention(
         b, n_heads, q_len, k.shape[1], d, q.dtype.itemsize,
         ebias.dtype.itemsize, rate=rate, scale=float(scale),
         dtype=q.dtype, eb_dtype=ebias.dtype, nb_fwd=nb_fwd, nb_bwd=nb_bwd)
-    if plan is None:
+    if plan is not None:
+        hb, nb_fwd, nb_bwd = plan
+        return _fused_rel_attention_hb(q, k, v, ebias, seed, float(scale),
+                                       rate, n_heads, hb, bool(interpret),
+                                       (nb_fwd, nb_bwd))
+    fs_plan = _resolve_rel_fs_plan(
+        b, n_heads, q_len, k.shape[1], d, q.dtype.itemsize,
+        ebias.dtype.itemsize, rate=rate, scale=float(scale),
+        dtype=q.dtype, eb_dtype=ebias.dtype)
+    if fs_plan is None:
         raise ValueError(
             f"fused rel attention cannot fit scoped VMEM at H={n_heads} "
-            f"Q={q_len} K={k.shape[1]} D={d} even head-blocked; use the "
-            "einsum path (model dispatch gates on "
-            "fused_rel_attention_fits_hb)")
-    hb, nb_fwd, nb_bwd = plan
-    return _fused_rel_attention_hb(q, k, v, ebias, seed, float(scale),
-                                   rate, n_heads, hb, bool(interpret),
-                                   (nb_fwd, nb_bwd))
+            f"Q={q_len} K={k.shape[1]} D={d} even head-blocked or "
+            "flash-streamed; use the einsum path (model dispatch gates "
+            "on fused_rel_attention_fits_hb / fused_rel_attention_fits_fs)")
+    hb, qb, kb = fs_plan
+    return _fused_rel_attention_fs(q, k, v, ebias, seed, float(scale),
+                                   rate, n_heads, hb, qb, kb,
+                                   bool(interpret))
 
 
 # --------------------------------------------------------------------------

@@ -1234,3 +1234,106 @@ def test_packed_dispatch_routes_to_fs(monkeypatch):
     with pytest.raises(ValueError, match="flash-streamed"):
         fa.fused_attention_packed(qkv, mask, n_heads=FS_H,
                                   scale=FS_SCALE)
+
+
+# -- rel flash-streamed tier (XLNet long-seq / long-mems) --------------------
+
+RF_B, RF_Q, RF_K, RF_H, RF_DH = 2, 256, 384, 2, 64   # K>Q: mems asymmetry
+RF_D = RF_H * RF_DH
+RF_SCALE = 1.0 / RF_DH ** 0.5
+
+
+def _rel_fs_inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(RF_B, RF_Q, RF_D).astype(np.float32))
+    k = jnp.asarray(rng.randn(RF_B, RF_K, RF_D).astype(np.float32))
+    v = jnp.asarray(rng.randn(RF_B, RF_K, RF_D).astype(np.float32))
+    eb = jnp.asarray((rng.randn(RF_B, RF_H, RF_Q, RF_K) * 0.5)
+                     .astype(np.float32))
+    g = jnp.asarray(rng.randn(RF_B, RF_Q, RF_D).astype(np.float32))
+    return q, k, v, eb, g
+
+
+def _rel_fs_ref(q, k, v, eb):
+    qh = q.reshape(RF_B, RF_Q, RF_H, RF_DH)
+    kh = k.reshape(RF_B, RF_K, RF_H, RF_DH)
+    vh = v.reshape(RF_B, RF_K, RF_H, RF_DH)
+    s = jnp.einsum("bqhf,bkhf->bhqk", qh, kh) * RF_SCALE + eb
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhf->bqhf", p, vh).reshape(RF_B, RF_Q, RF_D)
+
+
+@pytest.mark.parametrize("qb,kb", [(128, 128), (256, 128)])
+def test_rel_fs_matches_einsum(qb, kb):
+    """Rel flash-streamed fwd + ALL four grads (incl. the differentiable
+    ebias cotangent) vs the whole-row softmax reference, fp32 interpret
+    mode, asymmetric Q/K (mems)."""
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        _fused_rel_attention_fs)
+
+    q, k, v, eb, g = _rel_fs_inputs()
+    seed = jnp.zeros((1, 1), jnp.int32)
+
+    def fs(q_, k_, v_, eb_):
+        return _fused_rel_attention_fs(q_, k_, v_, eb_, seed,
+                                       float(RF_SCALE), 0.0, RF_H, 2,
+                                       qb, kb, True)
+
+    np.testing.assert_allclose(np.asarray(fs(q, k, v, eb)),
+                               np.asarray(_rel_fs_ref(q, k, v, eb)),
+                               atol=2e-5, rtol=2e-5)
+    dref = jax.grad(lambda *a: jnp.vdot(_rel_fs_ref(*a), g),
+                    argnums=(0, 1, 2, 3))(q, k, v, eb)
+    dfs = jax.grad(lambda *a: jnp.vdot(fs(*a), g),
+                   argnums=(0, 1, 2, 3))(q, k, v, eb)
+    for a, b in zip(dref, dfs):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=5e-5)
+
+
+def test_rel_fs_plan_and_dispatch(monkeypatch):
+    """Plan resolution honors Q/K divisibility separately, and the
+    public entry lands on the fs tier when the hb plan is unavailable
+    (long mems) instead of raising."""
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    assert fa._resolve_rel_fs_plan(8, 12, 512, 1024, 768, 2) \
+        == (2, 256, 512)
+    assert fa._resolve_rel_fs_plan(8, 12, 512, 592, 768, 2) is None
+    assert fa.fused_rel_attention_fits_fs(12, 512, 1024, 768, 2, 2,
+                                          batch=8)
+
+    q, k, v, eb, _ = _rel_fs_inputs()
+    monkeypatch.setattr(fa, "fused_rel_attention_fits",
+                        lambda *a, **kw: False)
+    monkeypatch.setattr(fa, "_resolve_rel_hb_plan",
+                        lambda *a, **kw: None)
+    out = fa.fused_rel_attention(q, k, v, eb, n_heads=RF_H,
+                                 scale=RF_SCALE)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_rel_fs_ref(q, k, v, eb)),
+                               atol=2e-5, rtol=2e-5)
+    monkeypatch.setattr(fa, "_resolve_rel_fs_plan",
+                        lambda *a, **kw: None)
+    with pytest.raises(ValueError, match="flash-streamed"):
+        fa.fused_rel_attention(q, k, v, eb, n_heads=RF_H, scale=RF_SCALE)
+
+
+def test_rel_fs_probe_walk(monkeypatch):
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    calls = []
+
+    def fake(pass_name, q_len, k_len, d, n_heads, hb, qb, kb, rate,
+             scale, dtype, eb_dtype):
+        calls.append((pass_name, qb, kb))
+        return (qb, kb) == (128, 128)
+
+    monkeypatch.setattr(fa, "_probe_enabled", lambda: True)
+    monkeypatch.setattr(fa, "_rel_fs_kernel_compiles", fake)
+    assert fa._resolve_rel_fs_plan(8, 12, 512, 512, 768, 2) \
+        == (2, 128, 128)
+    assert ("fwd", 256, 512) in calls
+    monkeypatch.setattr(fa, "_rel_fs_kernel_compiles",
+                        lambda *a, **kw: False)
+    assert fa._resolve_rel_fs_plan(8, 12, 512, 512, 768, 2) is None

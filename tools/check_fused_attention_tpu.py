@@ -514,6 +514,90 @@ def main():
     print(f"fs bwd PRNG replay: FD vs grad rel diff = {rel:.3e}")
     assert rel < 5e-2, rel
 
+    # ---- 2h. rel flash-streamed variant (XLNet, Q=K=1024) --------------
+    # Past the rel head-blocked reach the XLNet dispatch flash-streams
+    # kb-column key blocks with per-block ebias slices.
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        _resolve_rel_fs_plan, _resolve_rel_hb_plan)
+    BR2, SR2 = 2, 1024
+    rhb = _resolve_rel_hb_plan(BR2, H, SR2, SR2, H * DH, 2, 2,
+                               rate=rate, scale=scale)
+    rfs = _resolve_rel_fs_plan(BR2, H, SR2, SR2, H * DH, 2,
+                               rate=rate, scale=scale)
+    print(f"rel flash-streamed Q=K={SR2}: hb plan = {rhb}, "
+          f"fs plan = {rfs}")
+    assert rfs is not None
+    qr2 = jnp.asarray(rng.randn(BR2, SR2, D), jnp.bfloat16)
+    kr2 = jnp.asarray(rng.randn(BR2, SR2, D), jnp.bfloat16)
+    vr2 = jnp.asarray(rng.randn(BR2, SR2, D), jnp.bfloat16)
+    ebr2 = jnp.asarray(rng.randn(BR2, H, SR2, SR2) * 0.5, jnp.bfloat16)
+
+    def rel_ref_fs(q_, k_, v_, eb_):
+        qh = q_.reshape(BR2, SR2, H, DH)
+        kh = k_.reshape(BR2, SR2, H, DH)
+        vh = v_.reshape(BR2, SR2, H, DH)
+        s = (jnp.einsum("bqhf,bkhf->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+             + eb_.astype(jnp.float32))
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bkhf->bqhf", p.astype(q_.dtype),
+                          vh).reshape(BR2, SR2, D)
+
+    out_r2 = fused_rel_attention(qr2, kr2, vr2, ebr2, n_heads=H,
+                                 scale=scale)
+    ref_r2 = rel_ref_fs(qr2, kr2, vr2, ebr2)
+    d = float(jnp.max(jnp.abs(out_r2.astype(jnp.float32)
+                              - ref_r2.astype(jnp.float32))))
+    print(f"rel fs fwd parity (bf16, no dropout): max|diff| = {d:.3e}")
+    assert d < 2e-2, d
+
+    def loss_rfs_ref(q_, k_, v_, eb_):
+        return jnp.sum(jnp.square(
+            rel_ref_fs(q_, k_, v_, eb_).astype(jnp.float32)))
+
+    def loss_rfs_new(q_, k_, v_, eb_):
+        return jnp.sum(jnp.square(fused_rel_attention(
+            q_, k_, v_, eb_, n_heads=H, scale=scale)
+            .astype(jnp.float32)))
+
+    gr = jax.grad(loss_rfs_ref, argnums=(0, 1, 2, 3))(qr2, kr2, vr2,
+                                                      ebr2)
+    gn = jax.grad(loss_rfs_new, argnums=(0, 1, 2, 3))(qr2, kr2, vr2,
+                                                      ebr2)
+    for name, a, b in zip("qkve", gr, gn):
+        rel_d = (float(jnp.max(jnp.abs(b.astype(jnp.float32)
+                                       - a.astype(jnp.float32))))
+                 / max(float(jnp.max(jnp.abs(a.astype(jnp.float32)))),
+                       1e-9))
+        print(f"rel fs grad d{name}: max rel = {rel_d:.3e}")
+        assert rel_d < 5e-2, (name, rel_d)
+
+    o1r2 = fused_rel_attention(qr2, kr2, vr2, ebr2, n_heads=H,
+                               scale=scale, dropout_rate=rate,
+                               dropout_rng=key, deterministic=False)
+    o2r2 = fused_rel_attention(qr2, kr2, vr2, ebr2, n_heads=H,
+                               scale=scale, dropout_rate=rate,
+                               dropout_rng=key, deterministic=False)
+    same = float(jnp.max(jnp.abs(o1r2.astype(jnp.float32)
+                                 - o2r2.astype(jnp.float32))))
+    print(f"rel fs same-seed replay: max|diff| = {same:.3e}")
+    assert same == 0.0, same
+
+    def grelfs(vv):
+        return jnp.sum(fused_rel_attention(
+            qr2, kr2, vv, ebr2, n_heads=H, scale=scale,
+            dropout_rate=rate, dropout_rng=key,
+            deterministic=False).astype(jnp.float32))
+
+    dvr2 = jax.grad(grelfs)(vr2)
+    dirn_r2 = jnp.asarray(rng.randn(BR2, SR2, D), jnp.bfloat16)
+    fd = (grelfs(vr2 + 0.5 * dirn_r2) - grelfs(vr2 - 0.5 * dirn_r2)) / 1.0
+    an = float(jnp.sum(dvr2.astype(jnp.float32)
+                       * dirn_r2.astype(jnp.float32)))
+    rel_d = abs(float(fd) - an) / max(abs(an), 1e-9)
+    print(f"rel fs bwd PRNG replay: FD vs grad rel diff = {rel_d:.3e}")
+    assert rel_d < 5e-2, rel_d
+
     # ---- 3. microbenchmark -------------------------------------------
     def bench(fn, label, n=50):
         carry = jnp.zeros((), jnp.float32)
