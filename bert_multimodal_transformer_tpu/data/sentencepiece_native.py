@@ -35,12 +35,24 @@ tests/test_sentencepiece_native.py):
     unknown spans are emitted as their UTF-8 bytes' pieces instead of
     one merged unk piece.
 
-Normalization: SentencePiece's full "nmt_nfkc" normalizer applies a
-precompiled character map; this implementation approximates it with NFKC +
-control-character removal + whitespace collapsing, which agrees on the
-ASCII/latin text MOSI/MOSEI transcripts contain. The approximation is
-documented here rather than hidden — and is now normalizer-only: the
-Viterbi/piece-type behavior is exact per the cross-validation above.
+Normalization is EXACT for real model files: when the model's
+``NormalizerSpec`` carries a ``precompiled_charsmap`` (every stock
+``spiece.model``, e.g. xlnet-base-cased's nmt_nfkc, does), this module
+decodes it — the ``[uint32 trie_size][darts-clone double-array trie]
+[NUL-delimited replacement blob]`` layout of sentencepiece's
+normalizer.cc ``DecodePrecompiledCharsMap`` — and applies the same
+longest-prefix-match rewrite loop as ``Normalizer::Normalize``
+(heading/trailing-space removal, dummy prefix, ▁ escaping, invalid-UTF-8
+→ U+FFFD, user-defined-symbol protection), honoring the spec's
+``add_dummy_prefix`` / ``remove_extra_whitespaces`` /
+``escape_whitespaces`` flags. A darts-clone *builder*
+(``build_precompiled_charsmap``) exists so tests can construct charsmap
+fixtures and cross-validate this decoder against the HF ``tokenizers``
+Rust ``Precompiled`` normalizer (the Rust port of the same format), and
+so fixture models can embed a realistic nmt_nfkc-style map
+(``build_nmt_nfkc_rules``). Only when a model file carries NO charsmap
+(hand-built fixtures) does the engine fall back to the documented
+NFKC-based approximation.
 """
 
 from __future__ import annotations
@@ -151,21 +163,27 @@ def parse_model_proto(data: bytes) -> List[Tuple[str, float, int]]:
     return pieces
 
 
-def serialize_model_proto(pieces: List[Tuple[str, float, int]]) -> bytes:
+def _varint(x: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def serialize_model_proto(
+        pieces: List[Tuple[str, float, int]],
+        normalizer_spec: "dict | None" = None) -> bytes:
     """Inverse of parse_model_proto (used to build test fixtures and to
-    export native vocabularies as real .model files)."""
-
-    def varint(x: int) -> bytes:
-        out = bytearray()
-        while True:
-            b = x & 0x7F
-            x >>= 7
-            if x:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                return bytes(out)
-
+    export native vocabularies as real .model files). ``normalizer_spec``
+    optionally embeds a ModelProto.normalizer_spec (field 3) with the keys
+    of DEFAULT_NORMALIZER_SPEC — fixture models built with a
+    ``precompiled_charsmap`` exercise the exact-normalizer path."""
+    varint = _varint
     blob = bytearray()
     for piece, score, ptype in pieces:
         body = bytearray()
@@ -175,7 +193,353 @@ def serialize_model_proto(pieces: List[Tuple[str, float, int]]) -> bytes:
         if ptype != TYPE_NORMAL:
             body += b"\x18" + varint(ptype)             # field 3, wire 0
         blob += b"\x0a" + varint(len(body)) + bytes(body)
+    if normalizer_spec is not None:
+        spec = dict(DEFAULT_NORMALIZER_SPEC)
+        spec.update(normalizer_spec)
+        body = bytearray()
+        nb = spec["name"].encode("utf-8")
+        body += b"\x0a" + varint(len(nb)) + nb          # name = 1, wire 2
+        cm = spec["precompiled_charsmap"]
+        if cm:
+            body += b"\x12" + varint(len(cm)) + cm      # charsmap = 2
+        # proto2 defaults for the three bools are true — always write
+        # them so a False round-trips
+        body += b"\x18" + varint(int(spec["add_dummy_prefix"]))
+        body += b"\x20" + varint(int(spec["remove_extra_whitespaces"]))
+        body += b"\x28" + varint(int(spec["escape_whitespaces"]))
+        blob += b"\x1a" + varint(len(body)) + bytes(body)   # field 3
     return bytes(blob)
+
+
+# --------------------------------------------------------------------------
+# NormalizerSpec + precompiled charsmap (exact nmt_nfkc)
+# --------------------------------------------------------------------------
+
+DEFAULT_NORMALIZER_SPEC = {
+    "name": "",
+    "precompiled_charsmap": b"",
+    # sentencepiece_model.proto NormalizerSpec defaults (proto2)
+    "add_dummy_prefix": True,
+    "remove_extra_whitespaces": True,
+    "escape_whitespaces": True,
+}
+
+
+def parse_normalizer_spec(data: bytes) -> dict:
+    """ModelProto field 3 = NormalizerSpec {name=1 (string),
+    precompiled_charsmap=2 (bytes), add_dummy_prefix=3,
+    remove_extra_whitespaces=4, escape_whitespaces=5 (bools, default
+    true)}. Returns DEFAULT_NORMALIZER_SPEC values for absent fields."""
+    spec = dict(DEFAULT_NORMALIZER_SPEC)
+    for field, wire, val in _scan_fields(data):
+        if field == 3 and wire == 2:
+            for f2, w2, v2 in _scan_fields(val):
+                if f2 == 1 and w2 == 2:
+                    spec["name"] = v2.decode("utf-8")
+                elif f2 == 2 and w2 == 2:
+                    spec["precompiled_charsmap"] = v2
+                elif f2 == 3 and w2 == 0:
+                    spec["add_dummy_prefix"] = bool(v2)
+                elif f2 == 4 and w2 == 0:
+                    spec["remove_extra_whitespaces"] = bool(v2)
+                elif f2 == 5 and w2 == 0:
+                    spec["escape_whitespaces"] = bool(v2)
+    return spec
+
+
+# darts-clone DoubleArrayUnit accessors (darts.h): bits 0-7 label,
+# bit 8 has_leaf, bit 9 offset-extension, bits 10-30 offset payload,
+# bit 31 marks a value unit (and participates in label() so value units
+# never match a byte).
+
+def _unit_offset(unit: int) -> int:
+    return (unit >> 10) << ((unit & (1 << 9)) >> 6)
+
+
+def _darts_common_prefix_search(units, key: bytes,
+                                pos: int = 0) -> List[Tuple[int, int]]:
+    """darts-clone commonPrefixSearch over ``key[pos:]`` — returns
+    [(value, matched_length)] in increasing length order (the longest
+    rule is the last entry, as Normalizer::NormalizePrefix selects)."""
+    results: List[Tuple[int, int]] = []
+    n_units = len(units)
+    node_pos = 0
+    unit = units[0]
+    node_pos ^= _unit_offset(unit)
+    for i in range(pos, len(key)):
+        c = key[i]
+        node_pos ^= c
+        if node_pos >= n_units:
+            return results
+        unit = units[node_pos]
+        if (unit & 0x800000FF) != c:
+            return results
+        node_pos ^= _unit_offset(unit)
+        if (unit >> 8) & 1:
+            if node_pos >= n_units:
+                return results
+            results.append((units[node_pos] & 0x7FFFFFFF, i - pos + 1))
+    return results
+
+
+def build_darts(items: List[Tuple[bytes, int]]) -> List[int]:
+    """Build a darts-clone-compatible double array from (key, value)
+    pairs (values < 2^31). Correctness relies on the standard
+    double-array invariant that every node's base is unique, so a unit
+    at position ``base ^ c`` with label ``c`` can only belong to the one
+    node owning ``base``. Used to construct charsmap fixtures; real
+    models ship a trie built by sentencepiece itself."""
+    root: dict = {}
+    for key, val in sorted(items):
+        if not key:
+            raise ValueError("darts keys must be non-empty")
+        if not (0 <= val < (1 << 31)):
+            raise ValueError("darts values must fit 31 bits")
+        node = root
+        for b in key:
+            node = node.setdefault(b, {})
+        node[None] = val
+
+    size = 1024
+    units = [0] * size
+    used = [False] * size
+    used[0] = True
+    used_bases = set()
+    base_start = 1  # persistent scan start; bases only accumulate
+
+    def grow(upto: int):
+        nonlocal size
+        while upto >= size:
+            units.extend([0] * size)
+            used.extend([False] * size)
+            size *= 2
+
+    from collections import deque
+    queue = deque([(root, 0)])
+    while queue:
+        node, upos = queue.popleft()
+        labels = sorted(k for k in node if k is not None)
+        has_value = None in node
+        slots = ([0] if has_value else []) + labels
+        if not slots:
+            continue
+        base = base_start
+        while True:
+            if base not in used_bases:
+                grow(base | 0xFF)
+                ok = True
+                for s in slots:
+                    p = base ^ s
+                    if p == 0 or used[p]:
+                        ok = False
+                        break
+                if ok:
+                    break
+            base += 1
+            if base == base_start + 1 and base - 1 in used_bases:
+                base_start = base
+        used_bases.add(base)
+        units[upos] |= _encode_darts_offset(upos ^ base)
+        if has_value:
+            used[base] = True
+            units[base] = 0x80000000 | node[None]
+        for c in labels:
+            p = base ^ c
+            used[p] = True
+            child = node[c]
+            units[p] = c | ((1 << 8) if None in child else 0)
+            queue.append((child, p))
+    # trim to the last used unit (keep index 0)
+    last = max(i for i, u in enumerate(used) if u)
+    return units[:last + 1]
+
+
+def _encode_darts_offset(o: int) -> int:
+    if o < (1 << 21):
+        return o << 10
+    if o % 256 == 0 and (o >> 8) < (1 << 21):
+        return ((o >> 8) << 10) | (1 << 9)
+    raise ValueError(f"darts offset {o} not encodable")
+
+
+def build_precompiled_charsmap(rules: Dict[str, str]) -> bytes:
+    """{source → replacement} → the blob layout of normalizer.cc
+    DecodePrecompiledCharsMap: [uint32 LE trie size][darts double array]
+    [NUL-delimited replacement strings] (trie values are byte offsets
+    into the replacement section)."""
+    normalized = bytearray()
+    offsets: Dict[bytes, int] = {}
+    items: List[Tuple[bytes, int]] = []
+    for key in sorted(rules):
+        kb = key.encode("utf-8")
+        rb = rules[key].encode("utf-8")
+        off = offsets.get(rb)
+        if off is None:
+            off = len(normalized)
+            offsets[rb] = off
+            normalized += rb + b"\0"
+        items.append((kb, off))
+    units = build_darts(items)
+    trie_blob = struct.pack(f"<{len(units)}I", *units)
+    return struct.pack("<I", len(trie_blob)) + trie_blob + bytes(normalized)
+
+
+def _decode_utf8_char(data: bytes, pos: int) -> Tuple[int, bool]:
+    """(length, is_valid) of the UTF-8 char at ``data[pos:]`` with
+    sentencepiece string_util.h DecodeUTF8's exact validity rules
+    (no overlongs, no surrogates, ≤ U+10FFFF; invalid → length 1)."""
+    b0 = data[pos]
+    n = len(data) - pos
+    if b0 < 0x80:
+        return 1, True
+
+    def trail(k):
+        return pos + k < len(data) and (data[pos + k] & 0xC0) == 0x80
+
+    if n >= 2 and (b0 & 0xE0) == 0xC0:
+        cp = ((b0 & 0x1F) << 6) | (data[pos + 1] & 0x3F)
+        if trail(1) and cp >= 0x80:
+            return 2, True
+    elif n >= 3 and (b0 & 0xF0) == 0xE0:
+        cp = (((b0 & 0x0F) << 12) | ((data[pos + 1] & 0x3F) << 6)
+              | (data[pos + 2] & 0x3F))
+        if (trail(1) and trail(2) and cp >= 0x800
+                and not (0xD800 <= cp < 0xE000)):
+            return 3, True
+    elif n >= 4 and (b0 & 0xF8) == 0xF0:
+        cp = (((b0 & 0x07) << 18) | ((data[pos + 1] & 0x3F) << 12)
+              | ((data[pos + 2] & 0x3F) << 6) | (data[pos + 3] & 0x3F))
+        if (trail(1) and trail(2) and trail(3)
+                and 0x10000 <= cp <= 0x10FFFF):
+            return 4, True
+    return 1, False
+
+
+_SPACE_SYMBOL_B = SPIECE_UNDERLINE.encode("utf-8")  # b"\xe2\x96\x81"
+_REPLACEMENT_CHAR_B = b"\xef\xbf\xbd"               # U+FFFD
+
+
+class PrecompiledNormalizer:
+    """Exact port of sentencepiece normalizer.cc over a decoded
+    precompiled charsmap: longest-prefix rewrite with single-character
+    passthrough, invalid-UTF-8 → U+FFFD (consuming one byte),
+    user-defined-symbol protection (PrefixMatcher semantics), heading/
+    trailing space removal, dummy prefix, and ▁ escaping per the
+    NormalizerSpec flags."""
+
+    def __init__(self, blob: bytes):
+        if len(blob) <= 4:
+            raise ValueError("Blob for normalization rule is broken.")
+        (trie_size,) = struct.unpack("<I", blob[:4])
+        if trie_size >= len(blob) - 4 + 1 or trie_size % 4 != 0:
+            raise ValueError("Blob for normalization rule is broken.")
+        n_units = trie_size // 4
+        self._units = list(struct.unpack(f"<{n_units}I",
+                                         blob[4:4 + trie_size]))
+        self._normalized = blob[4 + trie_size:]
+
+    def _replacement(self, value: int) -> bytes:
+        end = self._normalized.find(b"\0", value)
+        if end == -1:
+            end = len(self._normalized)
+        return self._normalized[value:end]
+
+    def normalize_prefix(self, data: bytes, pos: int,
+                         user_defined: "List[bytes] | None" = None,
+                         ) -> Tuple[bytes, int]:
+        """Normalizer::NormalizePrefix: (replacement, consumed bytes)."""
+        if user_defined:
+            for ud in user_defined:  # longest-first
+                if data.startswith(ud, pos):
+                    return data[pos:pos + len(ud)], len(ud)
+        results = _darts_common_prefix_search(self._units, data, pos)
+        if results:
+            value, length = results[-1]  # longest rule
+            return self._replacement(value), length
+        length, valid = _decode_utf8_char(data, pos)
+        if not valid:
+            return _REPLACEMENT_CHAR_B, 1
+        return data[pos:pos + length], length
+
+    def normalize(self, text: str,
+                  user_defined: "List[str] | None" = None,
+                  add_dummy_prefix: bool = True,
+                  remove_extra_whitespaces: bool = True,
+                  escape_whitespaces: bool = True) -> str:
+        data = text.encode("utf-8")
+        ud = ([p.encode("utf-8") for p in user_defined]
+              if user_defined else None)
+        pos = 0
+        n = len(data)
+        # ignores heading space (pieces whose replacement is exactly " ")
+        if remove_extra_whitespaces:
+            while pos < n:
+                rep, consumed = self.normalize_prefix(data, pos, ud)
+                if rep != b" ":
+                    break
+                pos += consumed
+        if pos >= n:
+            return ""
+        out = bytearray()
+        if add_dummy_prefix:
+            out += _SPACE_SYMBOL_B if escape_whitespaces else b" "
+        is_prev_space = remove_extra_whitespaces
+        while pos < n:
+            rep, consumed = self.normalize_prefix(data, pos, ud)
+            sp = rep
+            # removes heading spaces in the piece if the previous piece
+            # ended with whitespace
+            if is_prev_space:
+                sp = sp.lstrip(b" ") if sp.startswith(b" ") else sp
+            if sp:
+                if escape_whitespaces and b" " in sp:
+                    out += sp.replace(b" ", _SPACE_SYMBOL_B)
+                else:
+                    out += sp
+                is_prev_space = sp.endswith(b" ")
+            pos += consumed
+            if not remove_extra_whitespaces:
+                is_prev_space = False
+        if remove_extra_whitespaces:
+            space = _SPACE_SYMBOL_B if escape_whitespaces else b" "
+            while out.endswith(space):
+                del out[len(out) - len(space):]
+        return out.decode("utf-8")
+
+
+def build_nmt_nfkc_rules(max_cp: int = 0x110000) -> Dict[str, str]:
+    """Single-codepoint nmt_nfkc rule map: NFKC folds (via unicodedata)
+    plus sentencepiece builder.cc BuildNmtNfkcMap's NMT-specific
+    overrides (extra whitespace codepoints → " ", C0/C1 controls → "",
+    U+FF5E kept verbatim). Training-side utility for realistic fixtures
+    and for models that carry no charsmap — real model files embed the
+    exact map sentencepiece built (including its multi-codepoint
+    recomposition keys, which this generator does not enumerate), and
+    the decoder above honors that embedded map byte-for-byte."""
+    import unicodedata as ud
+    rules: Dict[str, str] = {}
+    for cp in range(max_cp):
+        if 0xD800 <= cp < 0xE000:
+            continue
+        ch = chr(cp)
+        norm = ud.normalize("NFKC", ch)
+        if norm != ch:
+            rules[ch] = norm
+    for cp in (0x0009, 0x000A, 0x000C, 0x000D, 0x1680, 0x200B, 0x200C,
+               0x200D, 0x200E, 0x200F, 0x2028, 0x2029, 0x2581, 0xFEFF,
+               0xFFFD):
+        if cp < max_cp:
+            rules[chr(cp)] = " "
+    controls = (list(range(0x0001, 0x0009)) + [0x000B]
+                + list(range(0x000E, 0x0020)) + [0x007F]
+                + list(range(0x0080, 0x00A0)))
+    for cp in controls:
+        if cp < max_cp:
+            rules[chr(cp)] = ""
+    # FULL-WIDTH TILDE is deliberately NOT normalized (builder.cc:
+    # full/half-width tildes are used differently in Japanese)
+    rules.pop("～", None)
+    return rules
 
 
 # --------------------------------------------------------------------------
@@ -196,6 +560,8 @@ class PurePythonSentencePiece:
         self._user_defined: List[str] = []
         self._byte_to_piece: Dict[int, str] = {}
         self._byte_fallback = False
+        self._normalizer_spec = dict(DEFAULT_NORMALIZER_SPEC)
+        self._precompiled: "PrecompiledNormalizer | None" = None
 
     def Load(self, path: str) -> "PurePythonSentencePiece":
         with open(path, "rb") as f:
@@ -204,6 +570,10 @@ class PurePythonSentencePiece:
 
     def LoadFromSerializedProto(self, data: bytes):
         self._pieces = parse_model_proto(data)
+        self._normalizer_spec = parse_normalizer_spec(data)
+        charsmap = self._normalizer_spec["precompiled_charsmap"]
+        self._precompiled = (PrecompiledNormalizer(charsmap)
+                             if charsmap else None)
         self._ids = {}
         self._scores = {}
         self._user_defined = []
@@ -277,7 +647,22 @@ class PurePythonSentencePiece:
     # -- internals ---------------------------------------------------------
 
     def _normalize(self, text: str) -> str:
-        """Approximate nmt_nfkc: NFKC, drop control chars, collapse
+        if self._precompiled is not None:
+            # exact path: the model ships its own charsmap (every stock
+            # spiece.model does) — decode it and run normalizer.cc's
+            # algorithm byte-for-byte, honoring the spec flags
+            spec = self._normalizer_spec
+            return self._precompiled.normalize(
+                text,
+                user_defined=self._user_defined,
+                add_dummy_prefix=spec["add_dummy_prefix"],
+                remove_extra_whitespaces=spec["remove_extra_whitespaces"],
+                escape_whitespaces=spec["escape_whitespaces"])
+        return self._normalize_approx(text)
+
+    def _normalize_approx(self, text: str) -> str:
+        """Approximate nmt_nfkc for models carrying NO charsmap
+        (hand-built fixtures): NFKC, drop control chars, collapse
         whitespace; then escape spaces as ▁ with a dummy prefix
         (add_dummy_prefix=True, SentencePiece's default and XLNet's).
 

@@ -368,14 +368,18 @@ def test_driver_real_data_path_bert_vocab_file(tmp_path):
 
 def test_driver_real_data_path_xlnet_spiece_model(tmp_path):
     """XLNet twin: --data_pickle + --vocab spiece.model, where the
-    .model is a REAL serialized SentencePiece ModelProto read by the
-    native unigram engine (the reference's get_tokenizer path,
+    .model is a REAL serialized SentencePiece ModelProto — including an
+    embedded nmt_nfkc precompiled charsmap, so the CLI drives the EXACT
+    normalizer path a stock spiece.model takes — read by the native
+    unigram engine (the reference's get_tokenizer path,
     multimodal_driver.py:208-218)."""
     from bert_multimodal_transformer_tpu.data import synthetic
     from bert_multimodal_transformer_tpu.data.sentencepiece_native import (
         TYPE_CONTROL,
         TYPE_NORMAL,
         TYPE_UNKNOWN,
+        build_nmt_nfkc_rules,
+        build_precompiled_charsmap,
         serialize_model_proto,
     )
 
@@ -395,8 +399,11 @@ def test_driver_real_data_path_xlnet_spiece_model(tmp_path):
     for ch in sorted(chars):
         pieces.append((ch, -5.0, TYPE_NORMAL))
         pieces.append(("▁" + ch, -5.0, TYPE_NORMAL))
+    charsmap = build_precompiled_charsmap(build_nmt_nfkc_rules(max_cp=0x300))
     spiece = tmp_path / "spiece.model"
-    spiece.write_bytes(serialize_model_proto(pieces))
+    spiece.write_bytes(serialize_model_proto(
+        pieces, normalizer_spec={"name": "nmt_nfkc",
+                                 "precompiled_charsmap": charsmap}))
 
     rc = driver.main([
         "--model", "xlnet-base-cased", "--dataset", "mosi",

@@ -335,3 +335,226 @@ def test_viterbi_matches_hf_rust_unigram_fuzz():
                 assert got == expect, (
                     f"bf={byte_fallback} trial={trial} text={text!r}: "
                     f"{got} != {expect}")
+
+
+# --------------------------------------------------------------------------
+# precompiled charsmap (exact nmt_nfkc) — normalizer.cc port
+# --------------------------------------------------------------------------
+
+from bert_multimodal_transformer_tpu.data.sentencepiece_native import (  # noqa: E402
+    DEFAULT_NORMALIZER_SPEC,
+    PrecompiledNormalizer,
+    _darts_common_prefix_search,
+    build_darts,
+    build_nmt_nfkc_rules,
+    build_precompiled_charsmap,
+    parse_normalizer_spec,
+)
+
+
+def test_darts_roundtrip_vs_bruteforce():
+    """The darts-clone double-array reader and builder agree with a
+    brute-force prefix scan on random key sets (incl. nested prefixes
+    and shared stems)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(6):
+        keys = set()
+        while len(keys) < 40:
+            ln = rng.randint(1, 5)
+            keys.add(bytes(rng.randrange(1, 8) for _ in range(ln)))
+        items = [(k, i) for i, k in enumerate(sorted(keys))]
+        units = build_darts(items)
+        table = dict(items)
+        for _ in range(200):
+            q = bytes(rng.randrange(1, 8) for _ in range(rng.randint(1, 8)))
+            got = _darts_common_prefix_search(units, q)
+            expect = [(table[q[:ln]], ln) for ln in range(1, len(q) + 1)
+                      if q[:ln] in table]
+            assert got == expect, (trial, q, got, expect)
+
+
+def test_precompiled_charsmap_matches_rust_precompiled_fuzz():
+    """The decoder + rewrite loop agree with the HF tokenizers Rust
+    ``Precompiled`` normalizer (the Rust port of the same blob format)
+    on fuzzed text. CRLF is excluded: the Rust port normalizes per
+    grapheme cluster and "\\r\\n" is ONE grapheme, so it rewrites the
+    pair with a single rule where sentencepiece C++ (this port's
+    target) matches byte-wise longest-prefix — see the dedicated test
+    below."""
+    import random
+
+    tokenizers = __import__("pytest").importorskip("tokenizers")
+    from tokenizers.normalizers import Precompiled
+
+    rules = build_nmt_nfkc_rules(max_cp=0x3100)  # latin+kana+enclosed
+    blob = build_precompiled_charsmap(rules)
+    mine = PrecompiledNormalizer(blob)
+    theirs = Precompiled(blob)
+    rng = random.Random(11)
+    pools = ["abc ABC xyz", "ａｂｃＡＢＣ１２３", "ﬁﬂﬀ½¼①②",
+             "ｶﾞｷﾞｸﾞ｡｢｣", "\t\n\x0b\x07\x00 ", "日本語カタカナ",
+             "​‍﻿ ", "éèêë"]
+    for _ in range(1500):
+        pool = rng.choice(pools) + "a "
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(1, 24)))
+        got = mine.normalize(s, add_dummy_prefix=False,
+                             remove_extra_whitespaces=False,
+                             escape_whitespaces=False)
+        assert got == theirs.normalize_str(s), repr(s)
+
+
+def test_precompiled_crlf_byte_longest_prefix_semantics():
+    """sentencepiece C++ rewrites byte-wise: "\r\n" is TWO rule
+    applications (two spaces raw); the Rust port emits one. Under the
+    stock flags (remove_extra_whitespaces=True) the outputs coincide —
+    which is why the Rust port survives XNLI — but the raw semantics
+    this port implements are the C++ ones the reference's slow
+    XLNetTokenizer actually runs."""
+    blob = build_precompiled_charsmap(build_nmt_nfkc_rules(max_cp=0x100))
+    pn = PrecompiledNormalizer(blob)
+    assert pn.normalize("a\r\nb", add_dummy_prefix=False,
+                        remove_extra_whitespaces=False,
+                        escape_whitespaces=False) == "a  b"
+    assert pn.normalize("a\r\nb") == "▁a▁b"
+
+
+def test_precompiled_longest_rule_wins():
+    """NormalizePrefix picks the LONGEST matching rule (normalizer.cc
+    keeps the max-length trie hit), incl. multi-codepoint keys."""
+    blob = build_precompiled_charsmap(
+        {"a": "X", "ab": "Y", "abc": "Z", "é": "e"})
+    pn = PrecompiledNormalizer(blob)
+    raw = dict(add_dummy_prefix=False, remove_extra_whitespaces=False,
+               escape_whitespaces=False)
+    assert pn.normalize("abcab a é", **raw) == "ZY X e"
+
+
+def test_precompiled_invalid_utf8_and_empty_replacement():
+    blob = build_precompiled_charsmap(build_nmt_nfkc_rules(max_cp=0x100))
+    pn = PrecompiledNormalizer(blob)
+    # malformed lead byte: U+FFFD, consuming exactly one byte
+    assert pn.normalize_prefix(b"\xff\xfea", 0) == (b"\xef\xbf\xbd", 1)
+    # overlong encoding of '/' is invalid
+    assert pn.normalize_prefix(b"\xc0\xaf", 0) == (b"\xef\xbf\xbd", 1)
+    # a control char maps to the EMPTY replacement and disappears
+    assert pn.normalize("a\x07b", add_dummy_prefix=False,
+                        remove_extra_whitespaces=False,
+                        escape_whitespaces=False) == "ab"
+
+
+def test_precompiled_flag_matrix():
+    blob = build_precompiled_charsmap(build_nmt_nfkc_rules(max_cp=0x100))
+    pn = PrecompiledNormalizer(blob)
+    s = "  hello\t world  "
+    assert pn.normalize(s) == "▁hello▁world"
+    assert pn.normalize(s, add_dummy_prefix=False) == "hello▁world"
+    assert pn.normalize(s, escape_whitespaces=False) == " hello world"
+    assert pn.normalize(s, remove_extra_whitespaces=False) == \
+        "▁▁▁hello▁▁world▁▁"
+
+
+def test_normalizer_spec_roundtrip_and_exact_chain(tmp_path):
+    """A fixture .model with an embedded charsmap + non-default flags
+    round-trips through serialize/parse, and EncodeAsPieces runs the
+    EXACT normalizer (proved with a rule NFKC would never apply)."""
+    rules = build_nmt_nfkc_rules(max_cp=0x100)
+    rules["Q"] = "ab"          # marker rule: only the charsmap knows it
+    blob = build_precompiled_charsmap(rules)
+    spec = {"name": "nmt_nfkc", "precompiled_charsmap": blob,
+            "add_dummy_prefix": False}
+    data = serialize_model_proto(_pieces(), normalizer_spec=spec)
+    parsed = parse_normalizer_spec(data)
+    assert parsed["name"] == "nmt_nfkc"
+    assert parsed["precompiled_charsmap"] == blob
+    assert parsed["add_dummy_prefix"] is False
+    assert parsed["remove_extra_whitespaces"] is True
+    sp = PurePythonSentencePiece()
+    sp.LoadFromSerializedProto(data)
+    assert sp._precompiled is not None
+    # "Q" -> "ab" via the charsmap (NFKC alone never does that), then
+    # Viterbi segments "ab" with NO dummy prefix per the spec flag:
+    # "a" is out-of-vocab bare (only "▁a" exists) → unk char + "b"
+    assert sp.EncodeAsPieces("Q") == ["a", "b"]
+    # default-spec model: dummy prefix present
+    data2 = serialize_model_proto(
+        _pieces(), normalizer_spec={"precompiled_charsmap": blob})
+    sp2 = PurePythonSentencePiece()
+    sp2.LoadFromSerializedProto(data2)
+    assert sp2.EncodeAsPieces("Q") == ["▁ab"]
+    assert sp2.EncodeAsPieces("hello  ab\tcd ") == \
+        ["▁hello", "▁ab", "▁c", "d"]
+
+
+def test_exact_chain_matches_rust_full_pipeline():
+    """Full chain cross-validation: my normalize (exact charsmap) +
+    Viterbi == Rust Precompiled + default-flag emulation + Rust
+    Unigram, on fuzzed text under the stock XLNet flags."""
+    import random
+    import re
+
+    tokenizers = __import__("pytest").importorskip("tokenizers")
+    from tokenizers import Tokenizer
+    from tokenizers.models import Unigram
+    from tokenizers.normalizers import Precompiled
+
+    rules = build_nmt_nfkc_rules(max_cp=0x3100)
+    blob = build_precompiled_charsmap(rules)
+    pieces = _pieces()
+    data = serialize_model_proto(
+        pieces, normalizer_spec={"name": "nmt_nfkc",
+                                 "precompiled_charsmap": blob})
+    ours = PurePythonSentencePiece()
+    ours.LoadFromSerializedProto(data)
+    vocab = [(p, s) for p, s, _t in pieces]
+    rust_uni = Tokenizer(Unigram(vocab, unk_id=0, byte_fallback=False))
+    rust_norm = Precompiled(blob)
+    rng = random.Random(3)
+    pool = "ab c d hello ＡＢ　ｈｅｌｌｏ\t①ﬁ"
+    for _ in range(300):
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(1, 30)))
+        norm = rust_norm.normalize_str(s)
+        norm = re.sub(" +", " ", norm).strip(" ")     # remove_extra_ws
+        norm = ("▁" + norm.replace(" ", "▁")) if norm else ""  # prefix+escape
+        expect = (rust_uni.encode(norm, add_special_tokens=False).tokens
+                  if norm else [])
+        assert ours.EncodeAsPieces(s) == expect, repr(s)
+
+
+def test_nmt_nfkc_rules_content():
+    rules = build_nmt_nfkc_rules()
+    assert rules["\t"] == " " and rules["​"] == " "
+    assert rules["\x07"] == "" and rules["\x9f"] == ""
+    assert rules["①"] == "1" and rules["ﬁ"] == "fi"
+    assert "～" not in rules          # FULL-WIDTH TILDE kept verbatim
+    assert rules["﻿"] == " "
+
+
+def test_user_defined_symbol_protected_on_exact_path():
+    """PrefixMatcher precedence inside NormalizePrefix: a user-defined
+    symbol whose surface the charsmap would rewrite (ﬁ → fi) reaches
+    the trie verbatim when the exact normalizer is active."""
+    blob = build_precompiled_charsmap(build_nmt_nfkc_rules(max_cp=0x10000))
+    from bert_multimodal_transformer_tpu.data.sentencepiece_native import (
+        TYPE_USER_DEFINED,
+    )
+    pieces = [
+        ("<unk>", 0.0, TYPE_UNKNOWN),
+        ("f", -1.0, TYPE_NORMAL),
+        ("i", -1.0, TYPE_NORMAL),
+        ("x", -1.0, TYPE_NORMAL),
+        ("▁", -1.0, TYPE_NORMAL),
+        ("ﬁx", 0.0, TYPE_USER_DEFINED),
+    ]
+    data = serialize_model_proto(
+        pieces, normalizer_spec={"precompiled_charsmap": blob})
+    sp = PurePythonSentencePiece()
+    sp.LoadFromSerializedProto(data)
+    assert sp._precompiled is not None
+    assert sp.EncodeAsPieces("ﬁx") == ["▁", "ﬁx"]
+    data2 = serialize_model_proto(
+        pieces[:-1], normalizer_spec={"precompiled_charsmap": blob})
+    sp2 = PurePythonSentencePiece()
+    sp2.LoadFromSerializedProto(data2)
+    assert sp2.EncodeAsPieces("ﬁx") == ["▁", "f", "i", "x"]
