@@ -20,11 +20,25 @@ import numpy as np
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a pytorch_model.bin (or a directory containing one) into numpy."""
+    """Load an HF checkpoint into numpy: torch-pickle
+    ``pytorch_model.bin`` OR ``model.safetensors`` (what current HF
+    checkpoints ship; parsed pure-numpy, no torch needed). A directory
+    is searched for either file, .bin first for backward compatibility."""
+    if os.path.isdir(path):
+        for candidate in ("pytorch_model.bin", "model.safetensors"):
+            p = os.path.join(path, candidate)
+            if os.path.exists(p):
+                path = p
+                break
+        else:
+            raise FileNotFoundError(
+                f"{path}: no pytorch_model.bin or model.safetensors")
+    if path.endswith(".safetensors"):
+        from .safetensors_io import load_safetensors
+
+        return load_safetensors(path)
     import torch
 
-    if os.path.isdir(path):
-        path = os.path.join(path, "pytorch_model.bin")
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return {k: v.detach().numpy() for k, v in sd.items()}
 
