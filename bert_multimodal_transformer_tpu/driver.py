@@ -270,11 +270,6 @@ def main(argv=None) -> int:
                   "--pipeline_parallel (the pipeline trainer owns its "
                   "stage-sharded state layout)", file=sys.stderr)
             return 2
-        if is_xlnet:
-            print("error: --pipeline_parallel supports the BERT family "
-                  "(XLNet's layer-1 MAG injection is not pipelined)",
-                  file=sys.stderr)
-            return 2
         if args.remat:
             print("error: --remat is not applied by the pipeline "
                   "trainer (parallel/pp.py builds the stage layers "
@@ -407,17 +402,21 @@ def main(argv=None) -> int:
                   f"({args.model_parallel})", file=sys.stderr)
             return 2
     if use_pp:
-        from bert_multimodal_transformer_tpu.parallel.pp import (
-            PipelineTrainer,
-        )
-
         if args.gradient_accumulation_step != 1:
             print("error: --gradient_accumulation_step is superseded by "
                   "--pp_microbatches under --pipeline_parallel",
                   file=sys.stderr)
             return 2
-        trainer = PipelineTrainer(model=model, tx=tx, mesh=mesh,
-                                  n_micro=args.pp_microbatches)
+        if is_xlnet:
+            from bert_multimodal_transformer_tpu.parallel.pp_xlnet import (
+                XLNetPipelineTrainer as _PT,
+            )
+        else:
+            from bert_multimodal_transformer_tpu.parallel.pp import (
+                PipelineTrainer as _PT,
+            )
+        trainer = _PT(model=model, tx=tx, mesh=mesh,
+                      n_micro=args.pp_microbatches)
     else:
         trainer = Trainer(model=model, tx=tx, mesh=mesh,
                           grad_accum=args.gradient_accumulation_step,
@@ -433,15 +432,10 @@ def main(argv=None) -> int:
         )
 
         if use_pp:
-            # the converter speaks the model layout; round-trip through it
-            from bert_multimodal_transformer_tpu.parallel.pp import (
-                model_params_from_pp_params,
-                pp_params_from_model_params,
-            )
-
-            template = model_params_from_pp_params(
-                jax.device_get(state.params))
-            params = pp_params_from_model_params(load_pretrained_into_params(
+            # the converter speaks the model layout; round-trip through
+            # the trainer's family-specific conversion hooks
+            template = trainer._from_pp(jax.device_get(state.params))
+            params = trainer._to_pp(load_pretrained_into_params(
                 template, args.pretrained_checkpoint, family=family))
         else:
             params = load_pretrained_into_params(
@@ -477,12 +471,17 @@ def main(argv=None) -> int:
             return 2
         if "prologue" in _params:
             # checkpoint written by a --pipeline_parallel run: stored in
-            # the pipeline layout, serve in the model layout
-            from bert_multimodal_transformer_tpu.parallel.pp import (
-                model_params_from_pp_params,
-            )
+            # the pipeline layout, serve in the model layout (the
+            # prologue's keys identify the family)
+            if "word_embedding" in _params["prologue"]:
+                from bert_multimodal_transformer_tpu.parallel.pp_xlnet \
+                    import xlnet_params_from_pp_params as _from_pp
+            else:
+                from bert_multimodal_transformer_tpu.parallel.pp import (
+                    model_params_from_pp_params as _from_pp,
+                )
 
-            _params = model_params_from_pp_params(_params)
+            _params = _from_pp(_params)
         predictor = Predictor(model, _params,
                               batch_size=args.test_batch_size)
         data = load_pickle_splits(pickle_path)
@@ -592,11 +591,7 @@ def main(argv=None) -> int:
 
         params_np = jax.device_get(state.params)
         if use_pp:
-            from bert_multimodal_transformer_tpu.parallel.pp import (
-                model_params_from_pp_params,
-            )
-
-            params_np = model_params_from_pp_params(params_np)
+            params_np = trainer._from_pp(params_np)
         if is_xlnet:
             sd = export_xlnet_state_dict(params_np, cfg.n_layer)
         else:

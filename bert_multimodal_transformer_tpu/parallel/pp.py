@@ -264,6 +264,7 @@ class PipelineTrainer(Trainer):
                 "injection_index != 0 is not pipelined")
         self._k = cfg.num_hidden_layers // self._n_stages
         self._cfg = cfg
+        self._hidden_size = cfg.hidden_size
         dt = getattr(self.model, "dtype", jnp.float32)
         self._dtype = dt
         self._pro = _Prologue(cfg, self.model.multimodal_config,
@@ -274,6 +275,62 @@ class PipelineTrainer(Trainer):
         self._bsh = NamedSharding(self.mesh, P(DATA_AXIS))
         self._rep = NamedSharding(self.mesh, P())
         self._fns = {}
+
+    # family hooks: the GPipe schedule, shard_map steps and epoch drivers
+    # are family-independent; subclasses (parallel/pp_xlnet.py) override
+    # these four to pipeline a different backbone.
+
+    def _to_pp(self, params):
+        return pp_params_from_model_params(params)
+
+    def _from_pp(self, pp_params):
+        return model_params_from_pp_params(pp_params)
+
+    def _stage_forward(self, params, mb, recv, rank, rng_m,
+                       deterministic: bool, live):
+        """One stage's work for one tick: returns (h_out [mb,S,D] to send
+        downstream, logits [mb]). ``mb`` = (ids, visual, acoustic, mask,
+        seg) microbatch tensors; ``recv`` is the upstream activation;
+        ``live`` is a traced bool — False on GPipe bubble ticks, whose
+        compute is garbage (subclasses use it to keep bubble garbage out
+        of gradient-NaN territory, e.g. zero-norm inputs to MAG).
+        Every rank computes the prologue (uniform SPMD program) and the
+        where(rank==0) keeps only rank 0's."""
+        ids, vis, ac, mask, seg = mb
+
+        def maybe_rngs(key):
+            return {} if deterministic else {"dropout": key}
+
+        pro = self._pro.apply(
+            {"params": params["prologue"]}, ids, vis, ac, seg,
+            deterministic,
+            rngs=maybe_rngs(None if deterministic
+                            else jax.random.fold_in(rng_m, 1 << 20)))
+        x_in = jnp.where(rank == 0, pro, recv)
+        bias = extended_attention_mask(mask, jnp.float32)
+        layer_ids = rank * self._k + jnp.arange(self._k)
+
+        if deterministic:
+            layer_xs = (params["layers"],)
+        else:
+            layer_keys = jax.vmap(
+                lambda i: jax.random.fold_in(rng_m, i))(layer_ids)
+            layer_xs = (params["layers"], layer_keys)
+
+        def layer_body(h, xs):
+            p_layer = xs[0]
+            key = None if deterministic else xs[1]
+            out = self._layer.apply(
+                {"params": p_layer}, h, bias, None, mask,
+                deterministic, False, rngs=maybe_rngs(key))
+            return out, None
+
+        h, _ = jax.lax.scan(layer_body, x_in, layer_xs)
+        logits = self._epi.apply(
+            {"params": params["epilogue"]}, h, deterministic,
+            rngs=maybe_rngs(None if deterministic
+                            else jax.random.fold_in(rng_m, 2 << 20)))
+        return h, logits.reshape(-1)
 
     # ---------------------------------------------------------------- state
 
@@ -290,7 +347,7 @@ class PipelineTrainer(Trainer):
                                  rng: jax.Array) -> TrainState:
         """``params`` in the MODEL layout (as from model.init / the HF
         converters) — converted to the pipeline layout and placed."""
-        pp = pp_params_from_model_params(params)
+        pp = self._to_pp(params)
         state = TrainState.create(apply_fn=self.model.apply, params=pp,
                                   tx=self.tx, rng=rng)
         return jax.device_put(state, state_shardings(state, self.mesh))
@@ -301,7 +358,7 @@ class PipelineTrainer(Trainer):
 
     def model_params(self, state: TrainState) -> Any:
         """The unstacked model tree (for the HF export path)."""
-        return model_params_from_pp_params(jax.device_get(state.params))
+        return self._from_pp(jax.device_get(state.params))
 
     # ------------------------------------------------------------- pipeline
 
@@ -345,12 +402,8 @@ class PipelineTrainer(Trainer):
 
         rank = jax.lax.axis_index(PIPE_AXIS)
         n_ticks = n_micro + n_stages - 1
-        x0 = jnp.zeros((mb, s, cfg.hidden_size), self._dtype)
+        x0 = jnp.zeros((mb, s, self._hidden_size), self._dtype)
         perm = [(i, i + 1) for i in range(n_stages - 1)]
-        layer_ids = rank * k + jnp.arange(k)
-
-        def maybe_rngs(key):
-            return {} if deterministic else {"dropout": key}
 
         def tick(x_prev, t):
             recv = jax.lax.ppermute(x_prev, PIPE_AXIS, perm)
@@ -367,35 +420,11 @@ class PipelineTrainer(Trainer):
             # slice is its microbatch); other ranks consume the wire
             rng_m = (None if deterministic
                      else jax.random.fold_in(rng, m_c))
-            pro = self._pro.apply(
-                {"params": params["prologue"]}, ids, vis, ac, seg,
-                deterministic,
-                rngs=maybe_rngs(None if deterministic
-                                else jax.random.fold_in(rng_m, 1 << 20)))
-            x_in = jnp.where(rank == 0, pro, recv)
-            bias = extended_attention_mask(mask, jnp.float32)
-
-            if deterministic:
-                layer_xs = (params["layers"],)
-            else:
-                layer_keys = jax.vmap(
-                    lambda i: jax.random.fold_in(rng_m, i))(layer_ids)
-                layer_xs = (params["layers"], layer_keys)
-
-            def layer_body(h, xs):
-                p_layer = xs[0]
-                key = None if deterministic else xs[1]
-                out = self._layer.apply(
-                    {"params": p_layer}, h, bias, None, mask,
-                    deterministic, False, rngs=maybe_rngs(key))
-                return out, None
-
-            h, _ = jax.lax.scan(layer_body, x_in, layer_xs)
-            logits = self._epi.apply(
-                {"params": params["epilogue"]}, h, deterministic,
-                rngs=maybe_rngs(None if deterministic
-                                else jax.random.fold_in(rng_m, 2 << 20)))
-            on_duty = ((rank == n_stages - 1) & (m >= 0) & (m < n_micro))
+            live = (m >= 0) & (m < n_micro)  # real microbatch this tick?
+            h, logits = self._stage_forward(
+                params, (ids, vis, ac, mask, seg), recv, rank, rng_m,
+                deterministic, live)
+            on_duty = ((rank == n_stages - 1) & live)
             if valid is None:
                 l_m = mse_loss(logits, lab)
             else:

@@ -288,21 +288,40 @@ def test_driver_pipeline_parallel(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["test_mae"])
 
-    # guards: no TP composition, no XLNet, no grad-accum double-counting
+    # guards: no TP composition, no grad-accum double-counting
     rc = driver.main(["--model", "bert-base-uncased", "--synthetic",
                       "--tiny", "--pipeline_parallel", "2",
                       "--model_parallel", "2"])
     assert rc == 2
     assert "compose" in capsys.readouterr().err
-    rc = driver.main(["--model", "xlnet-base-cased", "--synthetic",
-                      "--tiny", "--pipeline_parallel", "2"])
-    assert rc == 2
-    assert "BERT family" in capsys.readouterr().err
     rc = driver.main(["--model", "bert-base-uncased", "--synthetic",
                       "--tiny", "--pipeline_parallel", "2",
                       "--gradient_accumulation_step", "2"])
     assert rc == 2
     assert "--pp_microbatches" in capsys.readouterr().err
+
+
+def test_driver_pipeline_parallel_xlnet(tmp_path, capsys):
+    """--pipeline_parallel with the XLNet family (the reference's
+    headline model, xlnet.py:432-527): train through the CLI with the
+    mid-stack MAG injection pipelined (parallel/pp_xlnet.py), then
+    restore the pipeline-layout checkpoint with --predict_only."""
+    import json
+
+    extra = ["--model", "xlnet-base-cased",
+             "--pipeline_parallel", "2", "--pp_microbatches", "2",
+             "--synthetic_sizes", "20", "8", "8"]
+    rc = run_driver(tmp_path, extra=extra, epochs=1)
+    assert rc == 0
+    rec = json.loads((tmp_path / "ckpt" / "metrics.jsonl")
+                     .read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["test_mae"])
+
+    capsys.readouterr()
+    rc = run_driver(tmp_path, extra=extra + ["--predict_only"], epochs=1)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["test_mae"])
 
 
 def test_driver_export_hf(tmp_path):

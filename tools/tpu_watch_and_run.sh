@@ -11,7 +11,7 @@ import jax, jax.numpy as jnp
 print(float(jnp.ones((8,8)).sum()))
 " >/tmp/tpu_ping.log 2>&1; then
         echo "TPU BACK $(date -u +%H:%M:%S)" >> /tmp/tpu_watch.log
-        bash tools/tpu_session_r2.sh >> /tmp/tpu_watch.log 2>&1
+        bash tools/tpu_session_r4a.sh >> /tmp/tpu_watch.log 2>&1
         echo "SESSION DONE rc=$? $(date -u +%H:%M:%S)" >> /tmp/tpu_watch.log
         exit 0
     fi
