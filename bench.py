@@ -113,6 +113,13 @@ def main():
         # kept opt-in for re-measurement at other geometries.
         if os.environ.get("BENCH_PACK_QKV", "0") == "1":
             cfg = dataclasses.replace(cfg, pack_qkv=True)
+        # BENCH_MEM_LEN=N: Transformer-XL segment recurrence — memory of
+        # N positions carried across steps (K = seq + N in every layer;
+        # reference xlnet.py:81-91). Exercises the rel fit gates on
+        # K != Q geometries (head-blocked / flash-streamed dispatch).
+        mem_len = int(os.environ.get("BENCH_MEM_LEN", "0"))
+        if mem_len:
+            cfg = dataclasses.replace(cfg, mem_len=mem_len)
         model = MagXLNetForSequenceClassification(
             cfg, mm, visual_dim=ds.visual_dim,
             acoustic_dim=ds.acoustic_dim, dtype=jnp.bfloat16,
@@ -151,7 +158,10 @@ def main():
     n_dev = len(jax.devices())
     mesh = make_mesh(MeshConfig(data_parallel=n_dev))
     tx = make_optimizer(learning_rate=1e-5, num_train_steps=10000)
-    trainer = Trainer(model=model, tx=tx, mesh=mesh, donate=True)
+    mem_len = int(os.environ.get("BENCH_MEM_LEN", "0")) \
+        if family == "xlnet" else 0
+    trainer = Trainer(model=model, tx=tx, mesh=mesh, donate=True,
+                      mem_len=mem_len or None)
 
     rng = np.random.RandomState(0)
     host_batch = (
@@ -181,13 +191,30 @@ def main():
                 state_, (ids,) + tuple(batch_[1:]))
             return jnp2.sum(preds.astype(jnp2.float32)) * 1e-30
 
+        @jax.jit
+        def pred_chain_mems(state_, carry, batch_, mems_):
+            ids = batch_[0] + (carry * 0).astype(batch_[0].dtype)
+            preds, _, new_mems = trainer._predict_step_mems(
+                state_, (ids,) + tuple(batch_[1:]), mems_)
+            return (jnp2.sum(preds.astype(jnp2.float32)) * 1e-30,
+                    new_mems)
+
         carry = jnp2.zeros((), jnp2.float32)
+        mems = trainer._init_mems(host_batch) if mem_len else None
         for _ in range(warmup):
-            carry = pred_chain(state, carry, dev_batch)
+            if mem_len:
+                carry, mems = pred_chain_mems(state, carry, dev_batch,
+                                              mems)
+            else:
+                carry = pred_chain(state, carry, dev_batch)
         float(jax.device_get(carry))
         t0 = time.perf_counter()
         for _ in range(n_steps):
-            carry = pred_chain(state, carry, dev_batch)
+            if mem_len:
+                carry, mems = pred_chain_mems(state, carry, dev_batch,
+                                              mems)
+            else:
+                carry = pred_chain(state, carry, dev_batch)
         float(jax.device_get(carry))
         dt = time.perf_counter() - t0
         per_chip = batch * n_steps / dt / len(jax.devices())
@@ -204,8 +231,13 @@ def main():
         }))
         return
 
+    mems = trainer._init_mems(host_batch) if mem_len else None
     for _ in range(warmup):
-        state, loss = trainer._train_step(state, dev_batch)
+        if mem_len:
+            state, loss, mems = trainer._train_step_mems(state, dev_batch,
+                                                         mems)
+        else:
+            state, loss = trainer._train_step(state, dev_batch)
     float(jax.device_get(loss))
 
     # NOTE: synchronize by fetching the final loss VALUE. On the tunneled
@@ -214,7 +246,11 @@ def main():
     # forces the whole step chain (each step consumes the previous params).
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, loss = trainer._train_step(state, dev_batch)
+        if mem_len:
+            state, loss, mems = trainer._train_step_mems(state, dev_batch,
+                                                         mems)
+        else:
+            state, loss = trainer._train_step(state, dev_batch)
     float(jax.device_get(loss))
     dt = time.perf_counter() - t0
 
@@ -228,7 +264,7 @@ def main():
     # (seq 50, multimodal_driver.py:45); a per-example multiple at a
     # different sequence length would be apples-to-oranges, so long-seq
     # runs report vs_baseline: null like eval mode does.
-    if os.path.exists(baseline_path) and seq == 50:
+    if os.path.exists(baseline_path) and seq == 50 and not mem_len:
         try:
             with open(baseline_path) as f:
                 base = json.load(f)
@@ -243,8 +279,9 @@ def main():
                   "bert-large": "bert-large"}.get(family, "bert-base")
     record = {
         "metric": f"MOSI MAG-{family.upper()} fine-tune train-step "
-                  f"throughput ({model_name}, batch {batch}, seq {seq}, "
-                  f"bf16, {n_dev} chip(s))",
+                  f"throughput ({model_name}, batch {batch}, seq {seq}"
+                  + (f", mem {mem_len}" if mem_len else "")
+                  + f", bf16, {n_dev} chip(s))",
         "value": round(per_chip, 2),
         "unit": "examples/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

@@ -116,6 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "stream the [B,H,Q,K] ebias from XLA, or "
                         "assemble bd/rel-shift/segment/mask in VMEM "
                         "(inkernel; bi attention, works under TP)")
+    p.add_argument("--mem_len", type=int, default=0,
+                   help="XLNet segment recurrence: carry Transformer-XL "
+                        "memory of this many positions across the batch "
+                        "stream (K = seq + mem_len in every layer; "
+                        "reference xlnet.py:81-91, dormant there). "
+                        "XLNet family, data-parallel trainer only")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="Model (tensor-parallel) mesh axis size: shards "
                         "the FFN Megatron-style over the 'model' axis "
@@ -130,9 +136,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pipeline-parallel stage count: encoder layers "
                         "split into N stages over a 'pipe' mesh axis, "
                         "GPipe microbatch schedule, activations over ICI "
-                        "(parallel/pp.py); data axis gets the remaining "
-                        "devices. BERT family only; needs "
-                        "num_hidden_layers %% N == 0")
+                        "(parallel/pp.py BERT, parallel/pp_xlnet.py XLNet); "
+                        "data axis gets the remaining devices; needs "
+                        "layer count %% N == 0")
     p.add_argument("--pp_microbatches", type=int, default=4,
                    help="With --pipeline_parallel > 1: microbatches per "
                         "step (the pipeline's accumulation factor; the "
@@ -258,6 +264,22 @@ def main(argv=None) -> int:
     # mesh before the model: --tp_shard_attention threads it into the
     # model config (tp_attention_mesh) for the head-sharded attention
     # constraints / shard_map'd fused kernels.
+    if args.mem_len:
+        if not is_xlnet:
+            print("error: --mem_len is XLNet segment recurrence "
+                  "(Transformer-XL memory, xlnet.py:81-91); the BERT "
+                  "family has no memory mechanism", file=sys.stderr)
+            return 2
+        if (args.pipeline_parallel > 1 or args.fsdp
+                or args.model_parallel > 1):
+            print("error: --mem_len runs on the data-parallel trainer "
+                  "(mems shard over the batch axis)", file=sys.stderr)
+            return 2
+        if args.gradient_accumulation_step != 1:
+            print("error: --mem_len does not compose with "
+                  "--gradient_accumulation_step > 1 (memory is carried "
+                  "per optimizer step)", file=sys.stderr)
+            return 2
     use_pp = args.pipeline_parallel > 1
     if use_pp:
         if args.model_parallel > 1 or args.tp_shard_attention:
@@ -334,6 +356,11 @@ def main(argv=None) -> int:
             return 2
         if args.tp_shard_attention:
             cfg = dataclasses.replace(cfg, tp_attention_mesh=mesh)
+        if args.mem_len:
+            # segment recurrence: K = qlen + mem_len in every layer
+            # (reference xlnet.py:81-91, 241-242 — dormant there, a
+            # first-class trainer mode here)
+            cfg = dataclasses.replace(cfg, mem_len=args.mem_len)
         model = MagXLNetForSequenceClassification(
             cfg, mm, visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
             dtype=dtype, remat=args.remat)
@@ -421,7 +448,8 @@ def main(argv=None) -> int:
         trainer = Trainer(model=model, tx=tx, mesh=mesh,
                           grad_accum=args.gradient_accumulation_step,
                           tp_shard_attention=args.tp_shard_attention,
-                          fsdp=args.fsdp)
+                          fsdp=args.fsdp,
+                          mem_len=args.mem_len or None)
 
     sample = next(iter(train_it))[0]
     state = trainer.init_state(rng, sample)

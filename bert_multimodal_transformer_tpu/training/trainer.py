@@ -53,11 +53,22 @@ class TrainState(struct.PyTreeNode):
                    tx=tx)
 
 
-def _forward(apply_fn, params, batch, rng, deterministic: bool):
+def _forward(apply_fn, params, batch, rng, deterministic: bool,
+             mems=None):
     input_ids, visual, acoustic, input_mask, segment_ids, label_ids = batch
     kwargs = {}
     if not deterministic:
         kwargs = {"rngs": {"dropout": rng}}
+    if mems is not None:
+        # XLNet segment recurrence (reference cache_mem, xlnet.py:81-91):
+        # under use_cache the classifier returns (logits, new_mems, ...)
+        # (xlnet.py:510-513)
+        out = apply_fn(
+            {"params": params}, input_ids, visual, acoustic,
+            attention_mask=input_mask, token_type_ids=segment_ids,
+            mems=mems, use_cache=True,
+            deterministic=deterministic, **kwargs)
+        return out[0], label_ids, out[1]
     logits = apply_fn(
         {"params": params}, input_ids, visual, acoustic,
         attention_mask=input_mask, token_type_ids=segment_ids,
@@ -172,6 +183,63 @@ def predict_step(state: TrainState, batch: Tuple):
     return logits.reshape(-1), labels.reshape(-1)
 
 
+# ---- XLNet segment-recurrence (mems-carrying) step variants ----
+# The reference's only long-context mechanism is Transformer-XL memory
+# (xlnet.py:81-91, klen = mlen + qlen at :241-242) — dormant in its
+# driver, first-class here: fixed-shape mems threaded through every
+# step, carried across batches, reset at epoch boundaries. Gradients do
+# not flow into mems (the model stop_gradients its cache), exactly the
+# torch semantics.
+
+def make_mems_train_step(masked: bool):
+    def loss_fn(params, apply_fn, batch, rng, valid, mems):
+        logits, labels, new_mems = _forward(apply_fn, params, batch, rng,
+                                            deterministic=False, mems=mems)
+        if not masked:
+            return mse_loss(logits, labels), new_mems
+        err = jnp.square(logits.reshape(-1).astype(jnp.float32)
+                         - labels.reshape(-1).astype(jnp.float32))
+        return jnp.sum(err * valid), new_mems
+
+    def train_step(state: TrainState, batch: Tuple, mems,
+                   valid: Optional[jax.Array] = None):
+        if masked:
+            valid = valid.astype(jnp.float32)
+        rng, new_rng = jax.random.split(state.rng)
+        (loss, new_mems), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.apply_fn, batch,
+                                   rng, valid, mems)
+        if masked:
+            n = jnp.maximum(jnp.sum(valid), 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+            loss = loss / n
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt_state, rng=new_rng)
+        return new_state, loss, new_mems
+
+    return train_step
+
+
+def mems_eval_step(state: TrainState, batch: Tuple, valid: jax.Array,
+                   mems):
+    logits, labels, new_mems = _forward(state.apply_fn, state.params,
+                                        batch, rng=None,
+                                        deterministic=True, mems=mems)
+    err = jnp.square(logits.reshape(-1) - labels.reshape(-1))
+    v = valid.astype(jnp.float32)
+    return jnp.sum(err * v), jnp.sum(v), new_mems
+
+
+def mems_predict_step(state: TrainState, batch: Tuple, mems):
+    logits, labels, new_mems = _forward(state.apply_fn, state.params,
+                                        batch, rng=None,
+                                        deterministic=True, mems=mems)
+    return logits.reshape(-1), labels.reshape(-1), new_mems
+
+
 @dataclasses.dataclass
 class Trainer:
     """Epoch-level driver. Owns the mesh, the compiled steps and the state.
@@ -194,6 +262,13 @@ class Trainer:
     # ZeRO-3: shard params + optimizer moments over the data axis
     # (parallel/fsdp.py); composes with TP on a 2-D mesh.
     fsdp: bool = False
+    # XLNet segment recurrence: carry fixed-shape Transformer-XL memory
+    # ([B, mem_len, D] per layer, reference xlnet.py:81-91) across the
+    # batch stream, reset at epoch/split boundaries. Must equal the model
+    # config's mem_len. Static shapes mean the memory starts as zeros
+    # rather than torch's growing window — after the first
+    # ceil(mem_len/qlen) steps the contents are identical.
+    mem_len: Optional[int] = None
 
     def __post_init__(self):
         if self.mesh is None:
@@ -263,6 +338,70 @@ class Trainer:
             out_shardings=(self._bsh, self._bsh) if explicit else None,
         )
 
+        if self.mem_len is not None:
+            cfg = getattr(self.model, "config", None)
+            if getattr(cfg, "mem_len", None) != self.mem_len:
+                raise ValueError(
+                    f"Trainer(mem_len={self.mem_len}) needs the model "
+                    f"built with config.mem_len={self.mem_len} (got "
+                    f"{getattr(cfg, 'mem_len', None)}) — the model's "
+                    "cache_mem truncation reads its own config")
+            if self.grad_accum != 1:
+                raise ValueError(
+                    "mem_len does not compose with grad_accum > 1 "
+                    "(memory is carried per optimizer step)")
+            if self._tp or self.fsdp:
+                raise ValueError(
+                    "mem_len supports the data-parallel trainer "
+                    "(mems shard over the batch axis)")
+            # mems tuples shard like batches: [B, mlen, D] per layer
+            msh = None if not explicit else jax.tree_util.tree_map(
+                lambda _: self._bsh, tuple(range(cfg.n_layer)))
+            self._train_step_mems = jax.jit(
+                make_mems_train_step(masked=False),
+                in_shardings=((self._rep, self._bsh, msh)
+                              if explicit else None),
+                out_shardings=((self._rep, self._rep, msh)
+                               if explicit else None),
+                donate_argnums=(0, 2) if self.donate else (),
+            )
+            self._train_step_mems_masked = jax.jit(
+                make_mems_train_step(masked=True),
+                in_shardings=((self._rep, self._bsh, msh, self._bsh)
+                              if explicit else None),
+                out_shardings=((self._rep, self._rep, msh)
+                               if explicit else None),
+                donate_argnums=(0, 2) if self.donate else (),
+            )
+            self._eval_step_mems = jax.jit(
+                mems_eval_step,
+                in_shardings=((self._rep, self._bsh, self._bsh, msh)
+                              if explicit else None),
+                out_shardings=((self._rep, self._rep, msh)
+                               if explicit else None),
+                donate_argnums=(3,) if self.donate else (),
+            )
+            self._predict_step_mems = jax.jit(
+                mems_predict_step,
+                in_shardings=((self._rep, self._bsh, msh)
+                              if explicit else None),
+                out_shardings=((self._bsh, self._bsh, msh)
+                               if explicit else None),
+                donate_argnums=(2,) if self.donate else (),
+            )
+
+    def _init_mems(self, batch):
+        """Fixed-shape zero memory for a new epoch/split: n_layer ×
+        [B, mem_len, d_model] at the model dtype, placed batch-sharded."""
+        cfg = self.model.config
+        b = np.asarray(batch[0]).shape[0]
+        dt = getattr(self.model, "dtype", jnp.float32)
+        zeros = tuple(
+            jnp.zeros((b, self.mem_len, cfg.d_model), dt)
+            for _ in range(cfg.n_layer))
+        return jax.device_put(zeros, jax.tree_util.tree_map(
+            lambda _: self._bsh, zeros))
+
     def _state_sharding(self, state):
         if self.fsdp:
             from bert_multimodal_transformer_tpu.parallel.fsdp import (
@@ -325,10 +464,22 @@ class Trainer:
                            start=start_batch)
         else:
             it = enumerate(loader)
+        mems = None  # segment recurrence: fresh memory each epoch (and
+        # after a mid-epoch resume — activation state is not checkpointed)
         for bi, (batch, valid) in it:
             if bi < start_batch:
                 continue
-            if valid.all():
+            if self.mem_len is not None:
+                if mems is None:
+                    mems = self._init_mems(batch)
+                if valid.all():
+                    state, loss, mems = self._train_step_mems(
+                        state, self._put_batch(batch), mems)
+                else:
+                    state, loss, mems = self._train_step_mems_masked(
+                        state, self._put_batch(batch), mems,
+                        jax.device_put(np.asarray(valid), self._bsh))
+            elif valid.all():
                 state, loss = self._train_step(state, self._put_batch(batch))
             else:
                 state, loss = self._train_step_masked(
@@ -351,9 +502,17 @@ class Trainer:
         (exact per-example mean; the reference averages per-batch means).
         Partial sums stay on device; one host sync at epoch end."""
         sums = []
+        mems = None
         for batch, valid in loader:
-            s, c = self._eval_step(state, self._put_batch(batch),
-                                   jax.device_put(valid, self._bsh))
+            if self.mem_len is not None:
+                if mems is None:
+                    mems = self._init_mems(batch)
+                s, c, mems = self._eval_step_mems(
+                    state, self._put_batch(batch),
+                    jax.device_put(valid, self._bsh), mems)
+            else:
+                s, c = self._eval_step(state, self._put_batch(batch),
+                                       jax.device_put(valid, self._bsh))
             sums.append((s, c))
         if not sums:
             return 0.0
@@ -365,8 +524,15 @@ class Trainer:
     def test_epoch(self, state: TrainState, loader):
         """Mirrors test_epoch (multimodal_driver.py:424-459)."""
         preds, labels = [], []
+        mems = None
         for batch, valid in loader:
-            p, l = self._predict_step(state, self._put_batch(batch))
+            if self.mem_len is not None:
+                if mems is None:
+                    mems = self._init_mems(batch)
+                p, l, mems = self._predict_step_mems(
+                    state, self._put_batch(batch), mems)
+            else:
+                p, l = self._predict_step(state, self._put_batch(batch))
             p = np.asarray(jax.device_get(p))[valid]
             l = np.asarray(jax.device_get(l))[valid]
             preds.append(p)
