@@ -93,3 +93,81 @@ def test_fused_vs_einsum_bf16_training_trajectory_bound(family):
     assert np.isfinite(fused).all() and np.isfinite(einsum).all()
     assert not np.allclose(fused, fused[0])  # params actually update
     assert rel.max() < 5e-3, (rel, fused, einsum)
+
+
+@pytest.mark.parametrize("family", ["bert", "xlnet"])
+def test_flash_streamed_tier_trajectory_bound(family, monkeypatch):
+    """fs-tier twin of the bound above (VERDICT r3 #7): a training
+    trajectory whose attention dispatch routes to the FLASH-STREAMED
+    kernels (online softmax over kb-column blocks — the S>640
+    production tier) must stay within the same relative band of the
+    einsum math. Geometry: 4 heads x 32 d_head (hb=4 gives the
+    128-lane-aligned head block), S=256, with the VMEM budget shrunk so
+    the full-H and head-blocked tiers report no-fit and the dispatch
+    lands on fs — asserted as a precondition, not assumed."""
+    import jax.numpy as jnp2
+
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    monkeypatch.setenv("FUSED_ATTN_VMEM_BUDGET", "1000000")
+    H, DH, SEQ = 4, 32, 256
+    D = H * DH
+    kw = dict(batch=2, rate=0.0, scale=1.0, dtype=jnp2.bfloat16)
+    if family == "bert":
+        assert not fa.fused_attention_fits(H, SEQ, D, 2)
+        assert not fa.fused_attention_fits_hb(H, SEQ, D, 2, **kw)
+        assert fa.fused_attention_fits_fs(H, SEQ, D, 2, **kw)
+    else:
+        assert not fa.fused_rel_attention_fits(H, SEQ, SEQ, D, 2, 2)
+        assert not fa.fused_rel_attention_fits_hb(
+            H, SEQ, SEQ, D, 2, 2, eb_dtype=jnp2.bfloat16, **kw)
+        assert fa.fused_rel_attention_fits_fs(
+            H, SEQ, SEQ, D, 2, 2, eb_dtype=jnp2.bfloat16, **kw)
+
+    def run(attn_impl):
+        if family == "xlnet":
+            cfg = dataclasses.replace(
+                XLNetConfig.tiny(vocab_size=64), d_model=D, n_head=H,
+                d_inner=2 * D, n_layer=2, dropout=0.0,
+                summary_last_dropout=0.0, attention_impl=attn_impl)
+            mm = MultimodalConfig(1.0, 0.0, injection_index=1)
+            model = MagXLNetForSequenceClassification(
+                cfg, mm, visual_dim=DV, acoustic_dim=DA,
+                dtype=jnp.bfloat16)
+        else:
+            cfg = dataclasses.replace(
+                BertConfig.tiny(vocab_size=64), hidden_size=D,
+                num_attention_heads=H, intermediate_size=2 * D,
+                num_hidden_layers=2, max_position_embeddings=SEQ,
+                hidden_dropout_prob=0.0,
+                attention_probs_dropout_prob=0.0,
+                attention_impl=attn_impl)
+            mm = MultimodalConfig(1.0, 0.0)
+            model = MagBertForSequenceClassification(
+                cfg, mm, visual_dim=DV, acoustic_dim=DA,
+                dtype=jnp.bfloat16)
+        trainer = Trainer(model=model, tx=make_optimizer(1e-3, 4),
+                          mesh=make_mesh(MeshConfig(data_parallel=1)),
+                          donate=False)
+        losses = []
+        state = None
+        for i in range(4):
+            r = np.random.RandomState(200 + i)
+            b = (r.randint(0, 64, (2, SEQ)).astype(np.int32),
+                 r.randn(2, SEQ, DV).astype(np.float32),
+                 r.randn(2, SEQ, DA).astype(np.float32),
+                 np.ones((2, SEQ), np.int32),
+                 np.zeros((2, SEQ), np.int32),
+                 r.uniform(-3, 3, (2,)).astype(np.float32))
+            if state is None:
+                state = trainer.init_state(jax.random.PRNGKey(0), b)
+            state, loss = trainer._train_step(state, trainer._put_batch(b))
+            losses.append(float(jax.device_get(loss)))
+        return np.asarray(losses)
+
+    fused = run("fused")
+    einsum = run("einsum")
+    rel = np.abs(fused - einsum) / np.maximum(np.abs(einsum), 1e-12)
+    assert np.isfinite(fused).all() and np.isfinite(einsum).all()
+    assert not np.allclose(fused, fused[0])
+    assert rel.max() < 5e-3, (rel, fused, einsum)

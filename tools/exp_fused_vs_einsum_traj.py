@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
-def run_family(family: str, batch: int, steps: int):
+def run_family(family: str, batch: int, steps: int, seq: int = 50):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +45,7 @@ def run_family(family: str, batch: int, steps: int):
     from bert_multimodal_transformer_tpu.training.optim import make_optimizer
     from bert_multimodal_transformer_tpu.training.trainer import Trainer
 
-    S = 50
+    S = seq
     rng = np.random.RandomState(0)
 
     def batches(vocab):
@@ -75,7 +75,11 @@ def run_family(family: str, batch: int, steps: int):
                 MagBertForSequenceClassification as Model)
             cfg = dataclasses.replace(
                 BertConfig.bert_base_uncased(), hidden_dropout_prob=0.0,
-                attention_probs_dropout_prob=0.0, attention_impl=attn_impl)
+                attention_probs_dropout_prob=0.0, attention_impl=attn_impl,
+                # past 512 the learned position table is extended (the
+                # CLI does the same, driver.py) so S=768 routes the
+                # flash-streamed tier instead of clipping positions
+                max_position_embeddings=max(512, S))
             mm = MultimodalConfig(1.0, 0.0)
         model = Model(cfg, mm, visual_dim=47, acoustic_dim=74,
                       dtype=jnp.bfloat16)
@@ -93,7 +97,8 @@ def run_family(family: str, batch: int, steps: int):
     fused = trajectory("fused")
     einsum = trajectory("einsum")
     rel = np.abs(fused - einsum) / np.maximum(np.abs(einsum), 1e-12)
-    print(f"[{family}] batch {batch}, {steps} steps, bf16, dropout off")
+    print(f"[{family}] batch {batch}, seq {S}, {steps} steps, bf16, "
+          "dropout off")
     for i in range(steps):
         print(f"  step {i:2d}: fused {fused[i]:.6f}  einsum {einsum[i]:.6f}"
               f"  rel {rel[i]:.3e}")
@@ -113,7 +118,9 @@ def main():
     family = os.environ.get("BENCH_MODEL", "bert")
     batch = int(os.environ.get("BENCH_BATCH", "48"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    run_family("xlnet" if family == "xlnet" else "bert", batch, steps)
+    seq = int(os.environ.get("BENCH_SEQ", "50"))
+    run_family("xlnet" if family == "xlnet" else "bert", batch, steps,
+               seq=seq)
 
 
 if __name__ == "__main__":
