@@ -530,7 +530,8 @@ def _fs_kernel_compiles(pass_name: str, s: int, d: int, n_heads: int,
                 interpret=False).compile()
         else:
             o = jax.ShapeDtypeStruct((1, s, d), dtype)
-            lse = jax.ShapeDtypeStruct((1, n_heads, s), jnp.float32)
+            lse = jax.ShapeDtypeStruct((1, n_heads // hb, hb, s),
+                                       jnp.float32)
             g = jax.ShapeDtypeStruct((1, s, d), dtype)
             _bwd_packed_fs_pallas.lower(
                 qkv, bias, seed, o, lse, g, scale=scale, rate=rate,
@@ -611,7 +612,8 @@ def _rel_fs_kernel_compiles(pass_name: str, q_len: int, k_len: int,
                 interpret=False).compile()
         else:
             o = jax.ShapeDtypeStruct((1, q_len, d), dtype)
-            lse = jax.ShapeDtypeStruct((1, n_heads, q_len), jnp.float32)
+            lse = jax.ShapeDtypeStruct((1, n_heads // hb, hb, q_len),
+                                       jnp.float32)
             g = jax.ShapeDtypeStruct((1, q_len, d), dtype)
             _bwd_rel_fs_pallas.lower(
                 q, kv, kv, ebias, seed, o, lse, g, scale=scale,
@@ -1146,19 +1148,21 @@ def _attn_fwd_packed_fs_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref,
     s_len = k_ref.shape[1]
     n_kb = s_len // kb
     for b in range(nb):
-        bias = bias_ref[b].astype(f32)                       # [1, S]
         qs = [q_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
         m = jnp.full((hb, qb), -jnp.inf, f32)
         l = jnp.zeros((hb, qb), f32)
         acc = [jnp.zeros((qb, dh), f32) for _ in range(hb)]
         for ki in range(n_kb):
+            # bias sliced at the REF (static kb window): slicing the
+            # loaded value lowers to a gather Mosaic rejects (hardware
+            # canary r4a; interpret mode cannot see it)
+            bias_k = bias_ref[b, :, ki * kb:(ki + 1) * kb].astype(f32)
             for h in range(hb):
                 k = k_ref[b, ki * kb:(ki + 1) * kb, h * dh:(h + 1) * dh]
                 s_ref[h] = jax.lax.dot_general(
                     qs[h], k, (((1,), (1,)), ((), ())),
                     preferred_element_type=f32)              # [qb, kb]
-            sb = (s_ref[:] * scale
-                  + bias[None, :, ki * kb:(ki + 1) * kb])    # [hb, qb, kb]
+            sb = s_ref[:] * scale + bias_k[None]             # [hb, qb, kb]
             m_new = jnp.maximum(m, jnp.max(sb, axis=-1))
             alpha = jnp.exp(m - m_new)                       # [hb, qb]
             e = jnp.exp(sb - m_new[..., None])
@@ -1183,7 +1187,7 @@ def _attn_fwd_packed_fs_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref,
         o_ref[b] = jnp.concatenate(
             [(acc[h] / l[h][:, None]).astype(o_ref.dtype)
              for h in range(hb)], axis=-1)                   # [qb, hb·Dh]
-        lse_ref[b] = m + jnp.log(l)                          # [hb, qb]
+        lse_ref[b, 0] = m + jnp.log(l)                       # [hb, qb]
 
 
 def _attn_bwd_packed_fs_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref,
@@ -1215,8 +1219,7 @@ def _attn_bwd_packed_fs_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref,
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
     for b in range(nb):
-        bias = bias_ref[b].astype(f32)                       # [1, S]
-        lse = lse_ref[b]                                     # [hb, qb]
+        lse = lse_ref[b, 0]                                  # [hb, qb]
         qs = [q_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
         gs = [g_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
         delta = jnp.stack(
@@ -1230,8 +1233,8 @@ def _attn_bwd_packed_fs_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref,
                 s_ref[h] = jax.lax.dot_general(
                     qs[h], k, (((1,), (1,)), ((), ())),
                     preferred_element_type=f32)
-            p = jnp.exp(s_ref[:] * scale
-                        + bias[None, :, ki * kb:(ki + 1) * kb]
+            bias_k = bias_ref[b, :, ki * kb:(ki + 1) * kb].astype(f32)
+            p = jnp.exp(s_ref[:] * scale + bias_k[None]
                         - lse[..., None])                    # [hb, qb, kb]
             for h in range(hb):
                 v = v_ref[b, ki * kb:(ki + 1) * kb, h * dh:(h + 1) * dh]
@@ -1578,7 +1581,7 @@ def _attn_fwd_rel_fs_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref,
         o_ref[b] = jnp.concatenate(
             [(acc[h] / l[h][:, None]).astype(o_ref.dtype)
              for h in range(hb)], axis=-1)
-        lse_ref[b] = m + jnp.log(l)
+        lse_ref[b, 0] = m + jnp.log(l)
 
 
 def _attn_bwd_rel_fs_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref,
@@ -1606,7 +1609,7 @@ def _attn_bwd_rel_fs_kernel(seed_ref, ebias_ref, q_ref, k_ref, v_ref,
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
     for b in range(nb):
-        lse = lse_ref[b]                                     # [hb, qb]
+        lse = lse_ref[b, 0]                                  # [hb, qb]
         qs = [q_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
         gs = [g_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
         delta = jnp.stack(
@@ -2025,7 +2028,9 @@ def _fs_packed_specs(nb, s, qb, hb, dh, n_hb):
     [nb, qb, hb·Dh] tiles of the packed [B, S, 3·D] projection (q part)
     or of a [B, S, D] array; the key/value blocks hold the FULL row
     ([nb, S, hb·Dh], q-block-invariant — fetched once per (batch,
-    head-block)); lse is [nb, hb, qb] of a [B, H, S] f32 array."""
+    head-block)); lse is a [nb, 1, hb, qb] block of a [B, n_hb, hb, S]
+    f32 array (4-D so the trailing block dims satisfy Mosaic's sublane
+    rule — see the lse spec comment below)."""
     def col(part, full_rows):
         if full_rows:
             return pl.BlockSpec(
@@ -2040,7 +2045,12 @@ def _fs_packed_specs(nb, s, qb, hb, dh, n_hb):
                         memory_space=pltpu.VMEM)
     kvfull = pl.BlockSpec((nb, s, hb * dh), lambda i, j, qi: (i, 0, j),
                           memory_space=pltpu.VMEM)
-    lse = pl.BlockSpec((nb, hb, qb), lambda i, j, qi: (i, j, qi),
+    # lse lives 4-D [B, n_hb, hb, S] so the block's LAST TWO dims are
+    # (hb, qb) with hb equal to the full array dim — a 3-D [B, H, S]
+    # layout would need an (hb, qb) block of H, and hb (e.g. 2) violates
+    # Mosaic's 8-sublane block rule (found on hardware, canary r4a; the
+    # same rule class as the nb*S%8 bug in BENCHMARKS.md "QKV mega-fusion")
+    lse = pl.BlockSpec((nb, 1, hb, qb), lambda i, j, qi: (i, j, 0, qi),
                        memory_space=pltpu.VMEM)
     bias = pl.BlockSpec((nb, 1, s), lambda i, j, qi: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -2070,7 +2080,7 @@ def _fwd_packed_fs_pallas(qkv, bias, seed, *, scale, rate, n_heads, hb,
         in_specs=[seed_spec, bias_spec, q_spec, k_spec, v_spec],
         out_specs=(qblk_spec, lse_spec),
         out_shape=(jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
-                   jax.ShapeDtypeStruct((b, n_heads, s), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, n_hb, hb, s), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((hb, qb, kb), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -2370,7 +2380,8 @@ def _rel_fs_specs(nb, q_len, k_len, qb, hb, dh):
     """Block specs for the flash-streamed rel kernels: grid
     (B//nb, H//hb, Q//qb). q/o/g/dq are [nb, qb, hb·Dh] tiles; k/v (and
     dk/dv) hold the full key row [nb, K, hb·Dh]; ebias/debias the
-    [nb, hb, qb, K] slice owned by the program; lse [nb, hb, qb]."""
+    [nb, hb, qb, K] slice owned by the program; lse a [nb, 1, hb, qb]
+    block of [B, n_hb, hb, Q]."""
     qblk = pl.BlockSpec((nb, qb, hb * dh), lambda i, j, qi: (i, qi, j),
                         memory_space=pltpu.VMEM)
     kv = pl.BlockSpec((nb, k_len, hb * dh), lambda i, j, qi: (i, 0, j),
@@ -2378,7 +2389,10 @@ def _rel_fs_specs(nb, q_len, k_len, qb, hb, dh):
     eb = pl.BlockSpec((nb, hb, qb, k_len),
                       lambda i, j, qi: (i, j, qi, 0),
                       memory_space=pltpu.VMEM)
-    lse = pl.BlockSpec((nb, hb, qb), lambda i, j, qi: (i, j, qi),
+    # 4-D lse [B, n_hb, hb, Q]: trailing block dims (hb, qb) with hb
+    # equal to the full array dim — Mosaic's sublane rule (see
+    # _fs_packed_specs)
+    lse = pl.BlockSpec((nb, 1, hb, qb), lambda i, j, qi: (i, j, 0, qi),
                        memory_space=pltpu.VMEM)
     seed = pl.BlockSpec((1, 1), lambda i, j, qi: (0, 0),
                         memory_space=pltpu.SMEM)
@@ -2405,7 +2419,7 @@ def _fwd_rel_fs_pallas(q, k, v, ebias, seed, *, scale, rate, n_heads, hb,
         in_specs=[seed_spec, eb_spec, qblk_spec, kv_spec, kv_spec],
         out_specs=(qblk_spec, lse_spec),
         out_shape=(jax.ShapeDtypeStruct((b, q_len, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, n_heads, q_len),
+                   jax.ShapeDtypeStruct((b, n_hb, hb, q_len),
                                         jnp.float32)),
         scratch_shapes=[pltpu.VMEM((hb, qb, kb), jnp.float32)],
         interpret=interpret,
