@@ -223,8 +223,9 @@ def main():
                       "bert-large": "bert-large"}.get(family, "bert-base")
         print(json.dumps({
             "metric": f"MOSI MAG-{family.upper()} inference throughput "
-                      f"({model_name}, batch {batch}, seq {seq}, bf16, "
-                      f"{len(jax.devices())} chip(s))",
+                      f"({model_name}, batch {batch}, seq {seq}"
+                      + (f", mem {mem_len}" if mem_len else "")
+                      + f", bf16, {len(jax.devices())} chip(s))",
             "value": round(per_chip, 2),
             "unit": "examples/sec/chip",
             "vs_baseline": None,
