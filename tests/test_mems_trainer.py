@@ -151,3 +151,40 @@ def test_driver_mem_len_e2e(tmp_path, capsys):
                       "--tiny", "--mem_len", "8"])
     assert rc == 2
     assert "XLNet" in capsys.readouterr().err
+
+
+def test_mems_dp8_matches_single_device():
+    """Segment recurrence under 8-way data parallelism: the mems tuples
+    shard over the batch axis; loss and carried memory must equal the
+    1-device run bit-for-bit (fp32, dropout off)."""
+    cfg = _cfg()
+    b = _batch(7, b=16)
+
+    def run(n_dev):
+        mesh = make_mesh(MeshConfig(data_parallel=n_dev),
+                         devices=jax.devices()[:n_dev])
+        tr = Trainer(model=_model(cfg), tx=make_optimizer(1e-3, 10),
+                     mesh=mesh, donate=False, mem_len=MLEN)
+        state = tr.init_state(jax.random.PRNGKey(0), b)
+        mems = tr._init_mems(b)
+        losses = []
+        for _ in range(3):
+            state, loss, mems = tr._train_step_mems(
+                state, tr._put_batch(b), mems)
+            losses.append(float(loss))
+        return losses, jax.device_get(mems), jax.device_get(state.params)
+
+    l1, m1, p1 = run(1)
+    l8, m8, p8 = run(8)
+    np.testing.assert_allclose(l1, l8, rtol=1e-6, atol=1e-7)
+    for a, c in zip(m1, m8):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(c, np.float32),
+                                   rtol=1e-6, atol=1e-6)
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat8 = dict(jax.tree_util.tree_leaves_with_path(p8))
+    for path, leaf in flat1:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(flat8[path]),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=jax.tree_util.keystr(path))
