@@ -48,6 +48,8 @@ run mems_e2e 2500 python -m bert_multimodal_transformer_tpu.driver \
     --model xlnet-base-cased --dataset mosi --synthetic \
     --n_epochs 1 --train_batch_size 16 --synthetic_sizes 48 16 16 --seed 42 \
     --mem_len 256 --attention_impl fused
+run ls768_eval_fused 2500 env BENCH_MODE=eval BENCH_SEQ=768 BENCH_BATCH=16 BENCH_ATTN=fused python bench.py
+run ls768_eval_flash 2500 env BENCH_MODE=eval BENCH_SEQ=768 BENCH_BATCH=16 BENCH_ATTN=flash python bench.py
 run traj_fs_bert 2500 env BENCH_SEQ=768 BENCH_BATCH=8 BENCH_STEPS=12 python tools/exp_fused_vs_einsum_traj.py
 run traj_fs_xlnet 2500 env BENCH_MODEL=xlnet BENCH_SEQ=768 BENCH_BATCH=8 BENCH_STEPS=12 python tools/exp_fused_vs_einsum_traj.py
 
