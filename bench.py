@@ -117,9 +117,9 @@ def main():
         # N positions carried across steps (K = seq + N in every layer;
         # reference xlnet.py:81-91). Exercises the rel fit gates on
         # K != Q geometries (head-blocked / flash-streamed dispatch).
-        mem_len = int(os.environ.get("BENCH_MEM_LEN", "0"))
-        if mem_len:
-            cfg = dataclasses.replace(cfg, mem_len=mem_len)
+        if int(os.environ.get("BENCH_MEM_LEN", "0")):
+            cfg = dataclasses.replace(
+                cfg, mem_len=int(os.environ["BENCH_MEM_LEN"]))
         model = MagXLNetForSequenceClassification(
             cfg, mm, visual_dim=ds.visual_dim,
             acoustic_dim=ds.acoustic_dim, dtype=jnp.bfloat16,
@@ -158,8 +158,12 @@ def main():
     n_dev = len(jax.devices())
     mesh = make_mesh(MeshConfig(data_parallel=n_dev))
     tx = make_optimizer(learning_rate=1e-5, num_train_steps=10000)
-    mem_len = int(os.environ.get("BENCH_MEM_LEN", "0")) \
-        if family == "xlnet" else 0
+    mem_len = int(os.environ.get("BENCH_MEM_LEN", "0"))
+    if mem_len and family != "xlnet":
+        raise SystemExit(
+            "BENCH_MEM_LEN requires BENCH_MODEL=xlnet (segment recurrence "
+            "is XLNet's memory mechanism) — refusing to print a metric "
+            "that silently ignored it")
     trainer = Trainer(model=model, tx=tx, mesh=mesh, donate=True,
                       mem_len=mem_len or None)
 

@@ -280,6 +280,13 @@ def main(argv=None) -> int:
                   "--gradient_accumulation_step > 1 (memory is carried "
                   "per optimizer step)", file=sys.stderr)
             return 2
+        if args.predict_only:
+            print("error: --mem_len does not compose with "
+                  "--predict_only (the serving Predictor scores without "
+                  "segment recurrence; scoring a mems-trained model "
+                  "without memory would silently change its metrics)",
+                  file=sys.stderr)
+            return 2
     use_pp = args.pipeline_parallel > 1
     if use_pp:
         if args.model_parallel > 1 or args.tp_shard_attention:

@@ -231,10 +231,12 @@ class PipelineTrainer(Trainer):
 
     n_micro: int = 4
 
-    def __post_init__(self):
-        cfg = self.model.config
+    def _pp_common_setup(self, n_layers: int, hidden_size: int):
+        """Family-independent validation + boilerplate shared by the
+        BERT and XLNet pipeline trainers (parallel/pp_xlnet.py): mesh/
+        grad-accum/TP/mems guards, stage geometry, shardings."""
         if self.mesh is None or PIPE_AXIS not in self.mesh.shape:
-            raise ValueError("PipelineTrainer needs a mesh with a "
+            raise ValueError("the pipeline trainer needs a mesh with a "
                              f"'{PIPE_AXIS}' axis (make_pp_mesh)")
         if self.grad_accum != 1:
             raise ValueError(
@@ -244,37 +246,51 @@ class PipelineTrainer(Trainer):
             raise ValueError(
                 "tp_shard_attention does not compose with the pipeline "
                 "trainer (no 'model' axis on a pp mesh)")
+        if self.mem_len is not None:
+            raise ValueError(
+                "mem_len (segment recurrence) does not compose with the "
+                "pipeline trainer — the pipelined step never threads "
+                "mems, so accepting it would silently train without "
+                "memory; use the data-parallel Trainer")
+        if self.fsdp:
+            raise ValueError(
+                "fsdp does not compose with the pipeline trainer (the "
+                "pipeline owns its stage-sharded state layout)")
         self._n_stages = self.mesh.shape[PIPE_AXIS]
         self._dp = self.mesh.shape.get(DATA_AXIS, 1)
-        if cfg.num_hidden_layers % self._n_stages != 0:
+        if n_layers % self._n_stages != 0:
             raise ValueError(
-                f"num_hidden_layers ({cfg.num_hidden_layers}) must divide "
+                f"layer count ({n_layers}) must divide "
                 f"evenly over {self._n_stages} pipeline stages")
-        if cfg.num_labels != 1:
+        if self.model.config.num_labels != 1:
             raise ValueError(
                 "PipelineTrainer implements the reference's regression "
                 "training loop (MSE, multimodal_driver.py:371-373); "
                 "num_labels must be 1")
         if self.n_micro < 1:
             raise ValueError("n_micro must be >= 1")
+        self._k = n_layers // self._n_stages
+        self._cfg = self.model.config
+        self._hidden_size = hidden_size
+        self._dtype = getattr(self.model, "dtype", jnp.float32)
+        self._bsh = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._rep = NamedSharding(self.mesh, P())
+        self._fns = {}
+
+    def __post_init__(self):
+        cfg = self.model.config
+        self._pp_common_setup(cfg.num_hidden_layers, cfg.hidden_size)
         if getattr(self.model.multimodal_config, "injection_index", 0) != 0:
             raise ValueError(
                 "PipelineTrainer's prologue applies MAG before layer 0 "
                 "(BERT semantics, reference bert.py:219); "
                 "injection_index != 0 is not pipelined")
-        self._k = cfg.num_hidden_layers // self._n_stages
-        self._cfg = cfg
-        self._hidden_size = cfg.hidden_size
-        dt = getattr(self.model, "dtype", jnp.float32)
-        self._dtype = dt
+        dt = self._dtype
         self._pro = _Prologue(cfg, self.model.multimodal_config,
                               self.model.visual_dim,
                               self.model.acoustic_dim, dt)
         self._layer = BertLayer(cfg, dt)
         self._epi = _Epilogue(cfg, dt)
-        self._bsh = NamedSharding(self.mesh, P(DATA_AXIS))
-        self._rep = NamedSharding(self.mesh, P())
-        self._fns = {}
 
     # family hooks: the GPipe schedule, shard_map steps and epoch drivers
     # are family-independent; subclasses (parallel/pp_xlnet.py) override

@@ -48,12 +48,7 @@ from bert_multimodal_transformer_tpu.models.xlnet import (
     XLNetLayer,
     relative_positional_encoding,
 )
-from bert_multimodal_transformer_tpu.parallel.mesh import DATA_AXIS
-from bert_multimodal_transformer_tpu.parallel.pp import (
-    PIPE_AXIS,
-    PipelineTrainer,
-)
-from jax.sharding import NamedSharding, PartitionSpec as P
+from bert_multimodal_transformer_tpu.parallel.pp import PipelineTrainer
 
 
 class _XlnetPrologue(nn.Module):
@@ -137,30 +132,7 @@ class XLNetPipelineTrainer(PipelineTrainer):
 
     def __post_init__(self):
         cfg = self.model.config
-        if self.mesh is None or PIPE_AXIS not in self.mesh.shape:
-            raise ValueError("XLNetPipelineTrainer needs a mesh with a "
-                             f"'{PIPE_AXIS}' axis (make_pp_mesh)")
-        if self.grad_accum != 1:
-            raise ValueError(
-                "PipelineTrainer accumulates over n_micro microbatches; "
-                "grad_accum must stay 1")
-        if self.tp_shard_attention:
-            raise ValueError(
-                "tp_shard_attention does not compose with the pipeline "
-                "trainer (no 'model' axis on a pp mesh)")
-        self._n_stages = self.mesh.shape[PIPE_AXIS]
-        self._dp = self.mesh.shape.get(DATA_AXIS, 1)
-        if cfg.n_layer % self._n_stages != 0:
-            raise ValueError(
-                f"n_layer ({cfg.n_layer}) must divide evenly over "
-                f"{self._n_stages} pipeline stages")
-        if cfg.num_labels != 1:
-            raise ValueError(
-                "PipelineTrainer implements the reference's regression "
-                "training loop (MSE, multimodal_driver.py:371-373); "
-                "num_labels must be 1")
-        if self.n_micro < 1:
-            raise ValueError("n_micro must be >= 1")
+        self._pp_common_setup(cfg.n_layer, cfg.d_model)
         if cfg.attn_type != "bi":
             raise ValueError(
                 "the pipelined XLNet stage implements bi attention (the "
@@ -174,14 +146,10 @@ class XLNetPipelineTrainer(PipelineTrainer):
         if not (0 <= inj < cfg.n_layer):
             raise ValueError(
                 f"injection_index {inj} outside [0, {cfg.n_layer})")
-        self._k = cfg.n_layer // self._n_stages
         # injection_index = r0·k + p: MAG applies before local layer p
         # on rank r0 — both static, so the tick structure stays uniform
         self._inj_rank, self._inj_local = divmod(inj, self._k)
-        self._cfg = cfg
-        self._hidden_size = cfg.d_model
-        dt = getattr(self.model, "dtype", jnp.float32)
-        self._dtype = dt
+        dt = self._dtype
         mm = self.model.multimodal_config
         self._pro = _XlnetPrologue(cfg, dt)
         self._mag = MAG(hidden_size=cfg.d_model,
@@ -192,9 +160,6 @@ class XLNetPipelineTrainer(PipelineTrainer):
                         use_fused_kernel=mm.use_fused_kernel)
         self._layer = XLNetLayer(cfg, dt)
         self._epi = _XlnetEpilogue(cfg, dt)
-        self._bsh = NamedSharding(self.mesh, P(DATA_AXIS))
-        self._rep = NamedSharding(self.mesh, P())
-        self._fns = {}
 
     # ------------------------------------------------------- family hooks
 

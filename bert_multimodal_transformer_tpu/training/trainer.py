@@ -265,9 +265,14 @@ class Trainer:
     # XLNet segment recurrence: carry fixed-shape Transformer-XL memory
     # ([B, mem_len, D] per layer, reference xlnet.py:81-91) across the
     # batch stream, reset at epoch/split boundaries. Must equal the model
-    # config's mem_len. Static shapes mean the memory starts as zeros
-    # rather than torch's growing window — after the first
-    # ceil(mem_len/qlen) steps the contents are identical.
+    # config's mem_len. Static shapes mean the memory starts as ZEROS
+    # (and zero-valued positions are attended — they receive softmax
+    # mass through their position biases until real segments flush
+    # them), where torch grows the window from empty: the chain equals
+    # the model's own use_cache path driven with the same zero init
+    # (tests/test_mems_trainer.py), NOT a growing-window torch run —
+    # the warmup difference decays but the trajectories are not
+    # bit-equal.
     mem_len: Optional[int] = None
 
     def __post_init__(self):

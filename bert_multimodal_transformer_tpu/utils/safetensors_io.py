@@ -106,11 +106,13 @@ def save_safetensors(path: str, tensors: Dict[str, np.ndarray],
     offset = 0
     for name in sorted(tensors):
         arr = np.ascontiguousarray(tensors[name])
+        if arr.dtype.byteorder == ">":
+            # normalize BEFORE the tag lookup: a big-endian dtype never
+            # equals its native-order key in _TO_SAFETENSORS
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
         tag = _TO_SAFETENSORS.get(arr.dtype)
         if tag is None:
             raise ValueError(f"unsupported dtype {arr.dtype} for {name!r}")
-        if arr.dtype.byteorder == ">":
-            arr = arr.astype(arr.dtype.newbyteorder("<"))
         blob = arr.tobytes()
         header[name] = {"dtype": tag, "shape": list(arr.shape),
                         "data_offsets": [offset, offset + len(blob)]}

@@ -151,6 +151,14 @@ def test_driver_mem_len_e2e(tmp_path, capsys):
                       "--tiny", "--mem_len", "8"])
     assert rc == 2
     assert "XLNet" in capsys.readouterr().err
+    # --predict_only scores WITHOUT segment recurrence (the Predictor
+    # never threads mems) — composing them must error, not silently
+    # change the checkpoint's metrics
+    rc = driver.main(["--model", "xlnet-base-cased", "--synthetic",
+                      "--tiny", "--mem_len", "8", "--predict_only",
+                      "--checkpoint_dir", str(tmp_path / "ckpt")])
+    assert rc == 2
+    assert "predict_only" in capsys.readouterr().err
 
 
 def test_mems_dp8_matches_single_device():
