@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import Optional
 
 import jax
@@ -481,6 +482,131 @@ def fused_rel_attention_fits_hb(n_heads: int, q_len: int, k_len: int,
         dtype=dtype if dtype is not None else jnp.bfloat16,
         eb_dtype=eb_dtype if eb_dtype is not None else jnp.bfloat16,
     ) is not None
+
+
+def _rel_full_kernel_compiles(pass_name: str, q_len: int, k_len: int,
+                              d: int, n_heads: int, nb: int, rate: float,
+                              scale: float, dtype, eb_dtype,
+                              save: bool) -> bool:
+    """AOT-compile the standalone FULL-H rel kernel (b=nb → one grid
+    step) in the requested residual mode. Cached per geometry/pass/mode.
+
+    Why the full-H pair needs probing too: the saved-probs backward
+    adds three [H,Q,K] blocks (p, pd, debias) to the row, and at
+    mems-style geometries (small Q, long non-128 K) Mosaic's actual
+    stack exceeds the sum-of-blocks model non-monotonically — measured
+    2026-08-20: Q=50 K=562 b32 bf16 saved-bwd allocates 16.41 MB
+    (fails) while the block model sums to 14.8 MB (the r4b
+    mems_s50_m512_fused stage OOM; same failure class as the hb table
+    in tools/probe_hb_vmem.py)."""
+    import jax
+
+    key = ("rel_full", pass_name, q_len, k_len, d, n_heads, nb,
+           float(rate), float(scale), jnp.dtype(dtype).str,
+           jnp.dtype(eb_dtype).str, bool(save))
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    q = jax.ShapeDtypeStruct((nb, q_len, d), dtype)
+    kv = jax.ShapeDtypeStruct((nb, k_len, d), dtype)
+    ebias = jax.ShapeDtypeStruct((nb, n_heads, q_len, k_len), eb_dtype)
+    seed = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    try:
+        if pass_name == "fwd":
+            _fwd_rel_pallas.lower(
+                q, kv, kv, ebias, seed, scale=scale, rate=rate,
+                n_heads=n_heads, interpret=False, nb=nb,
+                save=save).compile()
+        elif save:
+            g = jax.ShapeDtypeStruct((nb, q_len, d), dtype)
+            prob = jax.ShapeDtypeStruct((nb, n_heads, q_len, k_len),
+                                        dtype)
+            _bwd_rel_saved_pallas.lower(
+                prob, prob, q, kv, kv, g, scale=scale, n_heads=n_heads,
+                interpret=False, nb=nb).compile()
+        else:
+            g = jax.ShapeDtypeStruct((nb, q_len, d), dtype)
+            _bwd_rel_pallas.lower(
+                q, kv, kv, ebias, seed, g, scale=scale, rate=rate,
+                n_heads=n_heads, interpret=False, nb=nb).compile()
+        ok = True
+    except Exception:  # noqa: BLE001 - any compile failure means "walk on"
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
+def _resolve_rel_full_plan(b: int, n_heads: int, q_len: int, k_len: int,
+                           d: int, itemsize: int, *, rate: float,
+                           scale: float, dtype, eb_dtype, nb_fwd,
+                           nb_bwd, save: bool, save_forced: bool):
+    """(nb_fwd, nb_bwd, save_probs) for the full-H rel kernels, or None.
+
+    ``nb_fwd``/``nb_bwd`` arrive already env-merged (non-None = user/env
+    forced; _resolve_rel_hb_plan treats them the same way downstream) and
+    ``save`` is the _resolve_knobs auto answer with ``save_forced``
+    telling whether the user pinned it. On TPU both passes of the chosen
+    residual mode are compile-verified: an auto-saved mode that cannot
+    compile demotes to recompute (its backward drops the three [H,Q,K]
+    prob blocks from the row), nb walks toward 1 on failure unless
+    forced, and None means even recompute at nb=1 does not compile —
+    the caller falls through to the head-blocked plan. A FORCED saved
+    mode that cannot compile also returns None (surface as no-fit, not
+    a silent mode change — same contract as forced nb in the hb
+    resolver). Off-TPU the arithmetic knobs pass through unchanged."""
+
+    def picks(save_mode):
+        n_prob_f = (2 if rate > 0.0 else 1) if save_mode else 0
+        f = nb_fwd if nb_fwd is not None else _pick_nb_packed(
+            b, _rel_row_bytes(q_len, k_len, d, n_heads, n_prob_f,
+                              itemsize),
+            fixed_bytes=_scratch_bytes(n_heads, q_len, k_len))
+        if nb_bwd is not None:
+            w = nb_bwd
+        elif save_mode:
+            w = _pick_nb_packed(
+                b, 2 * _rel_row_bytes(q_len, k_len, d, n_heads, 2,
+                                      itemsize),
+                fixed_bytes=_scratch_bytes(n_heads, q_len, k_len))
+        else:
+            w = _pick_nb_packed(
+                b, 2 * _rel_row_bytes(q_len, k_len, d, n_heads, 1,
+                                      itemsize),
+                fixed_bytes=_scratch_bytes(n_heads, q_len, k_len, 2))
+        return f, w
+
+    if not _probe_enabled():
+        f, w = picks(save)
+        return f, w, save
+
+    def walk(pass_name, nb0, forced, save_mode):
+        if forced:
+            return nb0 if _rel_full_kernel_compiles(
+                pass_name, q_len, k_len, d, n_heads, nb0, rate, scale,
+                dtype, eb_dtype, save_mode) else None
+        nb = max(1, nb0)
+        while nb >= 1:
+            if b % nb == 0 and _rel_full_kernel_compiles(
+                    pass_name, q_len, k_len, d, n_heads, nb, rate,
+                    scale, dtype, eb_dtype, save_mode):
+                return nb
+            nb //= 2
+        return None
+
+    def plan(save_mode):
+        f0, w0 = picks(save_mode)
+        f = walk("fwd", f0, nb_fwd is not None, save_mode)
+        if f is None:
+            return None
+        w = walk("bwd", w0, nb_bwd is not None, save_mode)
+        if w is None:
+            return None
+        return f, w, save_mode
+
+    if save:
+        resolved = plan(True)
+        if resolved is not None or save_forced:
+            return resolved
+    return plan(False)
 
 
 # -- flash-streamed (fs) planning: the tier beyond head-blocking ------------
@@ -2841,9 +2967,11 @@ def fused_attention_packed(
     (``_resolve_fs_plan``: online softmax over kb-column blocks,
     [hb,qb,kb] scratch, dropout replay per (row, head-block, q-block,
     k-block)), which keep the prob-dropout semantics at any S that
-    fits HBM. Beyond every fit, raises ValueError; model dispatch
-    gates on ``fused_attention_fits_hb`` / ``fused_attention_fits_fs``
-    and falls back to flash/einsum first.
+    fits HBM. Model dispatch gates on ``fused_attention_fits_hb`` /
+    ``fused_attention_fits_fs`` and falls back to flash/einsum first;
+    if the gates admit a geometry whose kernels the compile probes
+    then all reject, the entry itself degrades to einsum math (with a
+    trace-time warning) rather than raising inside the jit.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -2901,11 +3029,27 @@ def fused_attention_packed(
                                rate=rate, scale=float(scale),
                                dtype=qkv.dtype)
     if fs_plan is None:
-        raise ValueError(
-            f"fused attention cannot fit scoped VMEM at H={n_heads} "
-            f"S={s} D={d} even head-blocked or flash-streamed; use "
-            "flash or einsum (model dispatch gates on "
-            "fused_attention_fits_hb / fused_attention_fits_fs)")
+        # Terminal tier: plain einsum math — same contract as the rel
+        # entry (see fused_rel_attention). Reachable when the arithmetic
+        # gates admit a geometry whose kernels the compile probes then
+        # all reject; warn at trace time instead of killing the run.
+        warnings.warn(
+            f"fused attention: no kernel plan compiles at H={n_heads} "
+            f"S={s} D={d} (full-H/head-blocked/flash-streamed all "
+            "probed); falling back to einsum math for this geometry",
+            stacklevel=2)
+        qh, kh, vh = (qkv.reshape(b, s, 3, n_heads, dh)[:, :, i]
+                      for i in range(3))
+        score = jnp.einsum("bqhf,bkhf->bhqk", qh, kh,
+                           preferred_element_type=jnp.float32)
+        score = score * scale + bias[:, :, None, :]
+        probs = jax.nn.softmax(score, axis=-1)
+        if rate > 0.0:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - rate,
+                                        probs.shape)
+            probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs.astype(qkv.dtype), vh)
+        return ctx.reshape(b, s, d)
     hb, qb, kb = fs_plan
     return _fused_attention_packed_fs(qkv, bias, seed, float(scale), rate,
                                       n_heads, hb, qb, kb,
@@ -3335,9 +3479,11 @@ def fused_rel_attention(
     the flash-streamed kernels (``_resolve_rel_fs_plan``: online
     softmax over kb-column key blocks, [hb,qb,kb] scratch and ebias
     slices, dropout replay per (row, head-block, q-block, k-block)).
-    Beyond every fit, raises ValueError; models/xlnet.py gates on
-    ``fused_rel_attention_fits_hb`` / ``fused_rel_attention_fits_fs``
-    and falls back to the einsum path first.
+    models/xlnet.py gates on ``fused_rel_attention_fits_hb`` /
+    ``fused_rel_attention_fits_fs`` and falls back to the einsum path
+    first; if the gates admit a geometry whose kernels the compile
+    probes then all reject, the entry itself degrades to einsum math
+    (with a trace-time warning) rather than raising inside the jit.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -3368,14 +3514,30 @@ def fused_rel_attention(
                                   dtype=jnp.int32)
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
+    save_forced = (save_probs is not None
+                   or "FUSED_ATTN_SAVE" in os.environ)
     nb_fwd, nb_bwd, save_probs = _resolve_knobs(
         b, n_heads, q_len, k.shape[1], rate, q.dtype.itemsize, nb_fwd,
         nb_bwd, save_probs)
     if fused_rel_attention_fits(n_heads, q_len, k.shape[1], d,
                                 q.dtype.itemsize, ebias.dtype.itemsize):
-        return _fused_rel_attention(q, k, v, ebias, seed, float(scale),
-                                    rate, n_heads, bool(interpret),
-                                    (nb_fwd, nb_bwd), save_probs)
+        # The arithmetic fit models the recompute backward; the residual
+        # MODE still needs compile verification (the saved backward's
+        # [H,Q,K] prob blocks OOM'd scoped VMEM at Q=50 K=562 while the
+        # block model said fit — see _rel_full_kernel_compiles). On
+        # failure the plan demotes saved→recompute, walks nb down, and
+        # returns None to fall through to the head-blocked grid.
+        full_plan = _resolve_rel_full_plan(
+            b, n_heads, q_len, k.shape[1], d, q.dtype.itemsize,
+            rate=rate, scale=float(scale), dtype=q.dtype,
+            eb_dtype=ebias.dtype, nb_fwd=nb_fwd, nb_bwd=nb_bwd,
+            save=save_probs, save_forced=save_forced)
+        if full_plan is not None:
+            nb_f, nb_b, save_full = full_plan
+            return _fused_rel_attention(q, k, v, ebias, seed,
+                                        float(scale), rate, n_heads,
+                                        bool(interpret), (nb_f, nb_b),
+                                        save_full)
     plan = _resolve_rel_hb_plan(
         b, n_heads, q_len, k.shape[1], d, q.dtype.itemsize,
         ebias.dtype.itemsize, rate=rate, scale=float(scale),
@@ -3390,11 +3552,34 @@ def fused_rel_attention(
         ebias.dtype.itemsize, rate=rate, scale=float(scale),
         dtype=q.dtype, eb_dtype=ebias.dtype)
     if fs_plan is None:
-        raise ValueError(
-            f"fused rel attention cannot fit scoped VMEM at H={n_heads} "
-            f"Q={q_len} K={k.shape[1]} D={d} even head-blocked or "
-            "flash-streamed; use the einsum path (model dispatch gates "
-            "on fused_rel_attention_fits_hb / fused_rel_attention_fits_fs)")
+        # Terminal tier: plain einsum math. Reachable when the
+        # arithmetic fit admits a geometry whose kernels the compile
+        # probes then all reject (the gate in models/xlnet.py cannot
+        # predict probe outcomes) — e.g. a mems geometry whose K is not
+        # 128-divisible, closing the fs ladder. Warn at trace time
+        # rather than raise: this is a performance downgrade, not an
+        # error, and it must not kill a training run. The dropout
+        # stream differs from the kernels' hardware PRNG (impl detail,
+        # not part of the op contract).
+        warnings.warn(
+            f"fused rel attention: no kernel plan compiles at "
+            f"H={n_heads} Q={q_len} K={k.shape[1]} D={d} "
+            "(full-H/head-blocked/flash-streamed all probed); "
+            "falling back to einsum math for this geometry",
+            stacklevel=2)
+        qh = q.reshape(b, q_len, n_heads, dh)
+        kh = k.reshape(b, k.shape[1], n_heads, dh)
+        vh = v.reshape(b, k.shape[1], n_heads, dh)
+        score = jnp.einsum("bqhf,bkhf->bhqk", qh, kh,
+                           preferred_element_type=jnp.float32)
+        score = score * scale + ebias.astype(jnp.float32)
+        probs = jax.nn.softmax(score, axis=-1)
+        if rate > 0.0:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - rate,
+                                        probs.shape)
+            probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs.astype(q.dtype), vh)
+        return ctx.reshape(b, q_len, d)
     hb, qb, kb = fs_plan
     return _fused_rel_attention_fs(q, k, v, ebias, seed, float(scale),
                                    rate, n_heads, hb, qb, kb,

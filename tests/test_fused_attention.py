@@ -293,6 +293,148 @@ def test_rel_hb_plan_walks_and_gates(monkeypatch):
     assert fa._resolve_rel_hb_plan(8, 12, 512, 512, 768, 2) is None
 
 
+def _fake_rel_full_probe(monkeypatch, fails):
+    """Install a fake full-H rel compile probe: ``fails`` is a set of
+    (pass_name, save) pairs that never compile at ANY nb; everything
+    else compiles. Returns the call log of (pass_name, nb, save)."""
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    calls = []
+
+    def fake(pass_name, q_len, k_len, d, n_heads, nb, rate, scale,
+             dtype, eb_dtype, save):
+        calls.append((pass_name, nb, save))
+        return (pass_name, save) not in fails
+
+    monkeypatch.setattr(fa, "_probe_enabled", lambda: True)
+    monkeypatch.setattr(fa, "_rel_full_kernel_compiles", fake)
+    return calls
+
+
+def test_rel_full_plan_demotes_saved_on_compile_failure(monkeypatch):
+    """The r4b mems hardware table (Q=50, K=562, b=32, bf16): the saved
+    backward allocates 16.41 MB scoped VMEM and fails to compile while
+    the recompute pair fits — the plan must demote auto-saved mode to
+    recompute instead of shipping the OOM."""
+    import jax.numpy as jnp
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    calls = _fake_rel_full_probe(monkeypatch, {("bwd", True)})
+    plan = fa._resolve_rel_full_plan(
+        32, 12, 50, 562, 768, 2, rate=0.1, scale=0.125,
+        dtype=jnp.bfloat16, eb_dtype=jnp.bfloat16, nb_fwd=None,
+        nb_bwd=None, save=True, save_forced=False)
+    assert plan is not None and plan[2] is False
+    assert any(c == ("bwd", 1, True) for c in calls)  # saved probed to nb=1
+    assert any(c[0] == "bwd" and c[2] is False for c in calls)
+
+
+def test_rel_full_plan_forced_save_surfaces_as_no_fit(monkeypatch):
+    """FUSED_ATTN_SAVE=1-style forced saved mode that cannot compile
+    must return None (no silent mode change), matching the forced-nb
+    contract of the hb resolver."""
+    import jax.numpy as jnp
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    _fake_rel_full_probe(monkeypatch, {("bwd", True)})
+    assert fa._resolve_rel_full_plan(
+        32, 12, 50, 562, 768, 2, rate=0.1, scale=0.125,
+        dtype=jnp.bfloat16, eb_dtype=jnp.bfloat16, nb_fwd=None,
+        nb_bwd=None, save=True, save_forced=True) is None
+
+
+def test_rel_full_plan_falls_to_hb_when_nothing_compiles(monkeypatch):
+    """When even the recompute pair cannot compile at nb=1 the plan is
+    None and the entry point must degrade to the head-blocked grid —
+    verified end-to-end against the plain einsum math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    _fake_rel_full_probe(monkeypatch, {("fwd", True), ("bwd", True),
+                                       ("fwd", False), ("bwd", False)})
+    monkeypatch.setattr(fa, "_rel_hb_kernel_compiles",
+                        lambda *a, **k: True)
+    rng = np.random.default_rng(0)
+    b, h, q_len, k_len, d = 2, 12, 64, 64, 768
+    q = jnp.asarray(rng.standard_normal((b, q_len, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, k_len, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, k_len, d)), jnp.float32)
+    eb = jnp.asarray(rng.standard_normal((b, h, q_len, k_len)) * 0.1,
+                     jnp.float32)
+    out = fa.fused_rel_attention(q, k, v, eb, n_heads=h, scale=0.125,
+                                 deterministic=True, interpret=True)
+    qh = q.reshape(b, q_len, h, d // h)
+    kh = k.reshape(b, k_len, h, d // h)
+    vh = v.reshape(b, k_len, h, d // h)
+    score = jnp.einsum("bqhf,bkhf->bhqk", qh, kh) * 0.125 + eb
+    ref = jnp.einsum("bhqk,bkhf->bqhf", jax.nn.softmax(score, axis=-1),
+                     vh).reshape(b, q_len, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_rel_entry_einsum_terminal_tier(monkeypatch):
+    """When every kernel tier's compile probe rejects the geometry the
+    entry must degrade to plain einsum math with a warning — not raise
+    inside the jit (the r4b mems bench died on exactly this ladder)."""
+    import warnings as _w
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    _fake_rel_full_probe(monkeypatch, {("fwd", True), ("bwd", True),
+                                       ("fwd", False), ("bwd", False)})
+    monkeypatch.setattr(fa, "_rel_hb_kernel_compiles",
+                        lambda *a, **k: False)
+    monkeypatch.setattr(fa, "_resolve_rel_fs_plan", lambda *a, **k: None)
+    rng = np.random.default_rng(1)
+    b, h, q_len, k_len, d = 2, 12, 64, 64, 768
+    q = jnp.asarray(rng.standard_normal((b, q_len, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, k_len, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, k_len, d)), jnp.float32)
+    eb = jnp.asarray(rng.standard_normal((b, h, q_len, k_len)) * 0.1,
+                     jnp.float32)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = fa.fused_rel_attention(q, k, v, eb, n_heads=h, scale=0.125,
+                                     deterministic=True, interpret=True)
+    assert any("falling back to einsum" in str(c.message) for c in caught)
+    qh = q.reshape(b, q_len, h, d // h)
+    kh = k.reshape(b, k_len, h, d // h)
+    vh = v.reshape(b, k_len, h, d // h)
+    score = jnp.einsum("bqhf,bkhf->bhqk", qh, kh) * 0.125 + eb
+    ref = jnp.einsum("bhqk,bkhf->bqhf", jax.nn.softmax(score, axis=-1),
+                     vh).reshape(b, q_len, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_rel_full_plan_probe_off_passes_arithmetic_through(monkeypatch):
+    """Off-TPU the plan returns the arithmetic knobs unchanged — the
+    interpret path has no scoped-VMEM limit to verify against."""
+    import jax.numpy as jnp
+    from bert_multimodal_transformer_tpu.ops import fused_attention as fa
+
+    monkeypatch.setattr(fa, "_probe_enabled", lambda: False)
+    plan = fa._resolve_rel_full_plan(
+        32, 12, 50, 562, 768, 2, rate=0.1, scale=0.125,
+        dtype=jnp.bfloat16, eb_dtype=jnp.bfloat16, nb_fwd=None,
+        nb_bwd=None, save=True, save_forced=False)
+    assert plan is not None and plan[2] is True
+    # nb picks must equal what the kernels would choose internally
+    n_fwd = fa._pick_nb_packed(
+        32, fa._rel_row_bytes(50, 562, 768, 12, 2, 2),
+        fixed_bytes=fa._scratch_bytes(12, 50, 562))
+    n_bwd = fa._pick_nb_packed(
+        32, 2 * fa._rel_row_bytes(50, 562, 768, 12, 2, 2),
+        fixed_bytes=fa._scratch_bytes(12, 50, 562))
+    assert plan == (n_fwd, n_bwd, True)
+
+
 def test_hb_plan_arithmetic_when_probe_off(monkeypatch):
     """Off-TPU (or FUSED_ATTN_PROBE=0) the plan is pure arithmetic —
     the CPU/interpret path has no scoped-VMEM limit."""
@@ -356,10 +498,21 @@ def test_packed_head_blocked_matches_einsum_and_full(monkeypatch):
 
 
 def test_packed_head_blocked_no_fit_raises(monkeypatch):
-    qkv = jnp.zeros((2, S, 3 * H * DH), jnp.float32)
+    """Beyond every kernel tier (budget shrunk so nothing fits) the
+    entry degrades to einsum math with a trace-time warning instead of
+    raising — an unprobeable geometry must not kill a training run."""
+    rng = np.random.RandomState(7)
+    qkv = jnp.asarray(rng.randn(2, S, 3 * H * DH), jnp.float32)
     monkeypatch.setenv("FUSED_ATTN_VMEM_BUDGET", "100000")
-    with pytest.raises(ValueError, match="cannot fit scoped VMEM"):
-        fused_attention_packed(qkv, None, n_heads=H, scale=SCALE)
+    with pytest.warns(UserWarning, match="falling back to einsum"):
+        out = fused_attention_packed(qkv, None, n_heads=H, scale=SCALE)
+    q, k, v = (qkv.reshape(2, S, 3, H, DH)[:, :, i].transpose(0, 2, 1, 3)
+               for i in range(3))
+    ref = dot_product_attention(q, k, v, None, scale=SCALE)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(ref.transpose(0, 2, 1, 3).reshape(2, S, H * DH)),
+        atol=1e-5, rtol=1e-5)
 
 
 def test_model_dispatch_head_blocked_equals_einsum(monkeypatch):
@@ -1229,11 +1382,14 @@ def test_packed_dispatch_routes_to_fs(monkeypatch):
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(_fs_ref(qkv, mask)),
                                atol=2e-5, rtol=2e-5)
-    # beyond even the fs tier the entry still raises
+    # beyond even the fs tier the entry degrades to einsum math (warns)
     monkeypatch.setattr(fa, "_resolve_fs_plan", lambda *a, **k: None)
-    with pytest.raises(ValueError, match="flash-streamed"):
-        fa.fused_attention_packed(qkv, mask, n_heads=FS_H,
-                                  scale=FS_SCALE)
+    with pytest.warns(UserWarning, match="falling back to einsum"):
+        out = fa.fused_attention_packed(qkv, mask, n_heads=FS_H,
+                                        scale=FS_SCALE)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_fs_ref(qkv, mask)),
+                               atol=1e-5, rtol=1e-5)
 
 
 # -- rel flash-streamed tier (XLNet long-seq / long-mems) --------------------
@@ -1313,10 +1469,15 @@ def test_rel_fs_plan_and_dispatch(monkeypatch):
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(_rel_fs_ref(q, k, v, eb)),
                                atol=2e-5, rtol=2e-5)
+    # beyond even the fs tier the entry degrades to einsum math (warns)
     monkeypatch.setattr(fa, "_resolve_rel_fs_plan",
                         lambda *a, **kw: None)
-    with pytest.raises(ValueError, match="flash-streamed"):
-        fa.fused_rel_attention(q, k, v, eb, n_heads=RF_H, scale=RF_SCALE)
+    with pytest.warns(UserWarning, match="falling back to einsum"):
+        out = fa.fused_rel_attention(q, k, v, eb, n_heads=RF_H,
+                                     scale=RF_SCALE)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_rel_fs_ref(q, k, v, eb)),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_rel_fs_probe_walk(monkeypatch):
