@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reverse of --pretrained_checkpoint; MAG and "
                         "classifier params are framework-specific and "
                         "not exported)")
+    p.add_argument("--export_serving", type=str, default=None,
+                   help="After training, export the deterministic forward "
+                        "(weights captured) as a serialized StableHLO "
+                        "artifact at this path, loadable for inference "
+                        "without this package's model code "
+                        "(serving.py; symbolic batch dim, portable "
+                        "einsum attention). '.json' sidecar records the "
+                        "calling convention")
     p.add_argument("--predict_only", action="store_true",
                    help="Skip training: restore --checkpoint_dir and print "
                         "test metrics (inference/serving mode)")
@@ -634,6 +642,21 @@ def main(argv=None) -> int:
         _torch.save({k: _torch.tensor(np.asarray(v))
                      for k, v in sd.items()}, args.export_hf)
         print(f"Exported HF-format weights to {args.export_hf}")
+    if args.export_serving:
+        from bert_multimodal_transformer_tpu import serving
+
+        params_np = jax.device_get(state.params)
+        if use_pp:
+            params_np = trainer._from_pp(params_np)
+        exported = serving.export_forward(
+            model, params_np, seq_len=args.max_seq_length,
+            visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
+            platforms=("tpu", "cpu"))
+        serving.save_artifact(
+            args.export_serving, exported,
+            meta={"family": "xlnet" if is_xlnet else "bert",
+                  "model": args.model, "dataset": args.dataset})
+        print(f"Exported serving artifact to {args.export_serving}")
     logger.finish()
     return 0
 

@@ -12,10 +12,14 @@ training checkpoint, with optional scoring.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+from jax import export as jax_export
 
 from bert_multimodal_transformer_tpu.data.pipeline import (
     BatchIterator,
@@ -121,3 +125,153 @@ class Predictor:
                 use_zero=use_zero)
         return metrics_lib.score_classification(
             self.predict_classes(split), split.label_ids)
+
+
+# ---- serving-artifact export (StableHLO via jax.export) --------------------
+#
+# The Predictor above serves in-process (model code + params in this
+# package). The functions below are the out-of-process story: serialize
+# the trained, deterministic forward as a StableHLO artifact (weights
+# captured as constants, symbolic batch dimension, lowered per platform)
+# that any JAX process can deserialize and call WITHOUT this package's
+# model code. The reference's deployment story ends at an in-memory
+# torch state_dict (multimodal_driver.py:483-552 keeps ``best_model``
+# and never writes it).
+#
+# Portability is the contract, so the export re-clones the model onto
+# the einsum attention path by default: the fused Pallas kernels
+# serialize as ``tpu_custom_call`` ops whose Mosaic payload is pinned to
+# a libtpu version — exactly the coupling a serving artifact must not
+# carry (jax.export refuses them unless explicitly waived). Pass
+# ``keep_attention_impl=True`` to export the fused path anyway for a
+# same-fleet deployment (platforms must then be TPU-only).
+
+_MAGIC = "magtpu-serving"
+_VERSION = 1
+
+
+def export_forward(
+    model,
+    params,
+    *,
+    seq_len: int,
+    visual_dim: int,
+    acoustic_dim: int,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    keep_attention_impl: bool = False,
+):
+    """Export ``model``'s deterministic forward as a ``jax.export.Exported``.
+
+    The exported callable has the trainer's predict signature
+    (``input_ids [b,S] i32, visual [b,S,Dv] f32, acoustic [b,S,Da] f32,
+    attention_mask [b,S] i32, token_type_ids [b,S] i32 -> logits``) with
+    ``b`` symbolic. ``params`` are closed over and serialized into the
+    artifact (a serving bundle, not a checkpoint).
+    """
+    if not keep_attention_impl:
+        cfg = model.config
+        updates = {}
+        if getattr(cfg, "attention_impl", "einsum") != "einsum":
+            updates["attention_impl"] = "einsum"
+        if getattr(cfg, "tp_attention_mesh", None) is not None:
+            # a Mesh pins the artifact to this process's device topology;
+            # the serving forward is single-program (shard at load time)
+            updates["tp_attention_mesh"] = None
+        if updates:
+            model = model.clone(
+                config=dataclasses.replace(cfg, **updates))
+        checks = ()
+    else:
+        non_tpu = [p for p in platforms if p.lower() != "tpu"]
+        if non_tpu:
+            raise ValueError(
+                "keep_attention_impl=True exports the Pallas kernel path, "
+                f"which only lowers for TPU — drop {non_tpu} from platforms "
+                "or export the portable einsum path (default)")
+        checks = (jax_export.DisabledSafetyCheck.custom_call(
+            "tpu_custom_call"),)
+
+    def forward(input_ids, visual, acoustic, attention_mask,
+                token_type_ids):
+        out = model.apply({"params": params}, input_ids, visual, acoustic,
+                          attention_mask=attention_mask,
+                          token_type_ids=token_type_ids,
+                          deterministic=True)
+        return out[0] if isinstance(out, tuple) else out
+
+    (b,) = jax_export.symbolic_shape("b")
+    specs = (
+        jax.ShapeDtypeStruct((b, seq_len), jnp.int32),
+        jax.ShapeDtypeStruct((b, seq_len, visual_dim), jnp.float32),
+        jax.ShapeDtypeStruct((b, seq_len, acoustic_dim), jnp.float32),
+        jax.ShapeDtypeStruct((b, seq_len), jnp.int32),
+        jax.ShapeDtypeStruct((b, seq_len), jnp.int32),
+    )
+    return jax_export.export(
+        jax.jit(forward), platforms=[p.lower() for p in platforms],
+        disabled_checks=list(checks))(*specs)
+
+
+def save_artifact(path: str, exported, *, meta: Optional[dict] = None
+                  ) -> None:
+    """Write the serialized artifact plus a JSON sidecar (``path.json``)
+    describing its calling convention — the consumer-facing contract."""
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    side = {
+        "format": _MAGIC,
+        "version": _VERSION,
+        "fn_name": exported.fun_name,
+        "platforms": list(exported.platforms),
+        "inputs": [
+            {"name": n, "shape": [str(d) for d in s.shape],
+             "dtype": str(s.dtype)}
+            for n, s in zip(
+                ("input_ids", "visual", "acoustic", "attention_mask",
+                 "token_type_ids"), exported.in_avals)
+        ],
+        "outputs": [{"shape": [str(d) for d in s.shape],
+                     "dtype": str(s.dtype)}
+                    for s in exported.out_avals],
+    }
+    side.update(meta or {})
+    with open(path + ".json", "w") as f:
+        json.dump(side, f, indent=2)
+
+
+def load_artifact(path: str):
+    """Deserialize a saved artifact into a callable ``fn(input_ids,
+    visual, acoustic, attention_mask, token_type_ids) -> logits``.
+    Needs only jax — none of this package's model code."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    exported = jax_export.deserialize(bytearray(blob))
+
+    def serve(input_ids, visual, acoustic, attention_mask,
+              token_type_ids):
+        return exported.call(
+            jnp.asarray(input_ids, jnp.int32),
+            jnp.asarray(visual, jnp.float32),
+            jnp.asarray(acoustic, jnp.float32),
+            jnp.asarray(attention_mask, jnp.int32),
+            jnp.asarray(token_type_ids, jnp.int32))
+
+    serve.exported = exported
+    return serve
+
+
+def predict_batches(serve_fn, loader) -> Tuple[np.ndarray, np.ndarray]:
+    """Run a (batch, valid) loader through a loaded artifact — the
+    serving twin of Trainer.test_epoch (reference test_epoch,
+    multimodal_driver.py:424-459). Returns (preds, labels) with padding
+    rows dropped."""
+    preds, labels = [], []
+    for batch, valid in loader:
+        ids, vis, aco, mask, seg, lab = batch
+        p = np.asarray(jax.device_get(
+            serve_fn(ids, vis, aco, mask, seg))).reshape(-1)
+        v = np.asarray(valid)
+        preds.append(p[v])
+        labels.append(np.asarray(lab).reshape(-1)[v])
+    return np.concatenate(preds), np.concatenate(labels)

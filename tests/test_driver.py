@@ -324,6 +324,32 @@ def test_driver_pipeline_parallel_xlnet(tmp_path, capsys):
     assert np.isfinite(out["test_mae"])
 
 
+def test_driver_export_serving(tmp_path):
+    """--export_serving writes a StableHLO serving artifact (+ JSON
+    sidecar) after training; reloading it needs only jax and computes
+    the trained forward at a batch size never seen in training."""
+    out = tmp_path / "model.stablehlo"
+    rc = run_driver(tmp_path, extra=["--export_serving", str(out)])
+    assert rc == 0
+    assert out.exists() and out.with_suffix(".stablehlo.json").exists()
+    side = json.loads(out.with_suffix(".stablehlo.json").read_text())
+    assert side["family"] == "bert"
+    assert "cpu" in side["platforms"] and "tpu" in side["platforms"]
+
+    from bert_multimodal_transformer_tpu.serving import load_artifact
+
+    serve = load_artifact(str(out))
+    b, s = 3, int(side["inputs"][0]["shape"][1])
+    dv = int(side["inputs"][1]["shape"][2])
+    da = int(side["inputs"][2]["shape"][2])
+    rng = np.random.RandomState(0)
+    logits = serve(rng.randint(0, 10, (b, s)), rng.randn(b, s, dv),
+                   rng.randn(b, s, da), np.ones((b, s), np.int32),
+                   np.zeros((b, s), np.int32))
+    assert np.asarray(logits).shape == (b, 1)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
 def test_driver_export_hf(tmp_path):
     """--export_hf writes the fine-tuned encoder as an HF-format torch
     .bin that loads into a transformers BertModel of the same geometry
