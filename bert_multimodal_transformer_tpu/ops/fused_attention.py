@@ -234,6 +234,37 @@ def _resolve_rel_hb(n_heads: int, q_len: int, k_len: int, d: int,
 _PROBE_CACHE: dict = {}
 
 
+def _mosaic_vmem_limit() -> int:
+    """Mosaic scoped-VMEM limit for every kernel in this module
+    (FUSED_ATTN_MOSAIC_VMEM_LIMIT overrides; bytes)."""
+    return int(os.environ.get("FUSED_ATTN_MOSAIC_VMEM_LIMIT",
+                              str(24 * 1024 * 1024)))
+
+
+def _pallas_call(kernel, **kw):
+    """``pl.pallas_call`` with this module's Mosaic compiler params.
+
+    ``vmem_limit_bytes`` raises Mosaic's default 16 MB scoped-VMEM check
+    to 24 MB. The headroom exists because the check is charged for more
+    than the kernel's own stack: XLA may place a custom call's small
+    OUTPUT buffers directly in VMEM (S(1) layouts) when a consumer
+    prefers them there — a placement the standalone compile, and
+    therefore the compile probes, never see. Measured 2026-08-20
+    (session r4c): `_bwd_rel_saved_pallas` at Q=50 K=562 b32 bf16
+    compiles standalone at EVERY grid size, but inside the full train
+    step XLA promotes the [32,50,768] dq output into VMEM (+2.4 MB) and
+    the scoped allocation hits 16.41 MB against the 16 MB default —
+    the 6th non-closed-form instance, and one that no standalone probe
+    can predict. The kernels' working sets still target
+    FUSED_ATTN_VMEM_BUDGET (16 MB) via the plan resolvers; the raised
+    limit is headroom for XLA's in-context placements, far below the
+    128 MB physical VMEM."""
+    if not kw.get("interpret", False):
+        kw.setdefault("compiler_params", pltpu.CompilerParams(
+            vmem_limit_bytes=_mosaic_vmem_limit()))
+    return pl.pallas_call(kernel, **kw)
+
+
 def _probe_enabled() -> bool:
     import jax
 
@@ -1851,7 +1882,7 @@ def _fwd_pallas(q, k, v, bias, seed, *, scale, rate, interpret, nb=None,
             out_specs = (qkv_spec, prob_spec)
             out_shape = (out_shape, prob_shape)
     flops_sm = 8 * b * h * s * s
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_fwd_kernel, scale=scale, rate=rate,
                           n_heads=h, nb=nb, save=save),
         grid=(b // nb,),
@@ -1876,7 +1907,7 @@ def _bwd_pallas(q, k, v, bias, seed, g, *, scale, rate, interpret, nb=None):
         nb = _pick_nb(b, 7, h, s, dh,
                       fixed_bytes=_scratch_bytes(h, s, s, 2))
     seed_spec, bias_spec, qkv_spec = _specs(nb, h, s, dh)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, rate=rate,
                           n_heads=h, nb=nb),
         grid=(b // nb,),
@@ -1906,7 +1937,7 @@ def _bwd_saved_pallas(p, pd, q, k, v, g, *, scale, interpret, nb=None):
     _, _, qkv_spec = _specs(nb, h, s, dh)
     prob_spec = pl.BlockSpec((nb, h, s, s), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_bwd_saved_kernel, scale=scale,
                           n_heads=h, nb=nb),
         grid=(b // nb,),
@@ -1984,7 +2015,7 @@ def _fwd_packed_pallas(qkv, bias, seed, *, scale, rate, n_heads, interpret,
         else:
             out_specs = (out_spec, prob_spec)
             out_shape = (out_shape, prob_shape)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_fwd_packed_kernel, scale=scale, rate=rate,
                           n_heads=n_heads, dh=dh, nb=nb, save=save),
         grid=(b // nb,),
@@ -2015,7 +2046,7 @@ def _bwd_packed_pallas(qkv, bias, seed, g, *, scale, rate, n_heads,
             fixed_bytes=_scratch_bytes(n_heads, s, s, 2))
     seed_spec, bias_spec, qkv_spec, out_spec, _ = _packed_specs(
         nb, s, d3, n_heads)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_bwd_packed_kernel, scale=scale, rate=rate,
                           n_heads=n_heads, dh=dh, nb=nb),
         grid=(b // nb,),
@@ -2045,7 +2076,7 @@ def _bwd_packed_saved_pallas(p, pd, qkv, g, *, scale, n_heads, interpret,
             b, 2 * _packed_row_bytes(s, d3, n_heads, 2, qkv.dtype.itemsize),
             fixed_bytes=_scratch_bytes(n_heads, s, s))
     _, _, qkv_spec, out_spec, prob_spec = _packed_specs(nb, s, d3, n_heads)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_bwd_packed_saved_kernel, scale=scale,
                           n_heads=n_heads, dh=dh, nb=nb),
         grid=(b // nb,),
@@ -2097,7 +2128,7 @@ def _fwd_packed_hb_pallas(qkv, bias, seed, *, scale, rate, n_heads, hb,
             fixed_bytes=_scratch_bytes(hb, s, s))
     seed_spec, bias_spec, q_spec, k_spec, v_spec, out_spec = \
         _hb_packed_specs(nb, s, hb, dh, n_hb)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_fwd_packed_hb_kernel, scale=scale,
                           rate=rate, hb=hb, dh=dh, nb=nb, n_hb=n_hb),
         grid=(b // nb, n_hb),
@@ -2129,7 +2160,7 @@ def _bwd_packed_hb_pallas(qkv, bias, seed, g, *, scale, rate, n_heads, hb,
             fixed_bytes=_scratch_bytes(hb, s, s, 2))
     seed_spec, bias_spec, q_spec, k_spec, v_spec, out_spec = \
         _hb_packed_specs(nb, s, hb, dh, n_hb)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_bwd_packed_hb_kernel, scale=scale,
                           rate=rate, hb=hb, dh=dh, nb=nb, n_hb=n_hb),
         grid=(b // nb, n_hb),
@@ -2198,7 +2229,7 @@ def _fwd_packed_fs_pallas(qkv, bias, seed, *, scale, rate, n_heads, hb,
     n_qb = s // qb
     (seed_spec, bias_spec, q_spec, k_spec, v_spec,
      qblk_spec, _, lse_spec) = _fs_packed_specs(nb, s, qb, hb, dh, n_hb)
-    out, lse = pl.pallas_call(
+    out, lse = _pallas_call(
         functools.partial(_attn_fwd_packed_fs_kernel, scale=scale,
                           rate=rate, hb=hb, dh=dh, nb=nb, n_hb=n_hb,
                           n_qb=n_qb, kb=kb),
@@ -2231,7 +2262,7 @@ def _bwd_packed_fs_pallas(qkv, bias, seed, o, lse, g, *, scale, rate,
     (seed_spec, bias_spec, q_spec, k_spec, v_spec,
      qblk_spec, kvfull_spec, lse_spec) = _fs_packed_specs(
         nb, s, qb, hb, dh, n_hb)
-    dq, dk, dv = pl.pallas_call(
+    dq, dk, dv = _pallas_call(
         functools.partial(_attn_bwd_packed_fs_kernel, scale=scale,
                           rate=rate, hb=hb, dh=dh, nb=nb, n_hb=n_hb,
                           n_qb=n_qb, kb=kb),
@@ -2307,7 +2338,7 @@ def _fwd_rel_pallas(q, k, v, ebias, seed, *, scale, rate, n_heads,
         else:
             out_specs = (q_spec, prob_spec)
             out_shape = (out_shape, prob_shape)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_fwd_rel_kernel, scale=scale, rate=rate,
                           n_heads=n_heads, dh=dh, nb=nb, save=save),
         grid=(b // nb,),
@@ -2344,7 +2375,7 @@ def _bwd_rel_pallas(q, k, v, ebias, seed, g, *, scale, rate, n_heads,
     debias_spec = pl.BlockSpec((nb, n_heads, q_len, k_len),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_bwd_rel_kernel, scale=scale, rate=rate,
                           n_heads=n_heads, dh=dh, nb=nb),
         grid=(b // nb,),
@@ -2384,7 +2415,7 @@ def _bwd_rel_saved_pallas(p, pd, q, k, v, g, *, scale, n_heads, interpret,
     prob_spec = pl.BlockSpec((nb, n_heads, q_len, k_len),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_bwd_rel_saved_kernel, scale=scale,
                           n_heads=n_heads, dh=dh, nb=nb),
         grid=(b // nb,),
@@ -2439,7 +2470,7 @@ def _fwd_rel_hb_pallas(q, k, v, ebias, seed, *, scale, rate, n_heads, hb,
             b, row, fixed_bytes=_scratch_bytes(hb, q_len, k_len))
     seed_spec, eb_spec, q_spec, kv_spec = _rel_hb_specs(
         nb, q_len, k_len, hb, dh)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_fwd_rel_hb_kernel, scale=scale, rate=rate,
                           hb=hb, dh=dh, nb=nb, n_hb=n_hb),
         grid=(b // nb, n_hb),
@@ -2478,7 +2509,7 @@ def _bwd_rel_hb_pallas(q, k, v, ebias, seed, g, *, scale, rate, n_heads,
             b, row, fixed_bytes=_scratch_bytes(hb, q_len, k_len, 2))
     seed_spec, eb_spec, q_spec, kv_spec = _rel_hb_specs(
         nb, q_len, k_len, hb, dh)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_bwd_rel_hb_kernel, scale=scale, rate=rate,
                           hb=hb, dh=dh, nb=nb, n_hb=n_hb),
         grid=(b // nb, n_hb),
@@ -2537,7 +2568,7 @@ def _fwd_rel_fs_pallas(q, k, v, ebias, seed, *, scale, rate, n_heads, hb,
     n_qb = q_len // qb
     seed_spec, eb_spec, qblk_spec, kv_spec, lse_spec = _rel_fs_specs(
         nb, q_len, k_len, qb, hb, dh)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_fwd_rel_fs_kernel, scale=scale, rate=rate,
                           hb=hb, dh=dh, nb=nb, n_hb=n_hb, n_qb=n_qb,
                           kb=kb),
@@ -2571,7 +2602,7 @@ def _bwd_rel_fs_pallas(q, k, v, ebias, seed, o, lse, g, *, scale, rate,
     n_qb = q_len // qb
     seed_spec, eb_spec, qblk_spec, kv_spec, lse_spec = _rel_fs_specs(
         nb, q_len, k_len, qb, hb, dh)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_bwd_rel_fs_kernel, scale=scale, rate=rate,
                           hb=hb, dh=dh, nb=nb, n_hb=n_hb, n_qb=n_qb,
                           kb=kb),
@@ -3249,7 +3280,7 @@ def _fwd_qkvproj_pallas(x, w, b3, bias, seed, *, scale, rate, n_heads,
         if rate > 0.0:
             out_shape.append(prob_shape)
             out_specs.append(prob)
-    outs = pl.pallas_call(
+    outs = _pallas_call(
         functools.partial(_attn_fwd_qkvproj_kernel, scale=scale, rate=rate,
                           n_heads=n_heads, dh=dh, s=s, nb=nb,
                           emit_qkv=emit_qkv, save=save),
@@ -3287,7 +3318,7 @@ def _bwd_qkvproj_pallas(p, pd, src, w, b3, g, *, scale, n_heads,
     rows, rows3, w_spec, b3_spec, prob, _, _ = _qkvproj_specs(
         nb, s, d, n_heads)
     src_spec = rows if recompute else rows3
-    dqkv, dx = pl.pallas_call(
+    dqkv, dx = _pallas_call(
         functools.partial(_attn_bwd_qkvproj_kernel, scale=scale,
                           n_heads=n_heads, dh=dh, s=s, nb=nb,
                           recompute=recompute),
@@ -3899,7 +3930,7 @@ def _fwd_relik_pallas(rw, rr, r, k, v, ed, segd, maskb, seed, *, scale,
         else:
             out_specs = (row_spec, prob_spec)
             out_shape = (out_shape, prob_shape)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_fwd_relik_kernel, scale=scale, rate=rate,
                           n_heads=n_heads, dh=dh, nb=nb, save=save),
         grid=(b // nb,),
@@ -3947,7 +3978,7 @@ def _bwd_relik_pallas(rw, rr, r, k, v, ed, segd, maskb, seed, g, *,
         nb, q_len, k_len, d, n_heads, p_len)
     dr_spec = pl.BlockSpec((p_len, d), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_bwd_relik_kernel, scale=scale, rate=rate,
                           n_heads=n_heads, dh=dh, nb=nb),
         grid=(b // nb,),
@@ -3992,7 +4023,7 @@ def _bwd_relik_saved_pallas(p, pd, rw, rr, r, k, v, segd, g, *, scale,
     dr_spec = pl.BlockSpec((p_len, d), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
     ed_shape = jax.ShapeDtypeStruct((b, n_heads, q_len), rw.dtype)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_attn_bwd_relik_saved_kernel, scale=scale,
                           n_heads=n_heads, dh=dh, nb=nb, p_len=p_len),
         grid=(b // nb,),
