@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bert_multimodal_transformer_tpu.ops import mag as mag_ops
+from bert_multimodal_transformer_tpu.ops.fused_attention import _pallas_call
 
 LANE = 128
 DEFAULT_TILE_N = 256
@@ -150,7 +151,7 @@ def _mag_forward_pallas(params, text, visual, acoustic, *,
         return pl.BlockSpec(shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
+    out = _pallas_call(
         functools.partial(_mag_kernel, beta_shift=beta_shift),
         grid=grid,
         in_specs=[
@@ -315,7 +316,7 @@ def _mag_backward_pallas(params, text, visual, acoustic, dy, *,
         return pl.BlockSpec(shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    outs = pl.pallas_call(
+    outs = _pallas_call(
         functools.partial(_mag_bwd_kernel, beta_shift=beta_shift),
         grid=grid,
         in_specs=[
