@@ -164,8 +164,15 @@ def main():
             "BENCH_MEM_LEN requires BENCH_MODEL=xlnet (segment recurrence "
             "is XLNet's memory mechanism) — refusing to print a metric "
             "that silently ignored it")
+    # BENCH_COMPILER_OPTIONS: JSON dict of XLA compile options applied to
+    # every jitted step via jax.jit(compiler_options=...) — the reliable
+    # per-program knob on this PJRT backend (LIBTPU_INIT_ARGS measured as
+    # a no-op through the tunnel). E.g.
+    #   BENCH_COMPILER_OPTIONS='{"xla_tpu_scoped_vmem_limit_kib":"65536"}'
+    copts = os.environ.get("BENCH_COMPILER_OPTIONS")
     trainer = Trainer(model=model, tx=tx, mesh=mesh, donate=True,
-                      mem_len=mem_len or None)
+                      mem_len=mem_len or None,
+                      compiler_options=json.loads(copts) if copts else None)
 
     rng = np.random.RandomState(0)
     host_batch = (

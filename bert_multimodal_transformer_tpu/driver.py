@@ -161,6 +161,15 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["threefry2x32", "rbg"],
                    help="Dropout PRNG: rbg uses the TPU hardware RNG "
                         "(~20%% faster step; same statistics)")
+    p.add_argument("--compiler_options", type=str, default=None,
+                   help="JSON dict of XLA compile options applied to the "
+                        "jitted train/eval/predict steps, e.g. "
+                        "'{\"xla_tpu_scoped_vmem_limit_kib\":\"65536\"}'. "
+                        "Invalid names/values fail at compile time. "
+                        "(The per-program jit route is the one that "
+                        "reliably reaches the compiler on a PJRT "
+                        "backend; process-level LIBTPU_INIT_ARGS "
+                        "measured as a no-op here — BENCHMARKS.md.)")
     return p
 
 
@@ -296,6 +305,11 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 2
     use_pp = args.pipeline_parallel > 1
+    if use_pp and args.compiler_options:
+        print("error: --compiler_options applies to the Trainer's jitted "
+              "steps; the pipeline trainer compiles its own shard_map "
+              "program and would silently ignore it", file=sys.stderr)
+        return 2
     if use_pp:
         if args.model_parallel > 1 or args.tp_shard_attention:
             print("error: --pipeline_parallel does not compose with "
@@ -464,7 +478,10 @@ def main(argv=None) -> int:
                           grad_accum=args.gradient_accumulation_step,
                           tp_shard_attention=args.tp_shard_attention,
                           fsdp=args.fsdp,
-                          mem_len=args.mem_len or None)
+                          mem_len=args.mem_len or None,
+                          compiler_options=(json.loads(args.compiler_options)
+                                            if args.compiler_options
+                                            else None))
 
     sample = next(iter(train_it))[0]
     state = trainer.init_state(rng, sample)

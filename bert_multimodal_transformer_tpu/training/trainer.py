@@ -274,6 +274,14 @@ class Trainer:
     # the warmup difference decays but the trajectories are not
     # bit-equal.
     mem_len: Optional[int] = None
+    # Optional XLA compile options for every jitted step (e.g.
+    # {"xla_tpu_scoped_vmem_limit_kib": "65536"}). Passed straight to
+    # jax.jit(compiler_options=...); invalid names/values fail loudly at
+    # compile time. This is the reliable per-program knob on a PJRT
+    # backend — process-level LIBTPU_INIT_ARGS measured as a no-op
+    # through the tunneled plugin (BENCHMARKS.md "XLA compile-option
+    # sweep").
+    compiler_options: Optional[dict] = None
 
     def __post_init__(self):
         if self.mesh is None:
@@ -315,8 +323,13 @@ class Trainer:
         self._tp = self.mesh.shape.get("model", 1) > 1
         explicit = not (self._tp or self.fsdp)
 
+        def _jit(fn, **kw):
+            if self.compiler_options:
+                kw["compiler_options"] = dict(self.compiler_options)
+            return jax.jit(fn, **kw)
+
         train_step = make_train_step(self.grad_accum)
-        self._train_step = jax.jit(
+        self._train_step = _jit(
             train_step,
             in_shardings=(self._rep, self._bsh) if explicit else None,
             out_shardings=(self._rep, self._rep) if explicit else None,
@@ -324,20 +337,20 @@ class Trainer:
         )
         # compiled lazily — only a training run whose final batch is
         # actually ragged ever pays for this variant
-        self._train_step_masked = jax.jit(
+        self._train_step_masked = _jit(
             make_masked_train_step(self.grad_accum),
             in_shardings=(self._rep, self._bsh,
                           self._bsh) if explicit else None,
             out_shardings=(self._rep, self._rep) if explicit else None,
             donate_argnums=(0,) if self.donate else (),
         )
-        self._eval_step = jax.jit(
+        self._eval_step = _jit(
             eval_step,
             in_shardings=(self._rep, self._bsh,
                           self._bsh) if explicit else None,
             out_shardings=(self._rep, self._rep) if explicit else None,
         )
-        self._predict_step = jax.jit(
+        self._predict_step = _jit(
             predict_step,
             in_shardings=(self._rep, self._bsh) if explicit else None,
             out_shardings=(self._bsh, self._bsh) if explicit else None,
@@ -362,7 +375,7 @@ class Trainer:
             # mems tuples shard like batches: [B, mlen, D] per layer
             msh = None if not explicit else jax.tree_util.tree_map(
                 lambda _: self._bsh, tuple(range(cfg.n_layer)))
-            self._train_step_mems = jax.jit(
+            self._train_step_mems = _jit(
                 make_mems_train_step(masked=False),
                 in_shardings=((self._rep, self._bsh, msh)
                               if explicit else None),
@@ -370,7 +383,7 @@ class Trainer:
                                if explicit else None),
                 donate_argnums=(0, 2) if self.donate else (),
             )
-            self._train_step_mems_masked = jax.jit(
+            self._train_step_mems_masked = _jit(
                 make_mems_train_step(masked=True),
                 in_shardings=((self._rep, self._bsh, msh, self._bsh)
                               if explicit else None),
@@ -378,7 +391,7 @@ class Trainer:
                                if explicit else None),
                 donate_argnums=(0, 2) if self.donate else (),
             )
-            self._eval_step_mems = jax.jit(
+            self._eval_step_mems = _jit(
                 mems_eval_step,
                 in_shardings=((self._rep, self._bsh, self._bsh, msh)
                               if explicit else None),
@@ -386,7 +399,7 @@ class Trainer:
                                if explicit else None),
                 donate_argnums=(3,) if self.donate else (),
             )
-            self._predict_step_mems = jax.jit(
+            self._predict_step_mems = _jit(
                 mems_predict_step,
                 in_shardings=((self._rep, self._bsh, msh)
                               if explicit else None),

@@ -462,3 +462,20 @@ def test_driver_real_data_path_xlnet_spiece_model(tmp_path):
     assert rc == 0
     lines = (tmp_path / "ckpt" / "metrics.jsonl").read_text().splitlines()
     assert len(lines) == 1
+
+
+def test_driver_compiler_options_flag(tmp_path, capsys):
+    """--compiler_options reaches the Trainer's jits (a benign XLA option
+    trains end-to-end) and is rejected with --pipeline_parallel, whose
+    shard_map program would silently ignore it."""
+    rc = run_driver(tmp_path, extra=[
+        "--compiler_options",
+        '{"xla_backend_optimization_level": "2"}'])
+    assert rc == 0
+
+    rc = run_driver(tmp_path, extra=[
+        "--pipeline_parallel", "2",
+        "--compiler_options",
+        '{"xla_backend_optimization_level": "2"}'])
+    assert rc == 2
+    assert "compiler_options" in capsys.readouterr().err

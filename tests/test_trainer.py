@@ -273,3 +273,32 @@ def test_decay_mask_covers_xlnet_rel_biases():
                       "kernel"):
             assert decays, names
     assert checked >= 3 * cfg.n_layer  # r_w/r_r/r_s per layer at minimum
+
+
+def test_compiler_options_thread_through(dataset):
+    """Trainer(compiler_options=...) reaches jax.jit: a benign XLA option
+    compiles and steps identically to the default; an invalid option name
+    fails loudly at compile time instead of being silently dropped."""
+    splits, _ = dataset
+    batch = splits["train"].take(np.arange(B)).as_tuple()
+    mesh = make_mesh(MeshConfig(data_parallel=1),
+                     devices=jax.devices()[:1])
+    tx = optax.sgd(0.1)
+    model = make_model()
+
+    t_plain = Trainer(model=model, tx=tx, mesh=mesh, donate=False)
+    t_opts = Trainer(model=model, tx=tx, mesh=mesh, donate=False,
+                     compiler_options={
+                         "xla_backend_optimization_level": "2"})
+    s_plain = t_plain.init_state(jax.random.PRNGKey(0), batch)
+    s_opts = t_opts.init_state(jax.random.PRNGKey(0), batch)
+    _, loss_plain = t_plain._train_step(s_plain, t_plain._put_batch(batch))
+    _, loss_opts = t_opts._train_step(s_opts, t_opts._put_batch(batch))
+    np.testing.assert_allclose(float(loss_plain), float(loss_opts),
+                               rtol=1e-6)
+
+    t_bad = Trainer(model=model, tx=tx, mesh=mesh, donate=False,
+                    compiler_options={"no_such_xla_option": "1"})
+    s_bad = t_bad.init_state(jax.random.PRNGKey(0), batch)
+    with pytest.raises(Exception):
+        t_bad._train_step(s_bad, t_bad._put_batch(batch))
