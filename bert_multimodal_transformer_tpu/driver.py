@@ -161,6 +161,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["threefry2x32", "rbg"],
                    help="Dropout PRNG: rbg uses the TPU hardware RNG "
                         "(~20%% faster step; same statistics)")
+    p.add_argument("--wire_dtype", type=str, default=None,
+                   choices=[None, "bfloat16", "float16"],
+                   help="--predict_only: cast the modality features to "
+                        "this dtype host-side before the device "
+                        "transfer (halves the request payload; "
+                        "bfloat16 is lossless for a bf16-compute "
+                        "model — serving.Predictor wire_dtype)")
     p.add_argument("--compiler_options", type=str, default=None,
                    help="JSON dict of XLA compile options applied to the "
                         "jitted train/eval/predict steps, e.g. "
@@ -542,8 +549,11 @@ def main(argv=None) -> int:
                 )
 
             _params = _from_pp(_params)
-        predictor = Predictor(model, _params,
-                              batch_size=args.test_batch_size)
+        import jax.numpy as _jnp
+        predictor = Predictor(
+            model, _params, batch_size=args.test_batch_size,
+            wire_dtype=(getattr(_jnp, args.wire_dtype)
+                        if args.wire_dtype else None))
         data = load_pickle_splits(pickle_path)
         test_split = convert_to_features(
             data["test"], args.max_seq_length, tokenizer, family)

@@ -34,10 +34,20 @@ from bert_multimodal_transformer_tpu.training import metrics as metrics_lib
 
 
 class Predictor:
-    """Jitted fixed-shape batch predictor with data-axis sharding."""
+    """Jitted fixed-shape batch predictor with data-axis sharding.
+
+    ``wire_dtype`` (e.g. ``jnp.bfloat16``) casts the float modality
+    features (visual/acoustic — the bulk of a request payload) on the
+    host before the device transfer. With a bf16-compute model,
+    ``wire_dtype=jnp.bfloat16`` is lossless relative to the model's own
+    math — the model casts those inputs to bf16 anyway — while halving
+    the bytes moved per request (measured: the tunnel round-trip, not
+    the chip, dominates per-request latency at every batch size;
+    BENCHMARKS.md "Serving per-request latency").
+    """
 
     def __init__(self, model: Any, params: Any, mesh=None,
-                 batch_size: int = 128):
+                 batch_size: int = 128, wire_dtype: Any = None):
         # num_labels==1 → regression logits [B] (MSE head); >1 → the
         # reference's CrossEntropy branch (bert.py:313-322), logits [B, C]
         self.num_labels = getattr(getattr(model, "config", None),
@@ -45,6 +55,7 @@ class Predictor:
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         self.batch_size = batch_size
+        self.wire_dtype = wire_dtype
         self._bsh = batch_sharding(self.mesh)
         self._rep = replicated(self.mesh)
         self.params = jax.device_put(params, self._rep)
@@ -94,6 +105,9 @@ class Predictor:
         preds = []
         for batch, valid in it:
             ids, vis, ac, mask, segs, _ = batch
+            if self.wire_dtype is not None:
+                vis = vis.astype(self.wire_dtype)
+                ac = ac.astype(self.wire_dtype)
             out = self._forward(
                 self.params,
                 jax.device_put(ids, self._bsh),

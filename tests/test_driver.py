@@ -237,6 +237,14 @@ def test_driver_predict_only(tmp_path, capsys):
     assert {"test_acc", "test_mae", "test_corr", "test_f_score"} == set(rec)
     assert np.isfinite(rec["test_mae"])
 
+    # --wire_dtype: halved request payload, finite scores
+    rc = run_driver(tmp_path, extra=["--predict_only",
+                                     "--wire_dtype", "bfloat16"], epochs=1)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec_bf = json.loads(out)
+    assert np.isfinite(rec_bf["test_mae"])
+
 
 def test_driver_qkv_fusion_flag(tmp_path, capsys):
     """--qkv_fusion through the CLI (CPU: the dropout path falls back to

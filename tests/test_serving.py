@@ -125,3 +125,28 @@ def test_predictor_classification_head():
                     batch_size=4)
     with pytest.raises(ValueError, match="classification head"):
         reg.predict_classes(reg_split)
+
+
+def test_predictor_wire_dtype_bf16_lossless_for_bf16_model():
+    """wire_dtype=bfloat16 halves the request payload; with a
+    bf16-compute model the predictions are identical to sending fp32 —
+    the model casts the modality features to bf16 anyway."""
+    import jax.numpy as jnp
+
+    tok = WordPieceTokenizer.from_wordlist(synthetic.vocabulary())
+    data = synthetic.make_dataset(visual_dim=DV, acoustic_dim=DA,
+                                  n_train=2, n_dev=2, n_test=11, seed=21)
+    split = convert_to_features(data["test"], S, tok, "bert")
+    cfg = BertConfig.tiny(vocab_size=tok.vocab_size)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.1)
+    model = MagBertForSequenceClassification(
+        cfg, mm, visual_dim=DV, acoustic_dim=DA, dtype=jnp.bfloat16)
+    batch = split.take(np.arange(2)).as_tuple()
+    params = model.init(jax.random.PRNGKey(0), *batch[:5])["params"]
+
+    mesh = make_mesh(MeshConfig(data_parallel=1))
+    p32 = Predictor(model, params, mesh=mesh, batch_size=4)
+    pbf = Predictor(model, params, mesh=mesh, batch_size=4,
+                    wire_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(p32.predict_split(split),
+                                  pbf.predict_split(split))

@@ -105,15 +105,26 @@ def main():
                         attention_mask=mask, token_type_ids=segs,
                         deterministic=True)["params"]
 
+    # LAT_WIRE_DTYPE=bfloat16 casts the modality features host-side
+    # before the transfer (Predictor(wire_dtype=...) semantics): halves
+    # the request payload; lossless for a bf16-compute model.
+    wire = os.environ.get("LAT_WIRE_DTYPE")
+    wdt = getattr(jnp, wire) if wire else None
+
     results = []
     for batch in batches:
         pred = Predictor(model, params, batch_size=batch)
         inp = host_inputs(batch)
 
         def request():
+            ids, vis, ac, mask, segs = inp
+            if wdt is not None:
+                vis = vis.astype(wdt)
+                ac = ac.astype(wdt)
             out = pred._forward(
                 pred.params,
-                *[jax.device_put(x, pred._bsh) for x in inp])
+                *[jax.device_put(x, pred._bsh)
+                  for x in (ids, vis, ac, mask, segs)])
             return np.asarray(jax.device_get(out))
 
         for _ in range(warmup):
@@ -146,7 +157,9 @@ def main():
 
     print(json.dumps({
         "metric": f"serving per-request latency ({family}, seq {seq}, "
-                  f"{attn} attention, incl. ~2ms tunnel dispatch floor)",
+                  f"{attn} attention"
+                  + (f", {wire} wire" if wire else "")
+                  + ", incl. ~2ms tunnel dispatch floor)",
         "rows": results,
     }))
 
