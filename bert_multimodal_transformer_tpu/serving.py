@@ -44,10 +44,18 @@ class Predictor:
     the bytes moved per request (measured: the tunnel round-trip, not
     the chip, dominates per-request latency at every batch size;
     BENCHMARKS.md "Serving per-request latency").
+
+    ``prefetch`` keeps up to that many batches in flight during
+    ``predict_split``: JAX dispatch is asynchronous, so staging batch
+    n+1 (host cast + device transfer + forward dispatch) before fetching
+    batch n's predictions overlaps the request transfer with the chip's
+    compute instead of paying transfer + compute serially. 0 restores
+    the strictly-serial loop.
     """
 
     def __init__(self, model: Any, params: Any, mesh=None,
-                 batch_size: int = 128, wire_dtype: Any = None):
+                 batch_size: int = 128, wire_dtype: Any = None,
+                 prefetch: int = 2):
         # num_labels==1 → regression logits [B] (MSE head); >1 → the
         # reference's CrossEntropy branch (bert.py:313-322), logits [B, C]
         self.num_labels = getattr(getattr(model, "config", None),
@@ -56,6 +64,7 @@ class Predictor:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.batch_size = batch_size
         self.wire_dtype = wire_dtype
+        self.prefetch = prefetch
         self._bsh = batch_sharding(self.mesh)
         self._rep = replicated(self.mesh)
         self.params = jax.device_put(params, self._rep)
@@ -100,9 +109,12 @@ class Predictor:
     def predict_split(self, split: PackedSplit) -> np.ndarray:
         """Predictions for every example, in order: [N] regression values
         (num_labels=1) or [N, C] class logits (num_labels>1)."""
+        from collections import deque
+
         it = BatchIterator(split, self.batch_size, shuffle=False,
                            drop_remainder=False)
         preds = []
+        pending = deque()  # (async out array, valid mask) in order
         for batch, valid in it:
             ids, vis, ac, mask, segs, _ = batch
             if self.wire_dtype is not None:
@@ -115,7 +127,16 @@ class Predictor:
                 jax.device_put(ac, self._bsh),
                 jax.device_put(mask, self._bsh),
                 jax.device_put(segs, self._bsh))
-            preds.append(np.asarray(jax.device_get(out))[valid])
+            pending.append((out, valid))
+            # keep at most `prefetch` batches in flight while draining —
+            # the younger batches' transfers/compute overlap this fetch's
+            # wait; prefetch=0 degenerates to fetch-after-dispatch
+            while len(pending) > max(self.prefetch, 0):
+                done, v = pending.popleft()
+                preds.append(np.asarray(jax.device_get(done))[v])
+        while pending:
+            done, v = pending.popleft()
+            preds.append(np.asarray(jax.device_get(done))[v])
         if not preds:
             shape = (0,) if self.num_labels == 1 else (0, self.num_labels)
             return np.empty(shape, np.float32)

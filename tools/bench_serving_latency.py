@@ -111,6 +111,42 @@ def main():
     wire = os.environ.get("LAT_WIRE_DTYPE")
     wdt = getattr(jnp, wire) if wire else None
 
+    # LAT_MODE=split: batch-stream throughput through the REAL
+    # Predictor.predict_split (host split in, ordered predictions out)
+    # at one batch size (LAT_BATCHES first entry), A/B'ing
+    # prefetch=0 (strictly serial transfer->compute->fetch) vs
+    # prefetch=2 (transfers overlap the chip via async dispatch).
+    if os.environ.get("LAT_MODE") == "split":
+        from bert_multimodal_transformer_tpu.data.pipeline import (
+            PackedSplit,
+        )
+
+        n = int(os.environ.get("LAT_SPLIT_N", "4096"))
+        batch = batches[0]
+        ids, vis, ac, mask, segs = host_inputs(n)
+        split = PackedSplit(ids, vis, ac, mask, segs,
+                            rng.uniform(-3, 3, (n,)).astype(np.float32))
+        rows = []
+        for pf in (0, 2):
+            pred = Predictor(model, params, batch_size=batch,
+                             wire_dtype=wdt, prefetch=pf)
+            pred.predict_split(split.take(np.arange(2 * batch)))  # warm
+            t0 = time.perf_counter()
+            out = pred.predict_split(split)
+            dt = time.perf_counter() - t0
+            assert out.shape[0] == n
+            rows.append({"prefetch": pf, "sec": round(dt, 3),
+                         "ex_per_s": round(n / dt, 1)})
+            print(f"predict_split b{batch} prefetch={pf}: {dt:6.3f}s  "
+                  f"{n / dt:8.1f} ex/s", flush=True)
+        print(json.dumps({
+            "metric": f"predict_split throughput ({family}, b{batch}, "
+                      f"seq {seq}, {attn}"
+                      + (f", {wire} wire" if wire else "") + ")",
+            "rows": rows,
+        }))
+        return
+
     results = []
     for batch in batches:
         pred = Predictor(model, params, batch_size=batch)
