@@ -550,6 +550,15 @@ def main(argv=None) -> int:
 
             _params = _from_pp(_params)
         import jax.numpy as _jnp
+        if args.wire_dtype == "float16":
+            # fp16's max finite value is 65504 — unnormalized visual/
+            # acoustic features beyond it overflow to inf on the wire and
+            # silently corrupt predictions. Only bf16 (same exponent
+            # range as fp32) is lossless for a bf16-compute model.
+            print("warning: --wire_dtype float16 overflows to inf above "
+                  "65504; it is NOT lossless on unnormalized features — "
+                  "use bfloat16 unless your features are bounded",
+                  file=sys.stderr)
         predictor = Predictor(
             model, _params, batch_size=args.test_batch_size,
             wire_dtype=(getattr(_jnp, args.wire_dtype)

@@ -234,35 +234,13 @@ def _resolve_rel_hb(n_heads: int, q_len: int, k_len: int, d: int,
 _PROBE_CACHE: dict = {}
 
 
-def _mosaic_vmem_limit() -> int:
-    """Mosaic scoped-VMEM limit for every kernel in this module
-    (FUSED_ATTN_MOSAIC_VMEM_LIMIT overrides; bytes)."""
-    return int(os.environ.get("FUSED_ATTN_MOSAIC_VMEM_LIMIT",
-                              str(24 * 1024 * 1024)))
-
-
-def _pallas_call(kernel, **kw):
-    """``pl.pallas_call`` with this module's Mosaic compiler params.
-
-    ``vmem_limit_bytes`` raises Mosaic's default 16 MB scoped-VMEM check
-    to 24 MB. The headroom exists because the check is charged for more
-    than the kernel's own stack: XLA may place a custom call's small
-    OUTPUT buffers directly in VMEM (S(1) layouts) when a consumer
-    prefers them there — a placement the standalone compile, and
-    therefore the compile probes, never see. Measured 2026-08-20
-    (session r4c): `_bwd_rel_saved_pallas` at Q=50 K=562 b32 bf16
-    compiles standalone at EVERY grid size, but inside the full train
-    step XLA promotes the [32,50,768] dq output into VMEM (+2.4 MB) and
-    the scoped allocation hits 16.41 MB against the 16 MB default —
-    the 6th non-closed-form instance, and one that no standalone probe
-    can predict. The kernels' working sets still target
-    FUSED_ATTN_VMEM_BUDGET (16 MB) via the plan resolvers; the raised
-    limit is headroom for XLA's in-context placements, far below the
-    128 MB physical VMEM."""
-    if not kw.get("interpret", False):
-        kw.setdefault("compiler_params", pltpu.CompilerParams(
-            vmem_limit_bytes=_mosaic_vmem_limit()))
-    return pl.pallas_call(kernel, **kw)
+# Shared across the package's kernel modules (ops/pallas_util.py):
+# every pallas_call ships vmem_limit_bytes=24MB headroom — see the
+# docstring there for the measured in-context-promotion rationale.
+from bert_multimodal_transformer_tpu.ops.pallas_util import (  # noqa: E402
+    mosaic_vmem_limit as _mosaic_vmem_limit,
+    pallas_call as _pallas_call,
+)
 
 
 def _probe_enabled() -> bool:
@@ -3079,8 +3057,9 @@ def fused_attention_packed(
             keep = jax.random.bernoulli(dropout_rng, 1.0 - rate,
                                         probs.shape)
             probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
-        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs.astype(qkv.dtype), vh)
-        return ctx.reshape(b, s, d)
+        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs.astype(qkv.dtype), vh,
+                         preferred_element_type=jnp.float32)
+        return ctx.reshape(b, s, d).astype(qkv.dtype)
     hb, qb, kb = fs_plan
     return _fused_attention_packed_fs(qkv, bias, seed, float(scale), rate,
                                       n_heads, hb, qb, kb,
@@ -3538,8 +3517,9 @@ def fused_rel_attention(
         probs = jax.nn.softmax(score, axis=-1)
         keep = jax.random.bernoulli(dropout_rng, 1.0 - rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
-        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs.astype(q.dtype), vh)
-        return ctx.reshape(b, q_len, d)
+        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs.astype(q.dtype), vh,
+                         preferred_element_type=jnp.float32)
+        return ctx.reshape(b, q_len, d).astype(q.dtype)
     if rate > 0.0:
         seed = jax.random.randint(dropout_rng, (1, 1), 0, 2**31 - 1,
                                   dtype=jnp.int32)
@@ -3609,8 +3589,9 @@ def fused_rel_attention(
             keep = jax.random.bernoulli(dropout_rng, 1.0 - rate,
                                         probs.shape)
             probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
-        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs.astype(q.dtype), vh)
-        return ctx.reshape(b, q_len, d)
+        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs.astype(q.dtype), vh,
+                         preferred_element_type=jnp.float32)
+        return ctx.reshape(b, q_len, d).astype(q.dtype)
     hb, qb, kb = fs_plan
     return _fused_rel_attention_fs(q, k, v, ebias, seed, float(scale),
                                    rate, n_heads, hb, qb, kb,

@@ -35,7 +35,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bert_multimodal_transformer_tpu.ops import mag as mag_ops
-from bert_multimodal_transformer_tpu.ops.fused_attention import _pallas_call
+from bert_multimodal_transformer_tpu.ops.pallas_util import (
+    pallas_call as _pallas_call,
+)
 
 LANE = 128
 DEFAULT_TILE_N = 256

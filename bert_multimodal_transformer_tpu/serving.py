@@ -300,13 +300,17 @@ def predict_batches(serve_fn, loader) -> Tuple[np.ndarray, np.ndarray]:
     """Run a (batch, valid) loader through a loaded artifact — the
     serving twin of Trainer.test_epoch (reference test_epoch,
     multimodal_driver.py:424-459). Returns (preds, labels) with padding
-    rows dropped."""
+    rows dropped; regression artifacts ([B] or [B,1] outputs) yield 1-D
+    preds, classification artifacts ([B,C]) keep the class axis —
+    mirroring Predictor.predict_split."""
     preds, labels = [], []
     for batch, valid in loader:
         ids, vis, aco, mask, seg, lab = batch
-        p = np.asarray(jax.device_get(
-            serve_fn(ids, vis, aco, mask, seg))).reshape(-1)
+        p = np.asarray(jax.device_get(serve_fn(ids, vis, aco, mask, seg)))
         v = np.asarray(valid)
-        preds.append(p[v])
+        p = p[v]  # mask rows before any flatten — [B,C] stays per-row
+        if p.ndim > 1 and p.shape[-1] == 1:
+            p = p.reshape(-1)
+        preds.append(p)
         labels.append(np.asarray(lab).reshape(-1)[v])
     return np.concatenate(preds), np.concatenate(labels)
