@@ -322,9 +322,17 @@ def set_up_data_loaders(
     n_epochs: int,
     gradient_accumulation_step: int = 1,
     seed: int = 0,
+    num_processes: int = 1,
+    process_id: int = 0,
 ) -> Tuple[BatchIterator, BatchIterator, BatchIterator, int]:
     """End-to-end split setup mirroring set_up_data_loader
-    (multimodal_driver.py:249-286), including the optimizer-step count."""
+    (multimodal_driver.py:249-286), including the optimizer-step count.
+
+    ``num_processes > 1``: multi-process SPMD — every process converts
+    the full splits identically (same pickle, same determinism) but the
+    returned iterators are per-process views yielding only this
+    process's row-block of each global batch
+    (parallel/multiprocess.ShardedBatchIterator)."""
     data = load_pickle_splits(pickle_path)
     splits = {
         name: convert_to_features(data[name], max_seq_length, tokenizer,
@@ -345,12 +353,23 @@ def set_up_data_loaders(
     # the masked step (zero-padded to shape, masked-mean loss — same math,
     # static compiled shapes). MOSI-scale effect of dropping it instead
     # would be ~33/1281 examples (2.6%) untrained per epoch.
-    train_it = BatchIterator(
-        splits["train"],
-        train_batch_size * gradient_accumulation_step,
-        shuffle=True, drop_remainder=False, seed=seed)
-    dev_it = BatchIterator(splits["dev"], dev_batch_size, shuffle=False,
-                           drop_remainder=False)
-    test_it = BatchIterator(splits["test"], test_batch_size, shuffle=False,
-                            drop_remainder=False)
+    if num_processes > 1:
+        from bert_multimodal_transformer_tpu.parallel.multiprocess import (
+            ShardedBatchIterator,
+        )
+
+        def _make(split, bs, shuffle, s=0):
+            return ShardedBatchIterator(
+                split, bs, shuffle=shuffle, drop_remainder=False, seed=s,
+                num_processes=num_processes, process_id=process_id)
+    else:
+        def _make(split, bs, shuffle, s=0):
+            return BatchIterator(split, bs, shuffle=shuffle,
+                                 drop_remainder=False, seed=s)
+
+    train_it = _make(splits["train"],
+                     train_batch_size * gradient_accumulation_step,
+                     True, s=seed)
+    dev_it = _make(splits["dev"], dev_batch_size, False)
+    test_it = _make(splits["test"], test_batch_size, False)
     return train_it, dev_it, test_it, num_train_optimization_steps

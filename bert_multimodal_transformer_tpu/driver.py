@@ -177,6 +177,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "reliably reaches the compiler on a PJRT "
                         "backend; process-level LIBTPU_INIT_ARGS "
                         "measured as a no-op here — BENCHMARKS.md.)")
+    p.add_argument("--num_processes", type=int, default=1,
+                   help="Multi-process SPMD (one process per host — how "
+                        "real pod slices run; parallel/multiprocess.py): "
+                        "total process count. Launch one driver per host "
+                        "with identical flags and a distinct "
+                        "--process_id; every process feeds only its "
+                        "local devices' batch rows. Data-parallel "
+                        "trainer only")
+    p.add_argument("--process_id", type=int, default=0,
+                   help="This process's index in [0, --num_processes)")
+    p.add_argument("--coordinator_address", type=str,
+                   default="127.0.0.1:8476",
+                   help="host:port of process 0's jax.distributed "
+                        "coordinator (every process passes the same "
+                        "address)")
     return p
 
 
@@ -185,6 +200,14 @@ def main(argv=None) -> int:
 
     import jax
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # A PJRT plugin registered at interpreter start (this image's
+        # sitecustomize registers the TPU tunnel plugin) can win platform
+        # selection over the env var; re-assert it so
+        # `JAX_PLATFORMS=cpu python -m ...driver` really runs on CPU
+        # (measured: without this, the env var alone silently lands on
+        # the TPU — CLAUDE.md "Environment gotchas").
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_default_prng_impl", args.rng_impl)
     # Persistent compilation cache (cold tunnel compiles are minutes).
     # Respect an already-configured cache dir: the test suite runs
@@ -223,6 +246,58 @@ def main(argv=None) -> int:
     is_xlnet = args.model.startswith("xlnet")
     family = "xlnet" if is_xlnet else "bert"
 
+    multiproc = args.num_processes > 1
+    if multiproc:
+        bad = [f for f, cond in (
+            ("--pipeline_parallel", args.pipeline_parallel > 1),
+            ("--model_parallel", args.model_parallel > 1),
+            ("--fsdp", args.fsdp),
+            ("--mem_len", bool(args.mem_len)),
+            ("--predict_only", args.predict_only),
+        ) if cond]
+        if bad:
+            print("error: --num_processes > 1 runs the data-parallel "
+                  f"trainer; not composable with {' '.join(bad)}",
+                  file=sys.stderr)
+            return 2
+        if not (0 <= args.process_id < args.num_processes):
+            print(f"error: --process_id {args.process_id} outside "
+                  f"[0, {args.num_processes})", file=sys.stderr)
+            return 2
+        for flag, b in (("--train_batch_size",
+                         args.train_batch_size
+                         * args.gradient_accumulation_step),
+                        ("--dev_batch_size", args.dev_batch_size),
+                        ("--test_batch_size", args.test_batch_size)):
+            if b % args.num_processes != 0:
+                print(f"error: {flag} (global {b}) must divide by "
+                      f"--num_processes {args.num_processes} (each "
+                      "process feeds an equal row-block)",
+                      file=sys.stderr)
+                return 2
+        # must run BEFORE any computation initializes the backend —
+        # after this, jax.devices() is the global device list
+        from bert_multimodal_transformer_tpu.parallel import (
+            multiprocess as mp_lib,
+        )
+
+        mp_lib.initialize(args.coordinator_address, args.num_processes,
+                          args.process_id)
+        if (jax.process_count() != args.num_processes
+                or jax.process_index() != args.process_id):
+            # a backend whose plugin ignores the distributed runtime
+            # (each process seeing itself as process 0) would silently
+            # train N independent copies — fail loudly instead
+            print(f"error: backend reports process "
+                  f"{jax.process_index()}/{jax.process_count()}, flags "
+                  f"say {args.process_id}/{args.num_processes} — the "
+                  "active platform did not join the distributed runtime",
+                  file=sys.stderr)
+            return 2
+        is_main = jax.process_index() == 0
+    else:
+        is_main = True
+
     if args.resume and args.checkpoint_dir:
         # exact continuation requires the interrupted run's seed (data
         # shuffle, synthetic data, init, dropout streams all derive from
@@ -237,7 +312,8 @@ def main(argv=None) -> int:
             args.seed = _meta["seed"]
 
     rng = set_random_seed(args.seed)
-    print(f"Seed: {args.seed}")
+    if is_main:
+        print(f"Seed: {args.seed}")
 
     # ---- data -----------------------------------------------------------
     if args.synthetic:
@@ -276,7 +352,8 @@ def main(argv=None) -> int:
         test_batch_size=args.test_batch_size,
         n_epochs=args.n_epochs,
         gradient_accumulation_step=args.gradient_accumulation_step,
-        seed=args.seed)
+        seed=args.seed,
+        num_processes=args.num_processes, process_id=args.process_id)
 
     # ---- model ----------------------------------------------------------
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
@@ -486,6 +563,7 @@ def main(argv=None) -> int:
                           tp_shard_attention=args.tp_shard_attention,
                           fsdp=args.fsdp,
                           mem_len=args.mem_len or None,
+                          multiprocess=multiproc,
                           compiler_options=(json.loads(args.compiler_options)
                                             if args.compiler_options
                                             else None))
@@ -613,21 +691,27 @@ def main(argv=None) -> int:
                 # legacy checkpoints (no meta): params-only warm resume
                 state = ckpt.restore_latest(state) or state
 
-    logger = MetricLogger(project="MAG", config=vars(args),
-                          jsonl_path=jsonl_path)
+    # non-zero processes train/eval in lockstep but stay silent: the
+    # metric records are identical on every process (test_epoch
+    # allgathers), so one writer suffices
+    logger = (MetricLogger(project="MAG", config=vars(args),
+                           jsonl_path=jsonl_path) if is_main else None)
 
     def _save(st, *, step, next_epoch, next_batch, burn):
         # durably save the state BEFORE publishing the meta that names it
         # (the dir is guaranteed free of foreign checkpoints above, so a
-        # matching latest step can only be this run's own earlier save)
+        # matching latest step can only be this run's own earlier save).
+        # Every process participates in the save (Orbax rendezvous);
+        # only process 0 publishes the meta.
         if ckpt.latest_step() != step:
             ckpt.save(st, step=step, wait=True)
         else:
             ckpt.wait_until_finished()
-        _write_resume_meta(meta_path, {
-            "state_step": step, "start_epoch": next_epoch,
-            "start_batch": next_batch, "iter_shuffles_to_burn": burn,
-            "seed": args.seed})
+        if is_main:
+            _write_resume_meta(meta_path, {
+                "state_step": step, "start_epoch": next_epoch,
+                "start_batch": next_batch, "iter_shuffles_to_burn": burn,
+                "seed": args.seed})
 
     def save_epoch(st, epoch_i):
         if ckpt is not None:
@@ -660,7 +744,7 @@ def main(argv=None) -> int:
         max_steps=(args.max_steps or None))
     if ckpt is not None:
         ckpt.close()  # flush the async Orbax save before exit
-    if args.export_hf:
+    if args.export_hf and is_main:
         from bert_multimodal_transformer_tpu.utils.convert import (
             export_bert_state_dict,
             export_xlnet_state_dict,
@@ -678,7 +762,7 @@ def main(argv=None) -> int:
         _torch.save({k: _torch.tensor(np.asarray(v))
                      for k, v in sd.items()}, args.export_hf)
         print(f"Exported HF-format weights to {args.export_hf}")
-    if args.export_serving:
+    if args.export_serving and is_main:
         from bert_multimodal_transformer_tpu import serving
 
         params_np = jax.device_get(state.params)
@@ -693,7 +777,8 @@ def main(argv=None) -> int:
             meta={"family": "xlnet" if is_xlnet else "bert",
                   "model": args.model, "dataset": args.dataset})
         print(f"Exported serving artifact to {args.export_serving}")
-    logger.finish()
+    if logger is not None:
+        logger.finish()
     return 0
 
 

@@ -282,10 +282,22 @@ class Trainer:
     # through the tunneled plugin (BENCHMARKS.md "XLA compile-option
     # sweep").
     compiler_options: Optional[dict] = None
+    # Multi-process SPMD (one process per host — the way real pods run;
+    # parallel/multiprocess.py). Loaders must yield process-LOCAL batch
+    # rows (ShardedBatchIterator); _put_batch assembles global arrays
+    # spanning every process from them, and test_epoch allgathers
+    # predictions so every process scores the full split. Requires
+    # jax.distributed.initialize before building the Trainer.
+    multiprocess: bool = False
 
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = make_mesh()
+        if self.multiprocess and self.mem_len is not None:
+            raise ValueError(
+                "multiprocess does not compose with mem_len (the memory "
+                "init builds [B, mlen, D] zeros from the local batch "
+                "shape; global assembly for mems is not implemented)")
         if self.tp_shard_attention:
             # Guard the preconditions the CLI enforces (driver.py) for
             # direct Trainer users too.
@@ -452,7 +464,20 @@ class Trainer:
         return jax.device_put(state, self._state_sharding(state))
 
     def _put_batch(self, batch):
+        if self.multiprocess:
+            # batch holds THIS process's rows; the assembled arrays span
+            # every process's devices (parallel/multiprocess.py)
+            return tuple(
+                jax.make_array_from_process_local_data(self._bsh,
+                                                       np.asarray(a))
+                for a in batch)
         return tuple(jax.device_put(np.asarray(a), self._bsh) for a in batch)
+
+    def _put_valid(self, valid):
+        if self.multiprocess:
+            return jax.make_array_from_process_local_data(
+                self._bsh, np.asarray(valid))
+        return jax.device_put(np.asarray(valid), self._bsh)
 
     def train_epoch(self, state: TrainState, loader) -> Tuple[TrainState, float]:
         """Mirrors train_epoch (multimodal_driver.py:354-388): mean loss.
@@ -496,13 +521,12 @@ class Trainer:
                 else:
                     state, loss, mems = self._train_step_mems_masked(
                         state, self._put_batch(batch), mems,
-                        jax.device_put(np.asarray(valid), self._bsh))
+                        self._put_valid(valid))
             elif valid.all():
                 state, loss = self._train_step(state, self._put_batch(batch))
             else:
                 state, loss = self._train_step_masked(
-                    state, self._put_batch(batch),
-                    jax.device_put(np.asarray(valid), self._bsh))
+                    state, self._put_batch(batch), self._put_valid(valid))
             losses.append(loss)
             if step_callback is not None:
                 step_callback(state, bi)
@@ -527,10 +551,10 @@ class Trainer:
                     mems = self._init_mems(batch)
                 s, c, mems = self._eval_step_mems(
                     state, self._put_batch(batch),
-                    jax.device_put(valid, self._bsh), mems)
+                    self._put_valid(valid), mems)
             else:
                 s, c = self._eval_step(state, self._put_batch(batch),
-                                       jax.device_put(valid, self._bsh))
+                                       self._put_valid(valid))
             sums.append((s, c))
         if not sums:
             return 0.0
@@ -551,6 +575,16 @@ class Trainer:
                     state, self._put_batch(batch), mems)
             else:
                 p, l = self._predict_step(state, self._put_batch(batch))
+            if self.multiprocess:
+                # predictions are batch-sharded across processes; gather
+                # the full batch (and every process's valid rows) so all
+                # processes score the complete split identically
+                from jax.experimental import multihost_utils
+
+                p = multihost_utils.process_allgather(p, tiled=True)
+                l = multihost_utils.process_allgather(l, tiled=True)
+                valid = multihost_utils.process_allgather(
+                    np.asarray(valid), tiled=True)
             p = np.asarray(jax.device_get(p))[valid]
             l = np.asarray(jax.device_get(l))[valid]
             preds.append(p)
