@@ -376,18 +376,11 @@ def main(argv=None) -> int:
             print("error: --mem_len runs on the data-parallel trainer "
                   "(mems shard over the batch axis)", file=sys.stderr)
             return 2
-        if args.gradient_accumulation_step != 1:
-            print("error: --mem_len does not compose with "
-                  "--gradient_accumulation_step > 1 (memory is carried "
-                  "per optimizer step)", file=sys.stderr)
-            return 2
-        if args.predict_only:
-            print("error: --mem_len does not compose with "
-                  "--predict_only (the serving Predictor scores without "
-                  "segment recurrence; scoring a mems-trained model "
-                  "without memory would silently change its metrics)",
-                  file=sys.stderr)
-            return 2
+        # --gradient_accumulation_step composes: the micro-batches scan
+        # as sequential segments with the memory chained through the
+        # scan (the reference's use_cache chain, xlnet.py:363-365).
+        # --predict_only composes: Predictor(mem_len=N) threads the
+        # memory through batch-ordered inference (serving.py).
     use_pp = args.pipeline_parallel > 1
     if use_pp and args.compiler_options:
         print("error: --compiler_options applies to the Trainer's jitted "
@@ -640,7 +633,8 @@ def main(argv=None) -> int:
         predictor = Predictor(
             model, _params, batch_size=args.test_batch_size,
             wire_dtype=(getattr(_jnp, args.wire_dtype)
-                        if args.wire_dtype else None))
+                        if args.wire_dtype else None),
+            mem_len=args.mem_len or None)
         data = load_pickle_splits(pickle_path)
         test_split = convert_to_features(
             data["test"], args.max_seq_length, tokenizer, family)

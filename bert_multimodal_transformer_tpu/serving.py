@@ -51,11 +51,16 @@ class Predictor:
     batch n's predictions overlaps the request transfer with the chip's
     compute instead of paying transfer + compute serially. 0 restores
     the strictly-serial loop.
+
+    ``mem_len`` (XLNet only): score a segment-recurrence-trained model
+    the way it was trained — Transformer-XL memory initialized to zeros
+    and threaded through the batch stream in order. The memory chain is
+    device-side, so prefetch still pipelines the host transfers.
     """
 
     def __init__(self, model: Any, params: Any, mesh=None,
                  batch_size: int = 128, wire_dtype: Any = None,
-                 prefetch: int = 2):
+                 prefetch: int = 2, mem_len: Optional[int] = None):
         # num_labels==1 → regression logits [B] (MSE head); >1 → the
         # reference's CrossEntropy branch (bert.py:313-322), logits [B, C]
         self.num_labels = getattr(getattr(model, "config", None),
@@ -65,10 +70,16 @@ class Predictor:
         self.batch_size = batch_size
         self.wire_dtype = wire_dtype
         self.prefetch = prefetch
+        self.mem_len = mem_len
         self._bsh = batch_sharding(self.mesh)
         self._rep = replicated(self.mesh)
         self.params = jax.device_put(params, self._rep)
         num_labels = self.num_labels
+
+        def _shape_out(logits):
+            if num_labels == 1:
+                return logits.reshape(-1)
+            return logits.reshape(-1, num_labels)
 
         def forward(p, input_ids, visual, acoustic, input_mask,
                     segment_ids):
@@ -76,15 +87,52 @@ class Predictor:
                 {"params": p}, input_ids, visual, acoustic,
                 attention_mask=input_mask, token_type_ids=segment_ids,
                 deterministic=True)
-            if num_labels == 1:
-                return logits.reshape(-1)
-            return logits.reshape(-1, num_labels)
+            return _shape_out(logits)
 
         self._forward = jax.jit(
             forward,
             in_shardings=(self._rep,) + (self._bsh,) * 5,
             out_shardings=self._bsh,
         )
+
+        if mem_len is not None:
+            # XLNet segment recurrence at inference: a mems-trained
+            # model is scored the way it was trained — the memory
+            # threads through the batch stream IN ORDER (reference
+            # use_cache chain, xlnet.py:363-365; Trainer.test_epoch's
+            # mems path is the training-side twin).
+            cfg = getattr(model, "config", None)
+            if getattr(cfg, "mem_len", None) != mem_len:
+                raise ValueError(
+                    f"Predictor(mem_len={mem_len}) needs the model "
+                    f"built with config.mem_len={mem_len} (got "
+                    f"{getattr(cfg, 'mem_len', None)})")
+            msh = jax.tree_util.tree_map(
+                lambda _: self._bsh, tuple(range(cfg.n_layer)))
+
+            def forward_mems(p, input_ids, visual, acoustic, input_mask,
+                             segment_ids, mems):
+                out = model.apply(
+                    {"params": p}, input_ids, visual, acoustic,
+                    attention_mask=input_mask, token_type_ids=segment_ids,
+                    mems=mems, use_cache=True, deterministic=True)
+                return _shape_out(out[0]), out[1]
+
+            self._forward_mems = jax.jit(
+                forward_mems,
+                in_shardings=(self._rep,) + (self._bsh,) * 5 + (msh,),
+                out_shardings=(self._bsh, msh),
+                donate_argnums=(6,),
+            )
+
+    def _init_mems(self):
+        cfg = self.model.config
+        dt = getattr(self.model, "dtype", jnp.float32)
+        zeros = tuple(
+            jnp.zeros((self.batch_size, self.mem_len, cfg.d_model), dt)
+            for _ in range(cfg.n_layer))
+        return jax.device_put(zeros, jax.tree_util.tree_map(
+            lambda _: self._bsh, zeros))
 
     @classmethod
     def from_checkpoint(cls, model: Any, checkpoint_dir: str,
@@ -115,18 +163,24 @@ class Predictor:
                            drop_remainder=False)
         preds = []
         pending = deque()  # (async out array, valid mask) in order
+        mems = self._init_mems() if self.mem_len is not None else None
         for batch, valid in it:
             ids, vis, ac, mask, segs, _ = batch
             if self.wire_dtype is not None:
                 vis = vis.astype(self.wire_dtype)
                 ac = ac.astype(self.wire_dtype)
-            out = self._forward(
-                self.params,
-                jax.device_put(ids, self._bsh),
-                jax.device_put(vis, self._bsh),
-                jax.device_put(ac, self._bsh),
-                jax.device_put(mask, self._bsh),
-                jax.device_put(segs, self._bsh))
+            args = (self.params,
+                    jax.device_put(ids, self._bsh),
+                    jax.device_put(vis, self._bsh),
+                    jax.device_put(ac, self._bsh),
+                    jax.device_put(mask, self._bsh),
+                    jax.device_put(segs, self._bsh))
+            if mems is not None:
+                # the memory chain is device-side, so prefetch still
+                # overlaps host transfers with the chip's compute
+                out, mems = self._forward_mems(*args, mems)
+            else:
+                out = self._forward(*args)
             pending.append((out, valid))
             # keep at most `prefetch` batches in flight while draining —
             # the younger batches' transfers/compute overlap this fetch's

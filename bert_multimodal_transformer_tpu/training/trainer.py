@@ -191,7 +191,15 @@ def predict_step(state: TrainState, batch: Tuple):
 # not flow into mems (the model stop_gradients its cache), exactly the
 # torch semantics.
 
-def make_mems_train_step(masked: bool):
+def make_mems_train_step(masked: bool, grad_accum: int = 1):
+    """``grad_accum > 1``: the loader batch's [A·B, ...] rows scan as A
+    sequential micro-batches of B rows, and the memory chains THROUGH
+    the scan — micro-batch i consumes micro-batch i−1's cache, exactly
+    the reference's use_cache chain (xlnet.py:363-365) — while the
+    gradients accumulate against the step's (constant) params. The
+    returned memory is the last micro-batch's, so the chain continues
+    seamlessly into the next optimizer step."""
+
     def loss_fn(params, apply_fn, batch, rng, valid, mems):
         logits, labels, new_mems = _forward(apply_fn, params, batch, rng,
                                             deterministic=False, mems=mems)
@@ -206,13 +214,42 @@ def make_mems_train_step(masked: bool):
         if masked:
             valid = valid.astype(jnp.float32)
         rng, new_rng = jax.random.split(state.rng)
-        (loss, new_mems), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.apply_fn, batch,
-                                   rng, valid, mems)
+        if grad_accum == 1:
+            (loss, new_mems), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.apply_fn,
+                                       batch, rng, valid, mems)
+        else:
+            micro_batches = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
+                                    + x.shape[1:]),
+                batch)
+            micro_rngs = jax.random.split(rng, grad_accum)
+            xs = (micro_batches, micro_rngs)
+            if masked:
+                xs = xs + (valid.reshape(grad_accum, -1),)
+
+            def scan_body(carry, inp):
+                acc_grads, acc_loss, m = carry
+                micro, mrng = inp[0], inp[1]
+                mvalid = inp[2] if masked else None
+                (loss, new_m), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, state.apply_fn,
+                                           micro, mrng, mvalid, m)
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads,
+                                                   grads)
+                return (acc_grads, acc_loss + loss, new_m), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like,
+                                                state.params)
+            (grads, loss, new_mems), _ = jax.lax.scan(
+                scan_body, (zero_grads, jnp.zeros(()), mems), xs)
         if masked:
             n = jnp.maximum(jnp.sum(valid), 1.0)
             grads = jax.tree_util.tree_map(lambda g: g / n, grads)
             loss = loss / n
+        elif grad_accum > 1:
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
+            loss = loss / grad_accum
         updates, new_opt_state = state.tx.update(
             grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -376,10 +413,6 @@ class Trainer:
                     f"built with config.mem_len={self.mem_len} (got "
                     f"{getattr(cfg, 'mem_len', None)}) — the model's "
                     "cache_mem truncation reads its own config")
-            if self.grad_accum != 1:
-                raise ValueError(
-                    "mem_len does not compose with grad_accum > 1 "
-                    "(memory is carried per optimizer step)")
             if self._tp or self.fsdp:
                 raise ValueError(
                     "mem_len supports the data-parallel trainer "
@@ -388,7 +421,8 @@ class Trainer:
             msh = None if not explicit else jax.tree_util.tree_map(
                 lambda _: self._bsh, tuple(range(cfg.n_layer)))
             self._train_step_mems = _jit(
-                make_mems_train_step(masked=False),
+                make_mems_train_step(masked=False,
+                                     grad_accum=self.grad_accum),
                 in_shardings=((self._rep, self._bsh, msh)
                               if explicit else None),
                 out_shardings=((self._rep, self._rep, msh)
@@ -396,7 +430,8 @@ class Trainer:
                 donate_argnums=(0, 2) if self.donate else (),
             )
             self._train_step_mems_masked = _jit(
-                make_mems_train_step(masked=True),
+                make_mems_train_step(masked=True,
+                                     grad_accum=self.grad_accum),
                 in_shardings=((self._rep, self._bsh, msh, self._bsh)
                               if explicit else None),
                 out_shardings=((self._rep, self._rep, msh)
@@ -420,11 +455,16 @@ class Trainer:
                 donate_argnums=(2,) if self.donate else (),
             )
 
-    def _init_mems(self, batch):
+    def _init_mems(self, batch, *, for_train: bool = False):
         """Fixed-shape zero memory for a new epoch/split: n_layer ×
-        [B, mem_len, d_model] at the model dtype, placed batch-sharded."""
+        [B, mem_len, d_model] at the model dtype, placed batch-sharded.
+        With grad accumulation a TRAIN loader batch holds A·B rows that
+        scan as A sequential B-row segments, so the carried memory is
+        B rows (eval/predict loaders are un-accumulated)."""
         cfg = self.model.config
         b = np.asarray(batch[0]).shape[0]
+        if for_train:
+            b //= self.grad_accum
         dt = getattr(self.model, "dtype", jnp.float32)
         zeros = tuple(
             jnp.zeros((b, self.mem_len, cfg.d_model), dt)
@@ -514,7 +554,7 @@ class Trainer:
                 continue
             if self.mem_len is not None:
                 if mems is None:
-                    mems = self._init_mems(batch)
+                    mems = self._init_mems(batch, for_train=True)
                 if valid.all():
                     state, loss, mems = self._train_step_mems(
                         state, self._put_batch(batch), mems)
