@@ -196,6 +196,60 @@ class Predictor:
             return np.empty(shape, np.float32)
         return np.concatenate(preds)
 
+    def submit(self, input_ids, visual, acoustic, input_mask,
+               segment_ids):
+        """Dispatch one independent request WITHOUT syncing: host cast
+        (wire_dtype), device transfer and jitted forward are enqueued
+        asynchronously; the returned handle is the device array. Pair
+        with :meth:`fetch`. Not for mems predictors (a memory chain
+        makes requests order-dependent — use predict_split)."""
+        if self.mem_len is not None:
+            raise ValueError(
+                "submit/fetch serve independent requests; a mems "
+                "predictor's memory chain makes batches order-dependent "
+                "— use predict_split")
+        vis, ac = visual, acoustic
+        if self.wire_dtype is not None:
+            vis = np.asarray(vis).astype(self.wire_dtype)
+            ac = np.asarray(ac).astype(self.wire_dtype)
+        return self._forward(
+            self.params,
+            jax.device_put(input_ids, self._bsh),
+            jax.device_put(vis, self._bsh),
+            jax.device_put(ac, self._bsh),
+            jax.device_put(input_mask, self._bsh),
+            jax.device_put(segment_ids, self._bsh))
+
+    @staticmethod
+    def fetch(handle) -> np.ndarray:
+        """Block on one submitted request and return host predictions."""
+        return np.asarray(jax.device_get(handle))
+
+    def predict_requests(self, requests, in_flight: int = 2):
+        """Serve a stream of INDEPENDENT requests, keeping up to
+        ``in_flight`` dispatched ahead of the fetch point — request
+        N+1's payload transfer and forward overlap request N's fetch
+        instead of paying transfer + compute + fetch serially (on the
+        tunneled chip the round-trip dominates per-request latency, so
+        two-in-flight recovers most of the chained-throughput bound;
+        BENCHMARKS.md "Serving request concurrency").
+
+        ``requests`` yields (input_ids, visual, acoustic, input_mask,
+        segment_ids) tuples; predictions are yielded per request, in
+        order. ``in_flight=1`` degenerates to the synchronous loop.
+        """
+        from collections import deque
+
+        if in_flight < 1:
+            raise ValueError(f"in_flight must be >= 1, got {in_flight}")
+        pending = deque()
+        for req in requests:
+            pending.append(self.submit(*req))
+            while len(pending) >= in_flight:
+                yield self.fetch(pending.popleft())
+        while pending:
+            yield self.fetch(pending.popleft())
+
     def predict_classes(self, split: PackedSplit) -> np.ndarray:
         """Argmax class ids for a num_labels>1 head."""
         if self.num_labels == 1:

@@ -150,3 +150,30 @@ def test_predictor_wire_dtype_bf16_lossless_for_bf16_model():
                     wire_dtype=jnp.bfloat16)
     np.testing.assert_array_equal(p32.predict_split(split),
                                   pbf.predict_split(split))
+
+
+def test_predict_requests_orders_and_overlaps():
+    """submit/fetch + predict_requests: independent request batches come
+    back in order and equal the synchronous forward at every in_flight
+    depth; mems predictors reject the API (order-dependent chain)."""
+    import pytest
+
+    model, params, split = setup_model_and_split()
+    mesh = make_mesh(MeshConfig(data_parallel=1))
+    pred = Predictor(model, params, mesh=mesh, batch_size=4)
+    reqs = [tuple(a[i:i + 4] for a in split.as_tuple()[:5])
+            for i in range(0, 8, 4)]
+    want = [np.asarray(jax.device_get(pred._forward(
+        pred.params, *[jax.device_put(x, pred._bsh) for x in r])))
+        for r in reqs]
+    for in_flight in (1, 2, 4):
+        got = list(pred.predict_requests(iter(reqs), in_flight=in_flight))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, rtol=1e-6, atol=1e-7)
+    # handle API directly
+    h = pred.submit(*reqs[0])
+    np.testing.assert_allclose(Predictor.fetch(h), want[0], rtol=1e-6,
+                               atol=1e-7)
+    with pytest.raises(ValueError, match="in_flight"):
+        list(pred.predict_requests(iter(reqs), in_flight=0))

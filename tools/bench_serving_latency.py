@@ -147,6 +147,43 @@ def main():
         }))
         return
 
+    # LAT_MODE=requests: independent-request throughput through
+    # Predictor.predict_requests, A/B'ing in_flight=1 (synchronous
+    # request loop — the per-request latency mode below) vs 2/4
+    # (request N+1's transfer+forward overlap request N's fetch). The
+    # gap toward bench.py's chained-throughput bound is the tunnel
+    # round-trip recovered by concurrency.
+    if os.environ.get("LAT_MODE") == "requests":
+        n_req = int(os.environ.get("LAT_REQUESTS", "50"))
+        batch = batches[0]
+        pred = Predictor(model, params, batch_size=batch, wire_dtype=wdt)
+        reqs = [host_inputs(batch) for _ in range(8)]
+        rows = []
+        for in_flight in (1, 2, 4):
+            list(pred.predict_requests(iter(reqs), in_flight=in_flight))
+            t0 = time.perf_counter()
+            got = 0
+            for out in pred.predict_requests(
+                    (reqs[i % len(reqs)] for i in range(n_req)),
+                    in_flight=in_flight):
+                got += out.shape[0]
+            dt = time.perf_counter() - t0
+            assert got == n_req * batch
+            rows.append({"in_flight": in_flight,
+                         "req_per_s": round(n_req / dt, 2),
+                         "ex_per_s": round(got / dt, 1),
+                         "mean_ms": round(dt / n_req * 1e3, 2)})
+            print(f"requests b{batch} in_flight={in_flight}: "
+                  f"{dt / n_req * 1e3:7.2f} ms/req  "
+                  f"{got / dt:8.1f} ex/s", flush=True)
+        print(json.dumps({
+            "metric": f"serving request concurrency ({family}, b{batch}, "
+                      f"seq {seq}, {attn}"
+                      + (f", {wire} wire" if wire else "") + ")",
+            "rows": rows,
+        }))
+        return
+
     results = []
     for batch in batches:
         pred = Predictor(model, params, batch_size=batch)

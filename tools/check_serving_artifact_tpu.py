@@ -1,0 +1,207 @@
+"""Execute an exported serving artifact ON THE TPU and prove parity.
+
+VERDICT r4 weak #2: the StableHLO serving artifact (serving.py
+export_forward/save_artifact/load_artifact) was lowered for cpu AND tpu
+but only ever EXECUTED on CPU (tests/test_serving_export.py). Given this
+repo's record of hardware-only surprises, "portable by construction" is
+a claim until the tpu-lowered module actually runs on the chip. This
+tool turns it into a measurement:
+
+1. restores trained params from CKPT_DIR (a driver run's Orbax
+   checkpoint; falls back to a seeded init when unset),
+2. exports the portable (einsum-path) artifact, loads it back, executes
+   it on the TPU at ART_BATCHES sizes — timing each with a value-fetch
+   sync — and asserts parity against live model.apply of the same
+   einsum-clone on the same chip,
+3. re-executes the SAME artifact file on CPU in a subprocess
+   (JAX_PLATFORMS=cpu forced both ways) and checks cross-platform
+   agreement (bf16-compute model => loose tolerance),
+4. exports a keep_attention_impl=True (fused Pallas kernel,
+   tpu_custom_call) TPU-only artifact, loads and flies it once, and
+   asserts parity against the live fused forward.
+
+Env: CKPT_DIR, ART_BATCHES="1,32,128", ART_SEQ=50, ART_DIR=/tmp.
+Run on the real TPU: python tools/check_serving_artifact_tpu.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _inputs(batch, seq, dv, da, vocab, seed=0):
+    r = np.random.RandomState(seed)
+    return (r.randint(0, vocab, (batch, seq)).astype(np.int32),
+            r.randn(batch, seq, dv).astype(np.float32),
+            r.randn(batch, seq, da).astype(np.float32),
+            np.ones((batch, seq), np.int32),
+            np.zeros((batch, seq), np.int32))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from bert_multimodal_transformer_tpu import serving
+    from bert_multimodal_transformer_tpu.config import (
+        BertConfig,
+        DatasetConfig,
+        MultimodalConfig,
+    )
+    from bert_multimodal_transformer_tpu.models.bert import (
+        MagBertForSequenceClassification,
+    )
+
+    seq = int(os.environ.get("ART_SEQ", "50"))
+    batches = [int(b) for b in
+               os.environ.get("ART_BATCHES", "1,32,128").split(",")]
+    art_dir = os.environ.get("ART_DIR", "/tmp")
+    ds = DatasetConfig.mosi()
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.5)
+
+    ckpt_dir = os.environ.get("CKPT_DIR")
+    if ckpt_dir:
+        from bert_multimodal_transformer_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+
+        params = CheckpointManager(ckpt_dir).restore_params()
+        if params is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        params = jax.device_get(params)
+        vocab = params["bert"]["embeddings"]["word_embeddings"][
+            "embedding"].shape[0]
+        print(f"params: trained checkpoint {ckpt_dir} (vocab {vocab})")
+    else:
+        vocab = 128
+        print("params: seeded init (no CKPT_DIR)")
+
+    cfg = dataclasses.replace(BertConfig.bert_base_uncased(),
+                              vocab_size=vocab, attention_impl="fused")
+    model = MagBertForSequenceClassification(
+        cfg, mm, visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
+        dtype=jnp.bfloat16)
+    if not ckpt_dir:
+        i = _inputs(2, seq, ds.visual_dim, ds.acoustic_dim, vocab)
+        params = model.init(jax.random.PRNGKey(0), i[0], i[1], i[2],
+                            attention_mask=i[3], token_type_ids=i[4],
+                            deterministic=True)["params"]
+
+    summary = {"checks": []}
+
+    # ---- portable (einsum) artifact: export, load, fly on TPU ----------
+    art = os.path.join(art_dir, "r5b_portable.stablehlo")
+    exported = serving.export_forward(
+        model, params, seq_len=seq, visual_dim=ds.visual_dim,
+        acoustic_dim=ds.acoustic_dim, platforms=("tpu", "cpu"))
+    serving.save_artifact(art, exported, meta={"tool": "r5b"})
+    serve = serving.load_artifact(art)
+    print(f"portable artifact: {os.path.getsize(art) / 1e6:.1f} MB")
+
+    ecfg = dataclasses.replace(cfg, attention_impl="einsum")
+    emodel = MagBertForSequenceClassification(
+        ecfg, mm, visual_dim=ds.visual_dim, acoustic_dim=ds.acoustic_dim,
+        dtype=jnp.bfloat16)
+    live = jax.jit(lambda *a: emodel.apply(
+        {"params": params}, *a[:3], attention_mask=a[3],
+        token_type_ids=a[4], deterministic=True))
+
+    rows = []
+    for b in batches:
+        inp = _inputs(b, seq, ds.visual_dim, ds.acoustic_dim, vocab,
+                      seed=b)
+        got = np.asarray(jax.device_get(serve(*inp))).reshape(-1)
+        want = np.asarray(jax.device_get(live(*inp))).reshape(-1)
+        err = float(np.max(np.abs(got - want)))
+        assert err <= 1e-4, (b, err)
+        for _ in range(3):
+            np.asarray(jax.device_get(serve(*inp)))
+        t0 = time.perf_counter()
+        n = 10
+        for _ in range(n):
+            np.asarray(jax.device_get(serve(*inp)))
+        dt = (time.perf_counter() - t0) / n
+        rows.append({"batch": b, "ms": round(dt * 1e3, 2),
+                     "ex_per_s": round(b / dt, 1),
+                     "max_err_vs_live": err})
+        print(f"TPU artifact b{b:<4d}: {dt * 1e3:7.2f} ms  "
+              f"{b / dt:8.1f} ex/s  max|Δ| vs live einsum {err:.2e}",
+              flush=True)
+    summary["checks"].append({"portable_tpu": rows})
+
+    # ---- the SAME artifact file on CPU (cross-platform agreement) ------
+    b = batches[len(batches) // 2]
+    inp = _inputs(b, seq, ds.visual_dim, ds.acoustic_dim, vocab, seed=b)
+    npz = os.path.join(art_dir, "r5b_cpu_preds.npz")
+    np.savez(os.path.join(art_dir, "r5b_inputs.npz"),
+             **{f"a{i}": a for i, a in enumerate(inp)})
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu'; "
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import numpy as np, sys; sys.path.insert(0, %r); "
+        "from bert_multimodal_transformer_tpu import serving; "
+        "d = np.load(%r); inp = [d[f'a{i}'] for i in range(5)]; "
+        "s = serving.load_artifact(%r); "
+        "np.savez(%r, p=np.asarray(jax.device_get(s(*inp)))); "
+        "print('CPU EXEC OK')"
+        % (REPO, os.path.join(art_dir, "r5b_inputs.npz"), art, npz))
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    cpu_p = np.load(npz)["p"].reshape(-1)
+    tpu_p = np.asarray(jax.device_get(serve(*inp))).reshape(-1)
+    xerr = float(np.max(np.abs(cpu_p - tpu_p)))
+    denom = float(np.max(np.abs(cpu_p)) + 1e-9)
+    print(f"cross-platform b{b}: max|Δ| {xerr:.2e} (rel "
+          f"{xerr / denom:.2e}; bf16-compute model, different backends)")
+    # bf16 matmul rounding differs across backends; the artifact's value
+    # is one program running anywhere, not bit-equality across chips
+    assert xerr / denom <= 5e-2, (xerr, denom)
+    summary["checks"].append({"cross_platform_b": b, "max_abs": xerr,
+                              "max_rel": xerr / denom})
+
+    # ---- keep_attention_impl=True: the fused-kernel TPU-only artifact --
+    if os.environ.get("ART_SKIP_FUSED"):
+        # off-TPU smoke mode: a tpu-only artifact cannot execute here
+        print("SERVING ARTIFACT ON TPU: ALL OK (fused stage skipped)")
+        print(json.dumps(summary))
+        return
+    fart = os.path.join(art_dir, "r5b_fused.stablehlo")
+    fexported = serving.export_forward(
+        model, params, seq_len=seq, visual_dim=ds.visual_dim,
+        acoustic_dim=ds.acoustic_dim, platforms=("tpu",),
+        keep_attention_impl=True)
+    serving.save_artifact(fart, fexported, meta={"tool": "r5b-fused"})
+    fserve = serving.load_artifact(fart)
+    flive = jax.jit(lambda *a: model.apply(
+        {"params": params}, *a[:3], attention_mask=a[3],
+        token_type_ids=a[4], deterministic=True))
+    b = 32
+    inp = _inputs(b, seq, ds.visual_dim, ds.acoustic_dim, vocab, seed=7)
+    got = np.asarray(jax.device_get(fserve(*inp))).reshape(-1)
+    want = np.asarray(jax.device_get(flive(*inp))).reshape(-1)
+    ferr = float(np.max(np.abs(got - want)))
+    print(f"fused (tpu_custom_call) artifact b{b}: max|Δ| vs live fused "
+          f"{ferr:.2e}")
+    assert ferr <= 1e-4, ferr
+    summary["checks"].append({"fused_artifact_b": b, "max_err": ferr})
+
+    print("SERVING ARTIFACT ON TPU: ALL OK")
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
