@@ -388,10 +388,16 @@ def main(argv=None) -> int:
               "program and would silently ignore it", file=sys.stderr)
         return 2
     if use_pp:
-        if args.model_parallel > 1 or args.tp_shard_attention:
+        if args.tp_shard_attention:
             print("error: --pipeline_parallel does not compose with "
-                  "--model_parallel/--tp_shard_attention (one 2-D mesh "
-                  "per run)", file=sys.stderr)
+                  "--tp_shard_attention (attention stays replicated "
+                  "inside pipeline stages; --model_parallel gives the "
+                  "Megatron FFN split)", file=sys.stderr)
+            return 2
+        if args.model_parallel > 1 and not args.model.startswith("bert"):
+            print("error: --pipeline_parallel x --model_parallel "
+                  "(PPxTP) is implemented for the BERT family "
+                  "(parallel/pp.py::_TPBertLayer)", file=sys.stderr)
             return 2
         if args.fsdp:
             print("error: --fsdp does not compose with "
@@ -408,13 +414,15 @@ def main(argv=None) -> int:
         )
 
         n_dev = len(jax.devices())
-        if n_dev % args.pipeline_parallel != 0:
+        mp = max(1, args.model_parallel)
+        if n_dev % (args.pipeline_parallel * mp) != 0:
             print(f"error: --pipeline_parallel {args.pipeline_parallel} "
-                  f"does not divide the {n_dev} devices",
-                  file=sys.stderr)
+                  f"x --model_parallel {mp} does not divide the "
+                  f"{n_dev} devices", file=sys.stderr)
             return 2
-        mesh = make_pp_mesh(args.pipeline_parallel,
-                            data_parallel=n_dev // args.pipeline_parallel)
+        mesh = make_pp_mesh(
+            args.pipeline_parallel, model_parallel=mp,
+            data_parallel=n_dev // (args.pipeline_parallel * mp))
     else:
         try:
             mesh = make_mesh(MeshConfig(data_parallel=-1,

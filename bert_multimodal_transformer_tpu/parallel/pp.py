@@ -54,6 +54,7 @@ match the plain Trainer to fp32 tolerance on the virtual 8-device mesh.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -67,7 +68,11 @@ from bert_multimodal_transformer_tpu.models.bert import (
     BertEmbeddings,
     BertLayer,
     BertPooler,
+    BertSelfAttention,
+    LayerNorm,
 )
+from bert_multimodal_transformer_tpu.ops.activations import ACT2FN
+from bert_multimodal_transformer_tpu.parallel.mesh import MODEL_AXIS
 from bert_multimodal_transformer_tpu.models.mag import MAG
 from bert_multimodal_transformer_tpu.ops.attention import (
     extended_attention_mask,
@@ -84,17 +89,131 @@ PIPE_AXIS = "pipe"
 
 
 def make_pp_mesh(n_stages: int, data_parallel: int = 1,
-                 devices=None) -> Mesh:
-    """(data, pipe) mesh. The pipe axis is minor-most so consecutive
-    stages land on ICI-adjacent devices (activations hop one link)."""
+                 devices=None, model_parallel: int = 1) -> Mesh:
+    """(data, pipe[, model]) mesh. The pipe axis sits outside the model
+    axis so a stage's TP group is ICI-adjacent (the per-layer FFN psums
+    ride one hop) and consecutive stages are contiguous blocks
+    (activations hop between neighbouring groups)."""
     devices = list(devices if devices is not None else jax.devices())
-    need = n_stages * data_parallel
+    need = n_stages * data_parallel * model_parallel
     if need > len(devices):
         raise ValueError(
-            f"pp mesh {data_parallel}x{n_stages} needs {need} devices, "
-            f"have {len(devices)}")
+            f"pp mesh {data_parallel}x{n_stages}x{model_parallel} needs "
+            f"{need} devices, have {len(devices)}")
+    if model_parallel > 1:
+        arr = np.asarray(devices[:need]).reshape(
+            data_parallel, n_stages, model_parallel)
+        return Mesh(arr, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
     arr = np.asarray(devices[:need]).reshape(data_parallel, n_stages)
     return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
+
+
+# ---- Megatron f/g region boundaries (explicit VJPs) -----------------------
+#
+# Inside shard_map the FFN's tensor-parallel region needs exactly two
+# collectives per layer (Megatron-LM's f/g operators):
+#   f — identity forward, psum backward: entering the split region, each
+#       model rank back-propagates only its kernel shard's partial
+#       cotangent; f rebuilds the full cotangent so everything BEHIND
+#       the region (attention, LayerNorms, earlier layers) receives
+#       identical, complete gradients on every model rank.
+#   g — psum forward, identity backward: leaving the split region, the
+#       row-parallel partial products sum to the full activation; the
+#       downstream cotangent is replicated across ranks, so the
+#       backward is the identity (a psum transpose here would
+#       overcount by the axis size).
+# Explicit custom_vjp rather than relying on shard_map's psum
+# transposition so the pairing is self-evident and backend-independent.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tp_f(x, axis_name: str):
+    return x
+
+
+def _tp_f_fwd(x, axis_name):
+    return x, None
+
+
+def _tp_f_bwd(axis_name, _, ct):
+    return (jax.lax.psum(ct, axis_name),)
+
+
+_tp_f.defvjp(_tp_f_fwd, _tp_f_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tp_g(x, axis_name: str):
+    return jax.lax.psum(x, axis_name)
+
+
+def _tp_g_fwd(x, axis_name):
+    return jax.lax.psum(x, axis_name), None
+
+
+def _tp_g_bwd(axis_name, _, ct):
+    return (ct,)
+
+
+_tp_g.defvjp(_tp_g_fwd, _tp_g_bwd)
+
+
+class _RowParallelOut(nn.Module):
+    """The FFN's second (row-parallel) matmul: local [F/mp, D] kernel
+    shard → partial product → psum over the model axis (g) → the FULL
+    bias added once post-psum. Param names match BertLayer's
+    ``output_dense`` so the stacked tree stays interchangeable."""
+
+    features: int
+    dtype: Any
+    kernel_init: Any
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (jnp.shape(x)[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jnp.matmul(x, kernel.astype(self.dtype))
+        y = _tp_g(y, MODEL_AXIS)
+        return y + bias.astype(self.dtype)
+
+
+class _TPBertLayer(nn.Module):
+    """BertLayer with the FFN Megatron-split over the mesh model axis
+    (mirrors models/bert.py::BertLayer math exactly; parallel/tp.py's
+    GSPMD formulation of the same sharding, re-expressed with explicit
+    collectives because shard_map bodies are per-device). Attention,
+    LayerNorms and the output bias stay replicated; the f/g boundaries
+    keep every replicated gradient full and identical on all model
+    ranks, so no extra cross-model grad psums are needed."""
+
+    config: Any
+    dtype: Any = jnp.float32
+    mp: int = 1
+
+    @nn.compact
+    def __call__(self, hidden: jax.Array, attn_bias, head_mask=None,
+                 attention_mask_2d=None, deterministic: bool = True,
+                 output_attentions: bool = False):
+        cfg = self.config
+        if output_attentions:
+            raise ValueError("output_attentions unsupported under PPxTP")
+        init = nn.initializers.normal(stddev=cfg.initializer_range)
+        attn_out = BertSelfAttention(cfg, self.dtype, name="attention")(
+            hidden, attn_bias, head_mask, attention_mask_2d,
+            deterministic=deterministic)
+        x = _tp_f(attn_out, MODEL_AXIS)
+        # column-parallel: features attr is the LOCAL width, matching
+        # the [D, F/mp] kernel shard this rank holds
+        x = nn.Dense(cfg.intermediate_size // self.mp, dtype=self.dtype,
+                     kernel_init=init, name="intermediate_dense")(x)
+        x = ACT2FN[cfg.hidden_act](x)
+        x = _RowParallelOut(cfg.hidden_size, self.dtype, init,
+                            name="output_dense")(x)
+        x = nn.Dropout(rate=cfg.hidden_dropout_prob)(
+            x, deterministic=deterministic)
+        return LayerNorm(epsilon=cfg.layer_norm_eps,
+                         name="output_LayerNorm")(x + attn_out)
 
 
 class _Prologue(nn.Module):
@@ -192,21 +311,36 @@ def _under_layers(path) -> bool:
     return any(_key_name(k) == "layers" for k in path)
 
 
-def _state_spec_tree(state: TrainState):
+def _state_spec_tree(state: TrainState, mp: int = 1):
     """PartitionSpec pytree for a pp TrainState: stacked-layer leaves
     (params and their optimizer moments) are sharded over the pipe axis
-    on their stacking dim; everything else is replicated."""
+    on their stacking dim; everything else is replicated. With a model
+    axis (``mp > 1``) the FFN leaves are additionally Megatron-sharded
+    (parallel/tp.py's rules, on the stacked [L, ...] layout): the
+    column-parallel ``intermediate_dense`` on its LAST dim, the
+    row-parallel ``output_dense`` kernel on its CONTRACTION dim; the
+    output bias and everything attention-side stay replicated over
+    model (added once post-psum / computed redundantly)."""
     def spec(path, leaf):
-        if _under_layers(path) and getattr(leaf, "ndim", 0) >= 1:
-            return P(PIPE_AXIS)
-        return P()
+        if not (_under_layers(path) and getattr(leaf, "ndim", 0) >= 1):
+            return P()
+        if mp > 1:
+            names = [_key_name(k) for k in path]
+            if "attention" not in names:
+                if "intermediate_dense" in names:
+                    return (P(PIPE_AXIS, None, MODEL_AXIS)
+                            if leaf.ndim == 3 else P(PIPE_AXIS, MODEL_AXIS))
+                if "output_dense" in names and leaf.ndim == 3:
+                    return P(PIPE_AXIS, MODEL_AXIS, None)
+        return P(PIPE_AXIS)
 
     return jax.tree_util.tree_map_with_path(spec, state)
 
 
 def state_shardings(state: TrainState, mesh: Mesh):
+    mp = mesh.shape.get(MODEL_AXIS, 1)
     return jax.tree_util.tree_map(
-        lambda s: NamedSharding(mesh, s), _state_spec_tree(state),
+        lambda s: NamedSharding(mesh, s), _state_spec_tree(state, mp),
         is_leaf=lambda x: isinstance(x, P))
 
 
@@ -258,6 +392,7 @@ class PipelineTrainer(Trainer):
                 "pipeline owns its stage-sharded state layout)")
         self._n_stages = self.mesh.shape[PIPE_AXIS]
         self._dp = self.mesh.shape.get(DATA_AXIS, 1)
+        self._mp = self.mesh.shape.get(MODEL_AXIS, 1)
         if n_layers % self._n_stages != 0:
             raise ValueError(
                 f"layer count ({n_layers}) must divide "
@@ -289,7 +424,17 @@ class PipelineTrainer(Trainer):
         self._pro = _Prologue(cfg, self.model.multimodal_config,
                               self.model.visual_dim,
                               self.model.acoustic_dim, dt)
-        self._layer = BertLayer(cfg, dt)
+        if self._mp > 1:
+            # PPxTP: the stage's layer stack runs with the FFN
+            # Megatron-split over the mesh model axis
+            if cfg.intermediate_size % self._mp != 0:
+                raise ValueError(
+                    f"intermediate_size ({cfg.intermediate_size}) must "
+                    f"divide by the model axis ({self._mp}) for the "
+                    "Megatron FFN split")
+            self._layer = _TPBertLayer(cfg, dt, self._mp)
+        else:
+            self._layer = BertLayer(cfg, dt)
         self._epi = _Epilogue(cfg, dt)
 
     # family hooks: the GPipe schedule, shard_map steps and epoch drivers
@@ -502,7 +647,7 @@ class PipelineTrainer(Trainer):
                 opt_state=new_opt_state, rng=new_rng)
             return new_state, loss
 
-        state_spec = _state_spec_tree(state)
+        state_spec = _state_spec_tree(state, self._mp)
         batch_spec = tuple(P(DATA_AXIS) for _ in batch)
         mapped = shard_map(per_device_step, mesh=self.mesh,
                            in_specs=(state_spec, batch_spec),
@@ -548,7 +693,7 @@ class PipelineTrainer(Trainer):
                 opt_state=new_opt_state, rng=new_rng)
             return new_state, loss
 
-        state_spec = _state_spec_tree(state)
+        state_spec = _state_spec_tree(state, self._mp)
         batch_spec = tuple(P(DATA_AXIS) for _ in batch)
         mapped = shard_map(per_device_step, mesh=self.mesh,
                            in_specs=(state_spec, batch_spec, P(DATA_AXIS)),
@@ -579,7 +724,7 @@ class PipelineTrainer(Trainer):
                 c = jax.lax.psum(c, DATA_AXIS)
             return s, c
 
-        params_spec = _state_spec_tree(state).params
+        params_spec = _state_spec_tree(state, self._mp).params
         batch_spec = tuple(P(DATA_AXIS) for _ in batch)
         mapped = shard_map(per_device_eval, mesh=self.mesh,
                            in_specs=(params_spec, batch_spec,
@@ -595,7 +740,7 @@ class PipelineTrainer(Trainer):
             labels = batch[-1].reshape(-1).astype(jnp.float32)
             return logits, labels
 
-        params_spec = _state_spec_tree(state).params
+        params_spec = _state_spec_tree(state, self._mp).params
         batch_spec = tuple(P(DATA_AXIS) for _ in batch)
         mapped = shard_map(per_device_predict, mesh=self.mesh,
                            in_specs=(params_spec, batch_spec),

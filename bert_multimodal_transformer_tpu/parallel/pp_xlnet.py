@@ -133,6 +133,12 @@ class XLNetPipelineTrainer(PipelineTrainer):
     def __post_init__(self):
         cfg = self.model.config
         self._pp_common_setup(cfg.n_layer, cfg.d_model)
+        if self._mp > 1:
+            raise ValueError(
+                "PPxTP (a mesh model axis) is implemented for the BERT "
+                "pipeline (parallel/pp.py::_TPBertLayer); the XLNet "
+                "stage layer is not TP-split — running it on a model "
+                "axis would silently compute replicated FFNs")
         if cfg.attn_type != "bi":
             raise ValueError(
                 "the pipelined XLNet stage implements bi attention (the "

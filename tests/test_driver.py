@@ -296,17 +296,41 @@ def test_driver_pipeline_parallel(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["test_mae"])
 
-    # guards: no TP composition, no grad-accum double-counting
+    # guards: no head-sharded attention under PP, no grad-accum
+    # double-counting, no XLNet PPxTP (the TP stage layer is BERT-only)
     rc = driver.main(["--model", "bert-base-uncased", "--synthetic",
+                      "--tiny", "--pipeline_parallel", "2",
+                      "--model_parallel", "2", "--tp_shard_attention"])
+    assert rc == 2
+    assert "tp_shard_attention" in capsys.readouterr().err
+    rc = driver.main(["--model", "xlnet-base-cased", "--synthetic",
                       "--tiny", "--pipeline_parallel", "2",
                       "--model_parallel", "2"])
     assert rc == 2
-    assert "compose" in capsys.readouterr().err
+    assert "BERT" in capsys.readouterr().err
     rc = driver.main(["--model", "bert-base-uncased", "--synthetic",
                       "--tiny", "--pipeline_parallel", "2",
                       "--gradient_accumulation_step", "2"])
     assert rc == 2
     assert "--pp_microbatches" in capsys.readouterr().err
+
+
+def test_driver_pp_tp(tmp_path, capsys):
+    """PPxTP through the full CLI: --pipeline_parallel 2
+    --model_parallel 2 on the virtual 8-device mesh (2 stages x 2-way
+    Megatron FFN x 2-way data)."""
+    import json
+
+    rc = run_driver(tmp_path,
+                    extra=["--pipeline_parallel", "2",
+                           "--model_parallel", "2",
+                           "--pp_microbatches", "2",
+                           "--synthetic_sizes", "20", "8", "8"],
+                    epochs=1)
+    assert rc == 0
+    rec = json.loads((tmp_path / "ckpt" / "metrics.jsonl")
+                     .read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["test_mae"])
 
 
 def test_driver_pipeline_parallel_xlnet(tmp_path, capsys):

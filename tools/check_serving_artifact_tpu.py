@@ -82,8 +82,7 @@ def main():
         if params is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
         params = jax.device_get(params)
-        vocab = params["bert"]["embeddings"]["word_embeddings"][
-            "embedding"].shape[0]
+        vocab = params["bert"]["embeddings"]["word_embeddings"].shape[0]
         print(f"params: trained checkpoint {ckpt_dir} (vocab {vocab})")
     else:
         vocab = 128
