@@ -251,13 +251,13 @@ def main(argv=None) -> int:
         bad = [f for f, cond in (
             ("--pipeline_parallel", args.pipeline_parallel > 1),
             ("--model_parallel", args.model_parallel > 1),
-            ("--fsdp", args.fsdp),
             ("--mem_len", bool(args.mem_len)),
             ("--predict_only", args.predict_only),
         ) if cond]
         if bad:
             print("error: --num_processes > 1 runs the data-parallel "
-                  f"trainer; not composable with {' '.join(bad)}",
+                  "trainer (--fsdp composes — ZeRO-3 over the "
+                  f"cross-process data axis); not with {' '.join(bad)}",
                   file=sys.stderr)
             return 2
         if not (0 <= args.process_id < args.num_processes):

@@ -199,7 +199,9 @@ def test_driver_num_processes_guards():
 
     base = ["--model", "bert-base-uncased", "--synthetic", "--tiny",
             "--num_processes", "2"]
-    for extra in (["--fsdp"], ["--model_parallel", "2"],
+    # (--fsdp is NOT here: ZeRO-3 composes with multi-process — the
+    # dryrun's FSDP stage proves the cross-process sharded placement)
+    for extra in (["--model_parallel", "2"],
                   ["--pipeline_parallel", "2"],
                   ["--train_batch_size", "7"],
                   ["--process_id", "2"]):
