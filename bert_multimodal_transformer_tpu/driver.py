@@ -394,11 +394,6 @@ def main(argv=None) -> int:
                   "inside pipeline stages; --model_parallel gives the "
                   "Megatron FFN split)", file=sys.stderr)
             return 2
-        if args.model_parallel > 1 and not args.model.startswith("bert"):
-            print("error: --pipeline_parallel x --model_parallel "
-                  "(PPxTP) is implemented for the BERT family "
-                  "(parallel/pp.py::_TPBertLayer)", file=sys.stderr)
-            return 2
         if args.fsdp:
             print("error: --fsdp does not compose with "
                   "--pipeline_parallel (the pipeline trainer owns its "

@@ -327,10 +327,19 @@ def _state_spec_tree(state: TrainState, mp: int = 1):
         if mp > 1:
             names = [_key_name(k) for k in path]
             if "attention" not in names:
-                if "intermediate_dense" in names:
+                # column-parallel first FFN matmul (BERT
+                # intermediate_dense / XLNet ff.layer_1): kernel split on
+                # its LAST dim, bias split with it
+                if "intermediate_dense" in names or (
+                        "ff" in names and "layer_1" in names):
                     return (P(PIPE_AXIS, None, MODEL_AXIS)
                             if leaf.ndim == 3 else P(PIPE_AXIS, MODEL_AXIS))
-                if "output_dense" in names and leaf.ndim == 3:
+                # row-parallel second matmul (BERT output_dense / XLNet
+                # ff.layer_2): kernel split on its CONTRACTION dim, bias
+                # replicated (added once post-psum)
+                if leaf.ndim == 3 and (
+                        "output_dense" in names or (
+                            "ff" in names and "layer_2" in names)):
                     return P(PIPE_AXIS, MODEL_AXIS, None)
         return P(PIPE_AXIS)
 

@@ -44,11 +44,78 @@ import jax.numpy as jnp
 
 from bert_multimodal_transformer_tpu.models.mag import MAG
 from bert_multimodal_transformer_tpu.models.xlnet import (
+    LayerNorm,
     SequenceSummary,
     XLNetLayer,
+    XLNetRelativeAttention,
     relative_positional_encoding,
 )
-from bert_multimodal_transformer_tpu.parallel.pp import PipelineTrainer
+from bert_multimodal_transformer_tpu.ops.activations import ACT2FN
+from bert_multimodal_transformer_tpu.parallel.mesh import MODEL_AXIS
+from bert_multimodal_transformer_tpu.parallel.pp import (
+    PipelineTrainer,
+    _RowParallelOut,
+    _tp_f,
+)
+
+
+class _TPXLNetFF(nn.Module):
+    """XLNetFeedForward with the two matmuls Megatron-split over the
+    mesh model axis (models/xlnet.py:505-523 math; same f/g boundary
+    collectives as the BERT stage, parallel/pp.py). The inner dropout
+    acts on the rank-local [.., F/mp] slice with the SAME rng on every
+    rank — each element still drops with the configured rate, but mask
+    bits repeat across the mp chunks of the F dim (an impl detail like
+    the pipelined dropout streams; equivalence tests run dropout 0)."""
+
+    config: Any
+    dtype: Any = jnp.float32
+    mp: int = 1
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        cfg = self.config
+        init = nn.initializers.normal(stddev=cfg.initializer_range)
+        out = _tp_f(x, MODEL_AXIS)
+        out = nn.Dense(cfg.d_inner // self.mp, dtype=self.dtype,
+                       kernel_init=init, name="layer_1")(out)
+        out = ACT2FN[cfg.ff_activation](out)
+        out = nn.Dropout(rate=cfg.dropout)(out,
+                                           deterministic=deterministic)
+        out = _RowParallelOut(cfg.d_model, self.dtype, init,
+                              name="layer_2")(out)
+        out = nn.Dropout(rate=cfg.dropout)(out,
+                                           deterministic=deterministic)
+        return LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(
+            out + x)
+
+
+class _TPXLNetLayer(nn.Module):
+    """XLNetLayer with the FFN TP-split (rel-attention stays replicated;
+    mirrors models/xlnet.py::XLNetLayer on the fine-tune path — content
+    stream only, which is all the pipeline drives)."""
+
+    config: Any
+    dtype: Any = jnp.float32
+    mp: int = 1
+
+    @nn.compact
+    def __call__(self, h, g, attn_mask_h, attn_mask_g, r, seg_mat,
+                 mems=None, target_mapping=None, head_mask=None,
+                 deterministic=True, output_attentions=False,
+                 mask_bias_h=None, mask_bias_g=None, seg_diff=None):
+        if output_attentions or g is not None:
+            raise ValueError("the TP stage layer drives the content "
+                             "stream only (fine-tune path)")
+        out_h, out_g = XLNetRelativeAttention(
+            self.config, self.dtype, name="rel_attn")(
+            h, g, attn_mask_h, attn_mask_g, r, seg_mat, mems,
+            target_mapping, head_mask, deterministic=deterministic,
+            mask_bias_h=mask_bias_h, mask_bias_g=mask_bias_g,
+            seg_diff=seg_diff)
+        out_h = _TPXLNetFF(self.config, self.dtype, self.mp,
+                           name="ff")(out_h, deterministic=deterministic)
+        return out_h, out_g
 
 
 class _XlnetPrologue(nn.Module):
@@ -133,12 +200,10 @@ class XLNetPipelineTrainer(PipelineTrainer):
     def __post_init__(self):
         cfg = self.model.config
         self._pp_common_setup(cfg.n_layer, cfg.d_model)
-        if self._mp > 1:
+        if self._mp > 1 and cfg.d_inner % self._mp != 0:
             raise ValueError(
-                "PPxTP (a mesh model axis) is implemented for the BERT "
-                "pipeline (parallel/pp.py::_TPBertLayer); the XLNet "
-                "stage layer is not TP-split — running it on a model "
-                "axis would silently compute replicated FFNs")
+                f"d_inner ({cfg.d_inner}) must divide by the model "
+                f"axis ({self._mp}) for the Megatron FFN split")
         if cfg.attn_type != "bi":
             raise ValueError(
                 "the pipelined XLNet stage implements bi attention (the "
@@ -164,7 +229,8 @@ class XLNetPipelineTrainer(PipelineTrainer):
                         beta_shift=mm.beta_shift,
                         dropout_prob=mm.dropout_prob,
                         use_fused_kernel=mm.use_fused_kernel)
-        self._layer = XLNetLayer(cfg, dt)
+        self._layer = (_TPXLNetLayer(cfg, dt, self._mp)
+                       if self._mp > 1 else XLNetLayer(cfg, dt))
         self._epi = _XlnetEpilogue(cfg, dt)
 
     # ------------------------------------------------------- family hooks

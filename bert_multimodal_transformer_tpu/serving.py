@@ -302,14 +302,21 @@ def export_forward(
     acoustic_dim: int,
     platforms: Sequence[str] = ("tpu", "cpu"),
     keep_attention_impl: bool = False,
+    batch_size: Optional[int] = None,
 ):
     """Export ``model``'s deterministic forward as a ``jax.export.Exported``.
 
     The exported callable has the trainer's predict signature
     (``input_ids [b,S] i32, visual [b,S,Dv] f32, acoustic [b,S,Da] f32,
     attention_mask [b,S] i32, token_type_ids [b,S] i32 -> logits``) with
-    ``b`` symbolic. ``params`` are closed over and serialized into the
-    artifact (a serving bundle, not a checkpoint).
+    ``b`` symbolic (one artifact, any batch size) — or fixed to
+    ``batch_size`` when given. ``params`` are closed over and serialized
+    into the artifact (a serving bundle, not a checkpoint).
+
+    ``keep_attention_impl=True`` requires a concrete ``batch_size``: the
+    fused Pallas kernels' VMEM plans are RESOLVED from the concrete
+    batch (compile-probed plan resolvers, ops/fused_attention.py), so a
+    fused artifact is inherently per-batch-size.
     """
     if not keep_attention_impl:
         cfg = model.config
@@ -331,6 +338,13 @@ def export_forward(
                 "keep_attention_impl=True exports the Pallas kernel path, "
                 f"which only lowers for TPU — drop {non_tpu} from platforms "
                 "or export the portable einsum path (default)")
+        if batch_size is None:
+            raise ValueError(
+                "keep_attention_impl=True exports the fused Pallas "
+                "kernel path, whose VMEM kernel plans are resolved from "
+                "the concrete batch size (ops/fused_attention.py plan "
+                "resolvers) — a symbolic batch dimension is impossible; "
+                "pass batch_size=<N> for a fixed-batch artifact")
         checks = (jax_export.DisabledSafetyCheck.custom_call(
             "tpu_custom_call"),)
 
@@ -342,7 +356,10 @@ def export_forward(
                           deterministic=True)
         return out[0] if isinstance(out, tuple) else out
 
-    (b,) = jax_export.symbolic_shape("b")
+    if batch_size is None:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch_size)
     specs = (
         jax.ShapeDtypeStruct((b, seq_len), jnp.int32),
         jax.ShapeDtypeStruct((b, seq_len, visual_dim), jnp.float32),

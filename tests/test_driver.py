@@ -297,17 +297,12 @@ def test_driver_pipeline_parallel(tmp_path, capsys):
     assert np.isfinite(out["test_mae"])
 
     # guards: no head-sharded attention under PP, no grad-accum
-    # double-counting, no XLNet PPxTP (the TP stage layer is BERT-only)
+    # double-counting
     rc = driver.main(["--model", "bert-base-uncased", "--synthetic",
                       "--tiny", "--pipeline_parallel", "2",
                       "--model_parallel", "2", "--tp_shard_attention"])
     assert rc == 2
     assert "tp_shard_attention" in capsys.readouterr().err
-    rc = driver.main(["--model", "xlnet-base-cased", "--synthetic",
-                      "--tiny", "--pipeline_parallel", "2",
-                      "--model_parallel", "2"])
-    assert rc == 2
-    assert "BERT" in capsys.readouterr().err
     rc = driver.main(["--model", "bert-base-uncased", "--synthetic",
                       "--tiny", "--pipeline_parallel", "2",
                       "--gradient_accumulation_step", "2"])

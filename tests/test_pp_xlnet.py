@@ -183,3 +183,40 @@ def test_xlnet_pp_validates_geometry():
     with pytest.raises(ValueError, match="injection_index"):
         XLNetPipelineTrainer(model=_model(cfg, injection_index=9),
                              tx=tx, mesh=mesh, n_micro=2)
+
+
+@pytest.mark.parametrize("n_stages,mp,dp,inj", [(2, 2, 2, 1), (2, 4, 1, 3)])
+def test_xlnet_pp_tp_step_matches_plain_trainer(n_stages, mp, dp, inj):
+    """XLNet PPxTP: pipeline stages with the XLNetFeedForward
+    Megatron-split over the mesh model axis (_TPXLNetFF, same f/g
+    boundary collectives as the BERT stage) — the 3-D step must match
+    the plain grad_accum trainer exactly, in both MAG injection
+    geometries (inside stage 0, and on the last stage)."""
+    from bert_multimodal_transformer_tpu.parallel.mesh import MODEL_AXIS
+    from bert_multimodal_transformer_tpu.parallel.pp import PIPE_AXIS
+
+    n_micro = 2
+    cfg = _cfg(dropout=0.0)
+    model = _model(cfg, injection_index=inj)
+    batch = _batch(0, 16, 10)
+
+    params0, ref_params, ref_loss = _ref_step(model, batch, n_micro)
+
+    mesh = make_pp_mesh(n_stages, data_parallel=dp, model_parallel=mp)
+    pt = XLNetPipelineTrainer(model=model, tx=make_optimizer(1e-3, 10),
+                              mesh=mesh, n_micro=n_micro, donate=False)
+    state = pt.create_state_from_model_params(params0,
+                                              jax.random.PRNGKey(3))
+    col = state.params["layers"]["ff"]["layer_1"]["kernel"]
+    assert col.sharding.spec == jax.sharding.PartitionSpec(
+        PIPE_AXIS, None, MODEL_AXIS)
+    row = state.params["layers"]["ff"]["layer_2"]["kernel"]
+    assert row.sharding.spec == jax.sharding.PartitionSpec(
+        PIPE_AXIS, MODEL_AXIS, None)
+
+    new_state, loss = pt.train_step(state, batch)
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5,
+                               atol=1e-6)
+    _assert_trees_close(
+        xlnet_params_from_pp_params(jax.device_get(new_state.params)),
+        ref_params, rtol=2e-5, atol=1e-6)

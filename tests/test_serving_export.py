@@ -149,3 +149,34 @@ def test_predict_batches_drops_padding(tmp_path):
                                  attention_mask=mask, token_type_ids=seg,
                                  deterministic=True)).reshape(-1)
     np.testing.assert_allclose(preds[2], ref[0], rtol=1e-6)
+
+
+def test_keep_fused_requires_concrete_batch():
+    """The fused kernels' VMEM plans resolve from the concrete batch, so
+    a keep_attention_impl artifact must pin batch_size (measured on
+    hardware: a symbolic b makes the plan arithmetic inconclusive)."""
+    model, params = _bert_model(attention_impl="fused")
+    with pytest.raises(ValueError, match="batch_size"):
+        serving.export_forward(model, params, seq_len=SEQ,
+                               visual_dim=DV, acoustic_dim=DA,
+                               platforms=("tpu",),
+                               keep_attention_impl=True)
+
+
+def test_fixed_batch_export_roundtrip(tmp_path):
+    """batch_size=N exports a fixed-batch artifact whose input avals are
+    concrete; it roundtrips and matches the live forward at that batch."""
+    model, params = _bert_model()
+    exported = serving.export_forward(
+        model, params, seq_len=SEQ, visual_dim=DV, acoustic_dim=DA,
+        platforms=("cpu",), batch_size=4)
+    assert exported.in_avals[0].shape == (4, SEQ)
+    path = str(tmp_path / "fixed.stablehlo")
+    serving.save_artifact(path, exported)
+    serve = serving.load_artifact(path)
+    ids, vis, aco, mask, seg = _batch(4)
+    ref = model.apply({"params": params}, ids, vis, aco,
+                      attention_mask=mask, token_type_ids=seg,
+                      deterministic=True)
+    np.testing.assert_allclose(np.asarray(serve(ids, vis, aco, mask, seg)),
+                               np.asarray(ref), atol=1e-6, rtol=1e-6)

@@ -179,10 +179,12 @@ def main():
         print(json.dumps(summary))
         return
     fart = os.path.join(art_dir, "r5b_fused.stablehlo")
+    # fused artifacts are per-batch-size: the kernel plan resolvers
+    # need the concrete batch (a symbolic dim raises, by design)
     fexported = serving.export_forward(
         model, params, seq_len=seq, visual_dim=ds.visual_dim,
         acoustic_dim=ds.acoustic_dim, platforms=("tpu",),
-        keep_attention_impl=True)
+        keep_attention_impl=True, batch_size=32)
     serving.save_artifact(fart, fexported, meta={"tool": "r5b-fused"})
     fserve = serving.load_artifact(fart)
     flive = jax.jit(lambda *a: model.apply(
