@@ -250,15 +250,16 @@ def main(argv=None) -> int:
     if multiproc:
         bad = [f for f, cond in (
             ("--pipeline_parallel", args.pipeline_parallel > 1),
-            ("--model_parallel", args.model_parallel > 1),
+            ("--tp_shard_attention", args.tp_shard_attention),
             ("--mem_len", bool(args.mem_len)),
             ("--predict_only", args.predict_only),
         ) if cond]
         if bad:
-            print("error: --num_processes > 1 runs the data-parallel "
-                  "trainer (--fsdp composes — ZeRO-3 over the "
-                  f"cross-process data axis); not with {' '.join(bad)}",
-                  file=sys.stderr)
+            print("error: --num_processes > 1 composes with the "
+                  "data-parallel trainer, --fsdp (ZeRO-3 over the "
+                  "cross-process data axis) and --model_parallel "
+                  "(Megatron FFN, model axis intra-process); not with "
+                  f"{' '.join(bad)}", file=sys.stderr)
             return 2
         if not (0 <= args.process_id < args.num_processes):
             print(f"error: --process_id {args.process_id} outside "
@@ -293,6 +294,16 @@ def main(argv=None) -> int:
                   f"say {args.process_id}/{args.num_processes} — the "
                   "active platform did not join the distributed runtime",
                   file=sys.stderr)
+            return 2
+        if (args.model_parallel > 1
+                and jax.local_device_count() % args.model_parallel != 0):
+            # the mesh reshapes the process-ordered global device list
+            # to (data, model) with model minor — each process must
+            # hold whole data rows so batch row-blocks stay local (and
+            # the Megatron FFN collectives stay intra-host)
+            print(f"error: --model_parallel {args.model_parallel} must "
+                  f"divide the {jax.local_device_count()} local devices "
+                  "per process", file=sys.stderr)
             return 2
         is_main = jax.process_index() == 0
     else:

@@ -199,9 +199,10 @@ def test_driver_num_processes_guards():
 
     base = ["--model", "bert-base-uncased", "--synthetic", "--tiny",
             "--num_processes", "2"]
-    # (--fsdp is NOT here: ZeRO-3 composes with multi-process — the
-    # dryrun's FSDP stage proves the cross-process sharded placement)
-    for extra in (["--model_parallel", "2"],
+    # (--fsdp and --model_parallel are NOT here: ZeRO-3 and Megatron-FFN
+    # TP compose with multi-process — the dryrun's FSDP/TP stages prove
+    # the cross-process sharded placements)
+    for extra in (["--tp_shard_attention", "--model_parallel", "2"],
                   ["--pipeline_parallel", "2"],
                   ["--train_batch_size", "7"],
                   ["--process_id", "2"]):
