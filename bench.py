@@ -252,6 +252,23 @@ def main():
             state, loss = trainer._train_step(state, dev_batch)
     float(jax.device_get(loss))
 
+    # BENCH_TRACE=<dir>: capture a jax.profiler device trace of a few
+    # timed steps for attribution (tools/analyze_trace.py <dir> groups
+    # it per category/source-line/phase). The traced window is separate
+    # from the timed window so the metric stays untouched by tracing
+    # overhead.
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(int(os.environ.get("BENCH_TRACE_STEPS", "2"))):
+            if mem_len:
+                state, loss, mems = trainer._train_step_mems(
+                    state, dev_batch, mems)
+            else:
+                state, loss = trainer._train_step(state, dev_batch)
+        float(jax.device_get(loss))
+        jax.profiler.stop_trace()
+
     # NOTE: synchronize by fetching the final loss VALUE. On the tunneled
     # TPU backend, block_until_ready returns before remote execution
     # completes, inflating throughput ~50x; device_get of the last loss
