@@ -207,3 +207,22 @@ def test_driver_num_processes_guards():
                   ["--train_batch_size", "7"],
                   ["--process_id", "2"]):
         assert driver.main(base + extra) == 2
+
+
+@pytest.mark.slow
+def test_driver_num_processes_fsdp(tmp_path):
+    """--fsdp x --num_processes through the CLI: ZeRO-3 state sharded
+    over the cross-process data axis, collective Orbax save included."""
+    port = _free_port()
+    flags = ["--num_processes", "2",
+             "--coordinator_address", f"127.0.0.1:{port}", "--fsdp",
+             "--checkpoint_dir", str(tmp_path / "ckpt")]
+    p1 = _run_driver(_cpu_env(2), flags + ["--process_id", "1"])
+    p0 = _run_driver(_cpu_env(2), flags + ["--process_id", "0"])
+    out0, _ = p0.communicate(timeout=900)
+    out1, _ = p1.communicate(timeout=900)
+    assert p0.returncode == 0, out0
+    assert p1.returncode == 0, out1
+    rec = json.loads((tmp_path / "ckpt" / "metrics.jsonl")
+                     .read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["test_mae"])

@@ -180,3 +180,43 @@ def test_fixed_batch_export_roundtrip(tmp_path):
                       deterministic=True)
     np.testing.assert_allclose(np.asarray(serve(ids, vis, aco, mask, seg)),
                                np.asarray(ref), atol=1e-6, rtol=1e-6)
+
+
+def test_predict_batches_classification_artifact(tmp_path):
+    """A num_labels>1 artifact's [B, C] logits must mask padded ROWS and
+    keep the class axis (the round-4 advisor found reshape(-1) before
+    masking broke this path — regression lock)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(BertConfig.tiny(), num_labels=3)
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.5,
+                          injection_index=0)
+    model = MagBertForSequenceClassification(cfg, mm, visual_dim=DV,
+                                             acoustic_dim=DA)
+    ids, vis, aco, mask, seg = _batch(2)
+    params = model.init(jax.random.PRNGKey(0), ids, vis, aco, mask,
+                        seg)["params"]
+    exported = serving.export_forward(
+        model, params, seq_len=SEQ, visual_dim=DV, acoustic_dim=DA,
+        platforms=("cpu",))
+    path = str(tmp_path / "cls.stablehlo")
+    serving.save_artifact(path, exported)
+    serve = serving.load_artifact(path)
+
+    rng = np.random.RandomState(5)
+
+    def loader():
+        for i, valid in enumerate((np.array([True, True]),
+                                   np.array([True, False]))):
+            b = _batch(2, seed=20 + i)
+            lab = (rng.randint(0, 3, (2,))).astype(np.float32)
+            yield b + (lab,), valid
+
+    preds, labels = serving.predict_batches(serve, loader())
+    assert preds.shape == (3, 3)  # 3 valid rows x 3 classes
+    assert labels.shape == (3,)
+    ids, vis, aco, mask, seg = _batch(2, seed=21)
+    ref = np.asarray(model.apply({"params": params}, ids, vis, aco,
+                                 attention_mask=mask, token_type_ids=seg,
+                                 deterministic=True))
+    np.testing.assert_allclose(preds[2], ref[0], rtol=1e-6, atol=1e-7)
