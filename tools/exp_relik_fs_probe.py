@@ -55,15 +55,17 @@ from bert_multimodal_transformer_tpu.ops.pallas_util import (  # noqa: E402
 
 
 def _row_shift(x, qb: int, kb: int):
-    """x [qb, w] → [qb, kb] with out[qi, k] = x[qi, (qb−1−qi) + k]
-    (per-row left-roll by qb−1−qi, then the first kb columns)."""
-    w = x.shape[-1]
+    """x [qb, w] → [qb, kb] with out[qi, k] = x[qi, (qb−qi) + k]
+    (per-row left-roll by qb−qi ∈ [1, qb], then the first kb columns).
+    The +1 relative to the natural qb−1−qi offset comes from loading
+    the position-key slab from the 8-ALIGNED base one row below the
+    mathematically-tight start — Mosaic requires dynamic sublane
+    starts to be provable multiples of 8."""
     qidx = jax.lax.broadcasted_iota(jnp.int32, (qb, 1), 0)
-    a = (qb - 1) - qidx
+    a = qb - qidx
     for amt in [1 << i for i in range(qb.bit_length())]:
         rolled = jnp.concatenate([x[:, amt:], x[:, :amt]], axis=-1)
         x = jnp.where((a & amt) != 0, rolled, x)
-    del w
     return x[:, :kb]
 
 
@@ -90,10 +92,16 @@ def _fwd_relik_fs_kernel(rw_ref, rr_ref, k_ref, v_ref, r_ref, ed_ref,
         for ki in range(n_kb):
             ksl = slice(ki * kb, (ki + 1) * kb)
             # position-key window for this (q-block, k-block): row qi
-            # needs positions (q_len − q0 − qi) + k — a contiguous
-            # [qb+kb−1]-wide slab starting at q_len − q0 − qb + 1 + k0
-            # (r is padded by one row so the last block stays in range)
-            s0 = q_len - q0 - qb + 1 + ki * kb
+            # needs positions (q_len − q0 − qi) + k. Start the slab at
+            # the 8-ALIGNED q_len − q0 − qb + k0 (every term a multiple
+            # of 8 — Mosaic rejects unprovable dynamic sublane starts),
+            # one row below the tight start; _row_shift compensates
+            # with the qb−qi offset. End = q_len − q0 + k0 + kb ≤ P, so
+            # no padding row is needed.
+            # every term is a static multiple of 8, but q0 carries a
+            # program_id Mosaic can't reason through — assert the
+            # alignment with the pl.multiple_of hint
+            s0 = pl.multiple_of(q_len - q0 - qb + ki * kb, 8)
             sbs = []
             for h in range(hb):
                 slab = r_ref[pl.ds(s0, qb + kb),
@@ -108,10 +116,12 @@ def _fwd_relik_fs_kernel(rw_ref, rr_ref, k_ref, v_ref, r_ref, ed_ref,
                 sbs.append(ac + _row_shift(bd, qb, kb))
             sb = jnp.stack(sbs)                          # [hb, qb, kb]
             # segment term: ed[h, q] where seg differs, else 0
+            # (ed comes in 4-D [B, n_hb, hb, Q] — the 8-sublane block
+            # rule needs the -2 dim equal to the full array dim)
             segd = segd_ref[b, :, ksl].astype(f32)[None]  # [1, qb, kb]
-            sb = sb + ed_ref[b].astype(f32)[:, :, None] * segd
+            sb = sb + ed_ref[b, 0].astype(f32)[:, :, None] * segd
             # column mask + non-target diagonal (-eye)
-            colm = colm_ref[b, ksl].astype(f32)[None, None]  # [1,1,kb]
+            colm = colm_ref[b, 0, ksl].astype(f32)[None, None]  # [1,1,kb]
             kidx = jax.lax.broadcasted_iota(jnp.int32, (qb, kb), 1) \
                 + ki * kb
             qgidx = jax.lax.broadcasted_iota(jnp.int32, (qb, kb), 0) + q0
@@ -134,11 +144,11 @@ def _fwd_relik_fs_kernel(rw_ref, rr_ref, k_ref, v_ref, r_ref, ed_ref,
              for h in range(hb)], axis=-1)
 
 
-def relik_fs_forward(rw, rr, k, v, r_pad, ed, segd, colm, *, n_heads,
+def relik_fs_forward(rw, rr, k, v, r_keys, ed, segd, colm, *, n_heads,
                      hb, qb, kb, interpret):
     """rw/rr [B, Q, H·Dh] (scale pre-folded into rr), k/v [B, K, H·Dh],
-    r_pad [P+1, H·Dh], ed [B, H, Q], segd [B, Q, K] (0/1), colm [B, K]
-    (1 = masked) → [B, Q, H·Dh]."""
+    r_keys [P, H·Dh] (P = Q + K), ed [B, H, Q], segd [B, Q, K] (0/1),
+    colm [B, K] (1 = masked) → [B, Q, H·Dh]."""
     b, q_len, d = rw.shape
     k_len = k.shape[1]
     dh = d // n_heads
@@ -155,12 +165,17 @@ def relik_fs_forward(rw, rr, k, v, r_pad, ed, segd, colm, *, n_heads,
         blk((nb, qb, hb * dh), lambda i, h, qi: (i, qi, h)),   # rr
         blk((nb, k_len, hb * dh), lambda i, h, qi: (i, 0, h)),  # k
         blk((nb, k_len, hb * dh), lambda i, h, qi: (i, 0, h)),  # v
-        blk((r_pad.shape[0], hb * dh), lambda i, h, qi: (0, h)),  # r
-        blk((nb, hb, qb), lambda i, h, qi: (i, h, qi)),        # ed
+        blk((r_keys.shape[0], hb * dh), lambda i, h, qi: (0, h)),  # r
+        # ed 4-D [B, n_hb, hb, Q], block (nb, 1, hb, qb): axis -2 equals
+        # the full hb dim, satisfying the 8-sublane block rule
+        blk((nb, 1, hb, qb), lambda i, h, qi: (i, h, 0, qi)),  # ed
         blk((nb, qb, k_len), lambda i, h, qi: (i, qi, 0)),     # segd
-        blk((nb, k_len), lambda i, h, qi: (i, 0)),             # colm
+        # colm 3-D [B, 1, K] so the -2 block dim equals the full dim
+        blk((nb, 1, k_len), lambda i, h, qi: (i, 0, 0)),       # colm
     ]
     out_spec = blk((nb, qb, hb * dh), lambda i, h, qi: (i, qi, h))
+    ed = ed.reshape(b, n_hb, hb, q_len)
+    colm = colm.reshape(b, 1, k_len)
     kernel = functools.partial(
         _fwd_relik_fs_kernel, hb=hb, dh=dh, nb=nb, kb=kb, q_len=q_len)
     return pallas_call(
@@ -170,7 +185,7 @@ def relik_fs_forward(rw, rr, k, v, r_pad, ed, segd, colm, *, n_heads,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, q_len, d), rw.dtype),
         interpret=interpret,
-    )(rw, rr, k, v, r_pad, ed, segd, colm)
+    )(rw, rr, k, v, r_keys, ed, segd, colm)
 
 
 def reference_forward(rw, rr, k, v, r, ed, segd, colm, n_heads):
@@ -233,11 +248,10 @@ def main():
     hb, qb, kb = 2, 128, 128
     rw, rr, k, v, r, ed, segd, colm = _inputs(b, q_len, k_len, n_heads,
                                               dh)
-    r_pad = jnp.concatenate([r, jnp.zeros((1, r.shape[1]), r.dtype)])
     want = np.asarray(jax.device_get(reference_forward(
         rw, rr, k, v, r, ed, segd, colm, n_heads)), np.float32)
     got = np.asarray(jax.device_get(relik_fs_forward(
-        rw, rr, k, v, r_pad, ed, segd, colm, n_heads=n_heads, hb=hb,
+        rw, rr, k, v, r, ed, segd, colm, n_heads=n_heads, hb=hb,
         qb=qb, kb=kb, interpret=interpret)), np.float32)
     err = float(np.max(np.abs(got - want)))
     print(f"parity [{b},{n_heads},{q_len},{k_len}] "
@@ -261,8 +275,6 @@ def main():
         q_len = k_len = s
         rw, rr, k, v, r, ed, segd, colm = _inputs(b, q_len, k_len,
                                                   n_heads, dh, seed=s)
-        r_pad = jnp.concatenate([r, jnp.zeros((1, r.shape[1]), r.dtype)])
-
         ing = jax.jit(lambda *a: jnp.sum(relik_fs_forward(
             *a, n_heads=n_heads, hb=hb, qb=qb, kb=kb,
             interpret=False).astype(jnp.float32)))
@@ -291,8 +303,7 @@ def main():
         def bench(f, tag):
             try:
                 t_compile0 = time.perf_counter()
-                out = f(rw, rr, k, v, r_pad if tag == "ingredients"
-                        else r, ed, segd, colm)
+                out = f(rw, rr, k, v, r, ed, segd, colm)
                 float(jax.device_get(out))
                 t_compile = time.perf_counter() - t_compile0
             except Exception as e:
@@ -302,8 +313,7 @@ def main():
             n = 10
             t0 = time.perf_counter()
             for _ in range(n):
-                out = f(rw, rr, k, v, r_pad if tag == "ingredients"
-                        else r, ed, segd, colm)
+                out = f(rw, rr, k, v, r, ed, segd, colm)
             float(jax.device_get(out))
             dt = (time.perf_counter() - t0) / n
             print(f"[{b},{n_heads},{s}] {tag}: {dt * 1e3:8.2f} ms "
