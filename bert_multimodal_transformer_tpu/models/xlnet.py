@@ -47,6 +47,7 @@ from bert_multimodal_transformer_tpu.ops.fused_attention import (
     fused_rel_attention_fits,
     fused_rel_attention_fits_fs,
     fused_rel_attention_fits_hb,
+    fused_rel_attention_ingredients_fits_fs,
 )
 
 Dtype = Any
@@ -203,11 +204,29 @@ class XLNetRelativeAttention(nn.Module):
         rel_fits_any = rel_fits_hb or fused_rel_attention_fits_fs(
             nh_gate, qlen_gate, klen, d_gate, item, item,
             **rel_fit_kwargs)
+        # Long-S inkernel: the ingredients flash-streamed tier reaches
+        # past both the full-H ingredients fit AND (potentially) the
+        # ebias tiers — it has its own compile-probed plan, so gate it
+        # independently. TP stays on the full-H shard kernels.
+        relik_fs_ok = (
+            cfg.attention_impl == "fused"
+            and cfg.rel_bias_impl == "inkernel"
+            and cfg.tp_attention_mesh is None
+            and head_mask is None
+            and not output_attentions
+            and k_head_r.ndim == 3
+            and k_head_r.shape[0] >= qlen_gate + klen
+            and not rel_fits
+            and fused_rel_attention_ingredients_fits_fs(
+                nh_gate, qlen_gate, klen, k_head_r.shape[0], d_gate,
+                item, batch=q_head.shape[0],
+                rate=rel_fit_kwargs["rate"], scale=scale,
+                dtype=jnp.dtype(self.dtype)))
 
         if (cfg.attention_impl == "fused" and head_mask is None
                 and not output_attentions
                 and (rel_fits if cfg.tp_attention_mesh is not None
-                     else rel_fits_any)):
+                     else (rel_fits_any or relik_fs_ok))):
             # Pallas rel-attention kernel (ops/fused_attention.py): the
             # QK dot, softmax, and prob-dropout run in VMEM; only ONE
             # [B,H,Q,K] tensor (ebias, differentiable) is streamed
@@ -226,7 +245,7 @@ class XLNetRelativeAttention(nn.Module):
             if (cfg.rel_bias_impl == "inkernel"
                     and k_head_r.ndim == 3
                     and k_head_r.shape[0] >= qlen2 + klen
-                    and rel_fits):
+                    and (rel_fits or relik_fs_ok)):
                 # Ingredients-fused path: no [B,H,Q,P]/[B,H,Q,K] HBM
                 # tensors at all — bd, rel-shift, segment and mask biases
                 # assemble in VMEM (fused_rel_attention_ingredients).

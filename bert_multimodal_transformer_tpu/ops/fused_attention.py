@@ -4103,6 +4103,8 @@ def fused_rel_attention_ingredients(
     nb_fwd: Optional[int] = None,
     nb_bwd: Optional[int] = None,
     save_probs: Optional[bool] = None,
+    tier: Optional[str] = None,
+    fs_plan: Optional[tuple] = None,
 ) -> jax.Array:
     """XLNet relative attention with the score-bias assembly in VMEM.
 
@@ -4112,6 +4114,14 @@ def fused_rel_attention_ingredients(
     section comment). rw/rr/r/k/v/ed are differentiable; segd/maskb are
     not. Reference semantics: HF XLNetRelativeAttention.rel_attn_core
     via /root/reference/xlnet.py:330-390.
+
+    Long sequences: past the full-H fit this entry switches to the
+    ingredients flash-streamed kernels (``_resolve_relik_fs_plan``:
+    bd assembled per (qb, kb) block from a dynamically-sliced position
+    window + per-row log-shift — see the section comment below) and,
+    beyond every plan, degrades to host-side ebias assembly + the
+    tiered ``fused_rel_attention`` entry. ``tier`` forces "full"/"fs"
+    (tests, tuning); ``fs_plan`` overrides the resolved (hb, qb, kb).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -4147,13 +4157,549 @@ def fused_rel_attention_ingredients(
                                   dtype=jnp.int32)
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
-    nb_fwd, nb_bwd, save_probs = _resolve_knobs(
-        b, n_heads, q_len, k_len, rate, rw.dtype.itemsize, nb_fwd,
-        nb_bwd, save_probs)
-    return _fused_rel_attention_ik(rw, rr, r, k, v, ed, segd, maskb,
-                                   seed, float(scale), rate, n_heads,
-                                   bool(interpret), (nb_fwd, nb_bwd),
-                                   save_probs)
+    use_full = (tier == "full"
+                or (tier is None and fused_rel_attention_fits(
+                    n_heads, q_len, k_len, d, rw.dtype.itemsize,
+                    rw.dtype.itemsize)))
+    if use_full:
+        nb_fwd, nb_bwd, save_probs = _resolve_knobs(
+            b, n_heads, q_len, k_len, rate, rw.dtype.itemsize, nb_fwd,
+            nb_bwd, save_probs)
+        return _fused_rel_attention_ik(rw, rr, r, k, v, ed, segd, maskb,
+                                       seed, float(scale), rate, n_heads,
+                                       bool(interpret), (nb_fwd, nb_bwd),
+                                       save_probs)
+    if fs_plan is None:
+        fs_plan = _resolve_relik_fs_plan(
+            b, n_heads, q_len, k_len, p_len, d, rw.dtype.itemsize,
+            rate=rate, scale=float(scale), dtype=rw.dtype)
+    if fs_plan is not None:
+        hb, qb, kb = fs_plan
+        # the 4-D ed layout keeps the (hb, qb) trailing block dims
+        # inside Mosaic's 8-sublane rule; the reshape's VJP restores
+        # [B, H, Q] for the caller automatically
+        ed4 = ed.reshape(b, n_heads // hb, hb, q_len)
+        return _fused_rel_attention_ik_fs(rw, rr, r, k, v, ed4, segd,
+                                          maskb, seed, float(scale),
+                                          rate, n_heads, hb, qb, kb,
+                                          bool(interpret))
+    # Terminal tier: assemble the ebias host-side (the pre-fs behavior)
+    # and let the tiered ebias entry pick its own kernels/fallbacks.
+    warnings.warn(
+        f"ingredients rel attention: no flash-streamed kernel plan "
+        f"compiles at H={n_heads} Q={q_len} K={k_len} P={p_len} D={d}; "
+        "falling back to host-side ebias assembly for this geometry",
+        stacklevel=2)
+    dh = d // n_heads
+    bd = jnp.einsum("bqhf,phf->bhqp", rr.reshape(b, q_len, n_heads, dh),
+                    r.reshape(p_len, n_heads, dh),
+                    preferred_element_type=jnp.float32)
+    x = bd.reshape(b, n_heads, p_len, q_len)[:, :, 1:, :]
+    ebias = x.reshape(b, n_heads, q_len, p_len - 1)[..., :k_len]
+    ebias = (ebias + ed.astype(jnp.float32)[:, :, :, None]
+             * segd.astype(jnp.float32)[:, None]
+             + maskb.astype(jnp.float32)[:, None]).astype(rw.dtype)
+    return fused_rel_attention(
+        rw, k, v, ebias, n_heads=n_heads, scale=scale,
+        dropout_rate=rate, dropout_rng=dropout_rng,
+        deterministic=(rate == 0.0), interpret=interpret,
+        nb_fwd=nb_fwd, nb_bwd=nb_bwd, save_probs=save_probs)
+
+
+# --------------------------------------------------------------------------
+# Flash-streamed ingredients rel attention: the long-S XLNet tier
+# --------------------------------------------------------------------------
+# The full-H ingredients kernel above is gated on the whole [H,Q,K] row
+# fitting scoped VMEM; past that, XLNet's inkernel path used to fall
+# back to host-side ebias assembly + the streamed-ebias fs kernel —
+# which device-trace attribution showed is ~70% relayout at Q=K=2048
+# (BENCHMARKS.md "Long-sequence scaling": rel_shift's dim-mixing
+# reshapes of the [B,H,Q,P] bd tensor lower to physical copies, ~300 ms
+# of the 471 ms step). This tier assembles bd INSIDE the flash-streamed
+# (qb, kb) block loop instead:
+#
+#     bd_shifted[q, k] = rr[q] · r[(Q − q) + k]
+#
+# Per (q-block, k-block), one [qb, dh]×[dh, qb+kb] dot against a
+# dynamically-sliced window of the position keys — the window start
+# q_len − q0 − qb + ki·kb is a multiple of 8 by construction (q_len,
+# qb, kb all 8-divisible) but carries a program_id Mosaic cannot reason
+# through, so it is asserted with ``pl.multiple_of`` (the probe that
+# validated this corner on hardware: tools/exp_relik_fs_probe.py,
+# 1.67×/2.69× over assembly+fs at S=1024/2048) — then a per-row
+# log-shift (log₂ qb conditional rolls) aligns rows. Nothing
+# [B,H,Q,P]- or [B,H,Q,K]-sized exists in HBM OR VMEM.
+#
+# The backward reuses the forward's online-softmax residuals (context +
+# 4-D lse) and transposes the block shift: z = _row_unshift_block(ds)
+# feeds drr (z·r-window) and a [K+qb, hb·Dh] f32 window accumulator
+# that lands in the [P, hb·Dh] d_r output with ONE dynamic-start
+# accumulate per (row, head-block, q-block). d_r needs accumulation
+# across rows AND q-blocks, so the backward grid runs the head-block
+# dimension OUTERMOST — (H//hb, B//nb, Q//qb) — making every revisit
+# sequence of its constant-index d_r block consecutive (dk/dv revisit
+# across the minormost q-block dim exactly like the ebias fs backward).
+
+
+def _row_shift_block(x, qb: int, kb: int):
+    """x [qb, qb+kb] → [qb, kb] with out[qi, k] = x[qi, (qb−qi) + k]
+    (per-row left-roll by qb−qi ∈ [1, qb] via bit-decomposed masked
+    rolls, then the first kb columns)."""
+    qidx = jax.lax.broadcasted_iota(jnp.int32, (qb, 1), 0)
+    a = qb - qidx
+    for amt in _shift_bits(qb):
+        rolled = jnp.concatenate([x[:, amt:], x[:, :amt]], axis=-1)
+        x = jnp.where((a & amt) != 0, rolled, x)
+    return x[:, :kb]
+
+
+def _row_unshift_block(ds, qb: int, kb: int):
+    """Transpose of ``_row_shift_block``: ds [qb, kb] → z [qb, qb+kb]
+    with z[qi, (qb−qi)+k] = ds[qi, k], zeros elsewhere (wrapped-in
+    elements come from the qb-wide zero pad; qb−qi ≤ qb keeps every
+    real element in range)."""
+    w = qb + kb
+    z = jnp.concatenate([ds, jnp.zeros((qb, qb), ds.dtype)], axis=-1)
+    qidx = jax.lax.broadcasted_iota(jnp.int32, (qb, 1), 0)
+    a = qb - qidx
+    for amt in _shift_bits(qb):
+        rolled = jnp.concatenate([z[:, w - amt:], z[:, :w - amt]],
+                                 axis=-1)
+        z = jnp.where((a & amt) != 0, rolled, z)
+    return z
+
+
+def _attn_fwd_relik_fs_kernel(seed_ref, maskb_ref, segd_ref, ed_ref,
+                              rw_ref, rr_ref, r_ref, k_ref, v_ref,
+                              o_ref, lse_ref, s_ref, *, scale: float,
+                              rate: float, hb: int, dh: int, nb: int,
+                              n_hb: int, n_qb: int, kb: int,
+                              q_len: int):
+    """Grid (B//nb, H//hb, Q//qb): stream the key row in kb blocks,
+    assembling each block's score bias from the raw ingredients in
+    VMEM, feeding the online-softmax recurrence. Dropout semantics and
+    seeding formula identical to ``_attn_fwd_rel_fs_kernel``."""
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    qb = rw_ref.shape[1]
+    k_len = k_ref.shape[1]
+    n_kb = k_len // kb
+    q0 = pl.program_id(2) * qb
+    for b in range(nb):
+        rws = [rw_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
+        rrs = [rr_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
+        ed = ed_ref[b, 0].astype(f32)[:, :, None]            # [hb, qb, 1]
+        m = jnp.full((hb, qb), -jnp.inf, f32)
+        l = jnp.zeros((hb, qb), f32)
+        acc = [jnp.zeros((qb, dh), f32) for _ in range(hb)]
+        for ki in range(n_kb):
+            ksl = slice(ki * kb, (ki + 1) * kb)
+            # position-key window: row qi needs positions
+            # (q_len − q0 − qi) + k; load from the 8-aligned base one
+            # row below the tight start, _row_shift_block compensates.
+            s0 = pl.multiple_of(q_len - q0 - qb + ki * kb, 8)
+            shs = []
+            for h in range(hb):
+                kh = k_ref[b, ksl, h * dh:(h + 1) * dh]
+                s_ref[h] = jax.lax.dot_general(
+                    rws[h], kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)              # [qb, kb]
+                slab = r_ref[pl.ds(s0, qb + kb),
+                             h * dh:(h + 1) * dh]            # [qb+kb, dh]
+                bd = jax.lax.dot_general(
+                    rrs[h], slab, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)              # [qb, qb+kb]
+                shs.append(_row_shift_block(bd, qb, kb))
+            segd = segd_ref[b, :, ksl].astype(f32)[None]     # [1, qb, kb]
+            maskb = maskb_ref[b, :, ksl].astype(f32)[None]
+            sb = s_ref[:] * scale + jnp.stack(shs) + ed * segd + maskb
+            m_new = jnp.maximum(m, jnp.max(sb, axis=-1))
+            alpha = jnp.exp(m - m_new)
+            e = jnp.exp(sb - m_new[..., None])
+            l = l * alpha + jnp.sum(e, axis=-1)
+            if rate > 0.0:
+                pltpu.prng_seed(
+                    seed_ref[0, 0]
+                    + (((pl.program_id(0) * nb + b) * n_hb
+                        + pl.program_id(1)) * n_qb
+                       + pl.program_id(2)) * n_kb + ki)
+                bits = pltpu.bitcast(pltpu.prng_random_bits(e.shape),
+                                     jnp.uint32)
+                e = jnp.where(bits >= thresh, e * inv_keep, 0.0)
+            ec = e.astype(rw_ref.dtype)
+            for h in range(hb):
+                v = v_ref[b, ksl, h * dh:(h + 1) * dh]
+                pv = jax.lax.dot_general(
+                    ec[h], v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                acc[h] = acc[h] * alpha[h][:, None] + pv
+            m = m_new
+        o_ref[b] = jnp.concatenate(
+            [(acc[h] / l[h][:, None]).astype(o_ref.dtype)
+             for h in range(hb)], axis=-1)
+        lse_ref[b, 0] = m + jnp.log(l)
+
+
+def _attn_bwd_relik_fs_kernel(seed_ref, maskb_ref, segd_ref, ed_ref,
+                              rw_ref, rr_ref, r_ref, k_ref, v_ref,
+                              o_ref, lse_ref, g_ref, drw_ref, drr_ref,
+                              dk_ref, dv_ref, ded_ref, dr_ref, s_ref,
+                              t_ref, win_ref, *, scale: float,
+                              rate: float, hb: int, dh: int, nb: int,
+                              n_hb: int, n_qb: int, kb: int,
+                              q_len: int):
+    """Recompute backward on grid (H//hb, B//nb, Q//qb) — head-block
+    OUTERMOST so the constant-index [P, hb·Dh] d_r block's revisits
+    across (row, q-block) are consecutive. Probabilities rebuilt per kb
+    block from the saved lse; dropout replayed from the forward's
+    logical seed formula (grid ids remapped for the permuted order);
+    dk/dv revisit across the minormost q-block dim; d_r accumulates a
+    per-row [K+qb, hb·Dh] window in scratch and lands it with one
+    dynamic-start accumulate."""
+    f32 = jnp.float32
+    if rate > 0.0:
+        thresh = np.uint32(_dropout_threshold(rate))
+        inv_keep = 1.0 / (1.0 - rate)
+    qb = rw_ref.shape[1]
+    k_len = k_ref.shape[1]
+    n_kb = k_len // kb
+    q0 = pl.program_id(2) * qb
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init_kv():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
+    def _init_dr():
+        dr_ref[...] = jnp.zeros_like(dr_ref)
+
+    for b in range(nb):
+        lse = lse_ref[b, 0]                                  # [hb, qb]
+        rws = [rw_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
+        rrs = [rr_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
+        gs = [g_ref[b, :, h * dh:(h + 1) * dh] for h in range(hb)]
+        ed = ed_ref[b, 0].astype(f32)[:, :, None]
+        delta = jnp.stack(
+            [jnp.sum(gs[h].astype(f32)
+                     * o_ref[b, :, h * dh:(h + 1) * dh].astype(f32),
+                     axis=-1) for h in range(hb)])           # [hb, qb]
+        drws = [jnp.zeros((qb, dh), f32) for _ in range(hb)]
+        drrs = [jnp.zeros((qb, dh), f32) for _ in range(hb)]
+        dedacc = jnp.zeros((hb, qb), f32)
+        win_ref[...] = jnp.zeros_like(win_ref)
+        for ki in range(n_kb):
+            ksl = slice(ki * kb, (ki + 1) * kb)
+            s0 = pl.multiple_of(q_len - q0 - qb + ki * kb, 8)
+            slabs, shs = [], []
+            for h in range(hb):
+                kh = k_ref[b, ksl, h * dh:(h + 1) * dh]
+                s_ref[h] = jax.lax.dot_general(
+                    rws[h], kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                slab = r_ref[pl.ds(s0, qb + kb),
+                             h * dh:(h + 1) * dh]
+                slabs.append(slab)
+                bd = jax.lax.dot_general(
+                    rrs[h], slab, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                shs.append(_row_shift_block(bd, qb, kb))
+            segd = segd_ref[b, :, ksl].astype(f32)[None]
+            maskb = maskb_ref[b, :, ksl].astype(f32)[None]
+            p = jnp.exp(s_ref[:] * scale + jnp.stack(shs) + ed * segd
+                        + maskb - lse[..., None])            # [hb, qb, kb]
+            for h in range(hb):
+                v = v_ref[b, ksl, h * dh:(h + 1) * dh]
+                t_ref[h] = jax.lax.dot_general(              # dpd
+                    gs[h], v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+            if rate > 0.0:
+                pltpu.prng_seed(
+                    seed_ref[0, 0]
+                    + (((pl.program_id(1) * nb + b) * n_hb
+                        + pl.program_id(0)) * n_qb
+                       + pl.program_id(2)) * n_kb + ki)
+                bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                     jnp.uint32)
+                keep = bits >= thresh
+                pd = jnp.where(keep, p * inv_keep, 0.0)
+                dp = jnp.where(keep, t_ref[:] * inv_keep, 0.0)
+            else:
+                pd = p
+                dp = t_ref[:]
+            ds = p * (dp - delta[..., None])                 # unscaled
+            dedacc = dedacc + jnp.sum(ds * segd, axis=-1)
+            dsc = (ds * scale).astype(rw_ref.dtype)
+            pd_c = pd.astype(rw_ref.dtype)
+            dsu = ds.astype(rw_ref.dtype)
+            for h in range(hb):
+                kh = k_ref[b, ksl, h * dh:(h + 1) * dh]
+                csl = slice(h * dh, (h + 1) * dh)
+                drws[h] = drws[h] + jax.lax.dot_general(
+                    dsc[h], kh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                dk_ref[b, ksl, csl] += jax.lax.dot_general(
+                    dsc[h], rws[h], (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                dv_ref[b, ksl, csl] += jax.lax.dot_general(
+                    pd_c[h], gs[h], (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                z = _row_unshift_block(dsu[h], qb, kb)       # [qb, qb+kb]
+                drrs[h] = drrs[h] + jax.lax.dot_general(
+                    z, slabs[h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                win_ref[ki * kb:ki * kb + qb + kb, csl] += \
+                    jax.lax.dot_general(
+                        z, rrs[h], (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32)          # [qb+kb, dh]
+        drw_ref[b] = jnp.concatenate(
+            [drws[h].astype(drw_ref.dtype) for h in range(hb)], axis=-1)
+        drr_ref[b] = jnp.concatenate(
+            [drrs[h].astype(drr_ref.dtype) for h in range(hb)], axis=-1)
+        ded_ref[b, 0] = dedacc.astype(ded_ref.dtype)
+        s0b = pl.multiple_of(q_len - q0 - qb, 8)
+        dr_ref[pl.ds(s0b, k_len + qb), :] += win_ref[...]
+
+
+def _relik_fs_specs(nb, q_len, k_len, qb, hb, dh, p_len, *, bwd):
+    """Block specs for the ingredients flash-streamed kernels. The fwd
+    grid is (B//nb, H//hb, Q//qb); the bwd grid permutes the head-block
+    dimension OUTERMOST (see kernel docstring), so the index maps remap
+    their argument order accordingly."""
+    if bwd:
+        def am(f):
+            return lambda j, i, qi: f(i, j, qi)
+    else:
+        def am(f):
+            return lambda i, j, qi: f(i, j, qi)
+    seed = pl.BlockSpec((1, 1), am(lambda i, j, qi: (0, 0)),
+                        memory_space=pltpu.SMEM)
+    qk = pl.BlockSpec((nb, qb, k_len), am(lambda i, j, qi: (i, qi, 0)),
+                      memory_space=pltpu.VMEM)
+    # 4-D ed/ded/lse [B, n_hb, hb, Q]: trailing block dims (hb, qb)
+    # with hb equal to the full array dim — Mosaic's sublane rule
+    ed = pl.BlockSpec((nb, 1, hb, qb), am(lambda i, j, qi: (i, j, 0, qi)),
+                      memory_space=pltpu.VMEM)
+    qblk = pl.BlockSpec((nb, qb, hb * dh),
+                        am(lambda i, j, qi: (i, qi, j)),
+                        memory_space=pltpu.VMEM)
+    kv = pl.BlockSpec((nb, k_len, hb * dh),
+                      am(lambda i, j, qi: (i, 0, j)),
+                      memory_space=pltpu.VMEM)
+    r = pl.BlockSpec((p_len, hb * dh), am(lambda i, j, qi: (0, j)),
+                     memory_space=pltpu.VMEM)
+    return seed, qk, ed, qblk, kv, r
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "hb",
+                                    "qb", "kb", "interpret", "nb"))
+def _fwd_relik_fs_pallas(rw, rr, r, k, v, ed4, segd, maskb, seed, *,
+                         scale, rate, n_heads, hb, qb, kb, interpret,
+                         nb=1):
+    b, q_len, d = rw.shape
+    k_len, p_len = k.shape[1], r.shape[0]
+    dh = d // n_heads
+    n_hb = n_heads // hb
+    n_qb = q_len // qb
+    seed_s, qk_s, ed_s, qblk_s, kv_s, r_s = _relik_fs_specs(
+        nb, q_len, k_len, qb, hb, dh, p_len, bwd=False)
+    return _pallas_call(
+        functools.partial(_attn_fwd_relik_fs_kernel, scale=scale,
+                          rate=rate, hb=hb, dh=dh, nb=nb, n_hb=n_hb,
+                          n_qb=n_qb, kb=kb, q_len=q_len),
+        grid=(b // nb, n_hb, n_qb),
+        in_specs=[seed_s, qk_s, qk_s, ed_s, qblk_s, qblk_s, r_s, kv_s,
+                  kv_s],
+        out_specs=(qblk_s, ed_s),
+        out_shape=(jax.ShapeDtypeStruct((b, q_len, d), rw.dtype),
+                   jax.ShapeDtypeStruct((b, n_hb, hb, q_len),
+                                        jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((hb, qb, kb), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_heads * q_len * k_len * dh
+            * (3 * kb + qb) // kb
+            + 12 * b * n_heads * q_len * k_len,
+            bytes_accessed=rw.dtype.itemsize * b * q_len * 5 * d
+            + 2 * rw.dtype.itemsize * b * q_len * k_len,
+            transcendentals=2 * b * n_heads * q_len * k_len,
+        ),
+    )(seed, maskb, segd, ed4, rw, rr, r, k, v)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "n_heads", "hb",
+                                    "qb", "kb", "interpret", "nb"))
+def _bwd_relik_fs_pallas(rw, rr, r, k, v, ed4, segd, maskb, seed, o,
+                         lse, g, *, scale, rate, n_heads, hb, qb, kb,
+                         interpret, nb=1):
+    b, q_len, d = rw.shape
+    k_len, p_len = k.shape[1], r.shape[0]
+    dh = d // n_heads
+    n_hb = n_heads // hb
+    n_qb = q_len // qb
+    seed_s, qk_s, ed_s, qblk_s, kv_s, r_s = _relik_fs_specs(
+        nb, q_len, k_len, qb, hb, dh, p_len, bwd=True)
+    kv_f32 = pl.BlockSpec((nb, k_len, hb * dh),
+                          lambda j, i, qi: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    dr_s = pl.BlockSpec((p_len, hb * dh), lambda j, i, qi: (0, j),
+                        memory_space=pltpu.VMEM)
+    return _pallas_call(
+        functools.partial(_attn_bwd_relik_fs_kernel, scale=scale,
+                          rate=rate, hb=hb, dh=dh, nb=nb, n_hb=n_hb,
+                          n_qb=n_qb, kb=kb, q_len=q_len),
+        grid=(n_hb, b // nb, n_qb),
+        in_specs=[seed_s, qk_s, qk_s, ed_s, qblk_s, qblk_s, r_s, kv_s,
+                  kv_s, qblk_s, ed_s, qblk_s],
+        out_specs=(qblk_s, qblk_s, kv_f32, kv_f32, ed_s, dr_s),
+        out_shape=(jax.ShapeDtypeStruct(rw.shape, rw.dtype),      # drw
+                   jax.ShapeDtypeStruct(rw.shape, rw.dtype),      # drr
+                   jax.ShapeDtypeStruct(k.shape, jnp.float32),    # dk
+                   jax.ShapeDtypeStruct(v.shape, jnp.float32),    # dv
+                   jax.ShapeDtypeStruct((b, n_hb, hb, q_len),
+                                        rw.dtype),                # ded
+                   jax.ShapeDtypeStruct(r.shape, jnp.float32)),   # dr
+        scratch_shapes=[pltpu.VMEM((hb, qb, kb), jnp.float32),
+                        pltpu.VMEM((hb, qb, kb), jnp.float32),
+                        pltpu.VMEM((k_len + qb, hb * dh),
+                                   jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_heads * q_len * k_len * dh
+            * (7 * kb + 2 * qb) // kb
+            + 16 * b * n_heads * q_len * k_len,
+            bytes_accessed=rw.dtype.itemsize * b * q_len * 10 * d
+            + 4 * rw.dtype.itemsize * b * q_len * k_len,
+            transcendentals=b * n_heads * q_len * k_len,
+        ),
+    )(seed, maskb, segd, ed4, rw, rr, r, k, v, o, lse, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13,
+                                                    14, 15))
+def _fused_rel_attention_ik_fs(rw, rr, r, k, v, ed4, segd, maskb, seed,
+                               scale, rate, n_heads, hb, qb, kb,
+                               interpret):
+    out, _ = _fwd_relik_fs_pallas(rw, rr, r, k, v, ed4, segd, maskb,
+                                  seed, scale=scale, rate=rate,
+                                  n_heads=n_heads, hb=hb, qb=qb, kb=kb,
+                                  interpret=interpret)
+    return out
+
+
+def _frelikfs_fwd(rw, rr, r, k, v, ed4, segd, maskb, seed, scale, rate,
+                  n_heads, hb, qb, kb, interpret):
+    out, lse = _fwd_relik_fs_pallas(rw, rr, r, k, v, ed4, segd, maskb,
+                                    seed, scale=scale, rate=rate,
+                                    n_heads=n_heads, hb=hb, qb=qb,
+                                    kb=kb, interpret=interpret)
+    return out, (rw, rr, r, k, v, ed4, segd, maskb, seed, out, lse)
+
+
+def _frelikfs_bwd(scale, rate, n_heads, hb, qb, kb, interpret,
+                  residuals, g):
+    rw, rr, r, k, v, ed4, segd, maskb, seed, out, lse = residuals
+    drw, drr, dk, dv, ded4, dr = _bwd_relik_fs_pallas(
+        rw, rr, r, k, v, ed4, segd, maskb, seed, out, lse, g,
+        scale=scale, rate=rate, n_heads=n_heads, hb=hb, qb=qb, kb=kb,
+        interpret=interpret)
+    dseed = np.zeros((1, 1), jax.dtypes.float0)
+    return (drw, drr, dr.astype(r.dtype), dk.astype(k.dtype),
+            dv.astype(v.dtype), ded4.astype(ed4.dtype),
+            jnp.zeros_like(segd), jnp.zeros_like(maskb), dseed)
+
+
+_fused_rel_attention_ik_fs.defvjp(_frelikfs_fwd, _frelikfs_bwd)
+
+
+def _relik_fs_kernel_compiles(pass_name: str, q_len: int, k_len: int,
+                              p_len: int, d: int, n_heads: int, hb: int,
+                              qb: int, kb: int, rate: float,
+                              scale: float, dtype) -> bool:
+    """Ingredients twin of ``_rel_fs_kernel_compiles``."""
+    import jax
+
+    key = ("relikfs", pass_name, q_len, k_len, p_len, d, n_heads, hb,
+           qb, kb, float(rate), float(scale), jnp.dtype(dtype).str)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    rw = jax.ShapeDtypeStruct((1, q_len, d), dtype)
+    kv = jax.ShapeDtypeStruct((1, k_len, d), dtype)
+    r = jax.ShapeDtypeStruct((p_len, d), dtype)
+    ed4 = jax.ShapeDtypeStruct((1, n_heads // hb, hb, q_len), dtype)
+    qk = jax.ShapeDtypeStruct((1, q_len, k_len), dtype)
+    seed = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    try:
+        if pass_name == "fwd":
+            _fwd_relik_fs_pallas.lower(
+                rw, rw, r, kv, kv, ed4, qk, qk, seed, scale=scale,
+                rate=rate, n_heads=n_heads, hb=hb, qb=qb, kb=kb,
+                interpret=False).compile()
+        else:
+            o = jax.ShapeDtypeStruct((1, q_len, d), dtype)
+            lse = jax.ShapeDtypeStruct((1, n_heads // hb, hb, q_len),
+                                       jnp.float32)
+            g = jax.ShapeDtypeStruct((1, q_len, d), dtype)
+            _bwd_relik_fs_pallas.lower(
+                rw, rw, r, kv, kv, ed4, qk, qk, seed, o, lse, g,
+                scale=scale, rate=rate, n_heads=n_heads, hb=hb, qb=qb,
+                kb=kb, interpret=False).compile()
+        ok = True
+    except Exception:  # noqa: BLE001 - any compile failure means "walk on"
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
+def _resolve_relik_fs_plan(b: int, n_heads: int, q_len: int, k_len: int,
+                           p_len: int, d: int, itemsize: int,
+                           rate: float = 0.1, scale: float = 1.0,
+                           dtype=jnp.bfloat16):
+    """(hb, qb, kb) for the ingredients flash-streamed kernels, or
+    None — Q divisible by qb, K by kb, q_len/qb/kb 8-divisible (the
+    dynamic position-window alignment), P ≥ Q + K."""
+    del itemsize, b
+    dh = d // n_heads
+    hb = _fs_min_hb(n_heads, dh)
+    if hb is None or p_len < q_len + k_len:
+        return None
+    probe = _probe_enabled()
+    for kb in (512, 256, 128):
+        if k_len % kb:
+            continue
+        for qb in (256, 128):
+            if q_len % qb:
+                continue
+            if not probe:
+                return hb, qb, kb
+            if (_relik_fs_kernel_compiles("fwd", q_len, k_len, p_len, d,
+                                          n_heads, hb, qb, kb, rate,
+                                          scale, dtype)
+                    and _relik_fs_kernel_compiles("bwd", q_len, k_len,
+                                                  p_len, d, n_heads, hb,
+                                                  qb, kb, rate, scale,
+                                                  dtype)):
+                return hb, qb, kb
+    return None
+
+
+def fused_rel_attention_ingredients_fits_fs(
+        n_heads: int, q_len: int, k_len: int, p_len: int, d: int,
+        itemsize: int = 2, *, batch: Optional[int] = None,
+        rate: float = 0.1, scale: float = 1.0, dtype=None) -> bool:
+    """Whether the ingredients flash-streamed kernels cover this
+    geometry — the long-S XLNet tier past the full-H ingredients
+    reach: no [B,H,Q,P]/[B,H,Q,K] HBM tensors AND no whole-row VMEM
+    scratch. models/xlnet.py's inkernel dispatch gates on this before
+    degrading to host-side ebias assembly."""
+    return _resolve_relik_fs_plan(
+        batch if batch is not None else 8, n_heads, q_len, k_len,
+        p_len, d, itemsize, rate=rate, scale=scale,
+        dtype=dtype if dtype is not None else jnp.bfloat16) is not None
 
 
 # --------------------------------------------------------------------------

@@ -1498,3 +1498,87 @@ def test_rel_fs_probe_walk(monkeypatch):
     monkeypatch.setattr(fa, "_rel_fs_kernel_compiles",
                         lambda *a, **kw: False)
     assert fa._resolve_rel_fs_plan(8, 12, 512, 512, 768, 2) is None
+
+
+@pytest.mark.parametrize("geom", [
+    # (S, K, P, qb, kb): K=S (no mems) multi-block, and K>S (mems-like)
+    (256, 256, 512, 128, 128),
+    (128, 384, 512, 128, 128),
+])
+def test_rel_attention_ingredients_fs_matches_assembled(geom):
+    # The ingredients FLASH-STREAMED tier (bd assembled per (qb, kb)
+    # block from a dynamically-sliced position window + per-row
+    # log-shift) vs the einsum score assembly, incl. grads for all six
+    # differentiable inputs — notably d_r (window accumulator + one
+    # dynamic-start accumulate per program, revisited across rows AND
+    # q-blocks on the head-outermost backward grid) and the
+    # segment-delta d_ed. Forced via tier="fs"/fs_plan so the small CPU
+    # geometry exercises multi-q-block, multi-k-block streaming.
+    from bert_multimodal_transformer_tpu.models.xlnet import rel_shift
+    from bert_multimodal_transformer_tpu.ops.fused_attention import (
+        fused_rel_attention_ingredients)
+
+    S_, K, P, qb, kb = geom
+    H_, DH_ = 4, 32
+    B_ = 2
+    scale = 1.0 / DH_ ** 0.5
+    hb = 4                                          # _fs_min_hb(4, 32)
+    rng = np.random.RandomState(17)
+    rw = jnp.asarray(rng.randn(B_, S_, H_ * DH_), jnp.float32)
+    rr = jnp.asarray(rng.randn(B_, S_, H_ * DH_) * scale, jnp.float32)
+    r = jnp.asarray(rng.randn(P, H_ * DH_), jnp.float32)
+    k = jnp.asarray(rng.randn(B_, K, H_ * DH_), jnp.float32)
+    v = jnp.asarray(rng.randn(B_, K, H_ * DH_), jnp.float32)
+    ed = jnp.asarray(rng.randn(B_, H_, S_) * scale, jnp.float32)
+    segd = jnp.asarray(rng.randint(0, 2, (B_, S_, K)), jnp.float32)
+    maskb = jnp.asarray(-1e9 * (rng.rand(B_, S_, K) < 0.1), jnp.float32)
+
+    def f_ref(rw_, rr_, r_, k_, v_, ed_):
+        bd = jnp.einsum("bqhf,phf->bhqp", rr_.reshape(B_, S_, H_, DH_),
+                        r_.reshape(P, H_, DH_))
+        ebias = rel_shift(bd, K) + ed_[:, :, :, None] * segd[:, None] \
+            + maskb[:, None]
+        qh = rw_.reshape(B_, S_, H_, DH_)
+        kh = k_.reshape(B_, K, H_, DH_)
+        vh = v_.reshape(B_, K, H_, DH_)
+        score = jnp.einsum("bqhf,bkhf->bhqk", qh, kh) * scale + ebias
+        probs = jax.nn.softmax(score, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhf->bqhf", probs, vh)
+        return jnp.sum(jnp.tanh(ctx.reshape(B_, S_, H_ * DH_)))
+
+    def f_new(rw_, rr_, r_, k_, v_, ed_):
+        return jnp.sum(jnp.tanh(fused_rel_attention_ingredients(
+            rw_, rr_, r_, k_, v_, ed_, segd, maskb, n_heads=H_,
+            scale=scale, tier="fs", fs_plan=(hb, qb, kb))))
+
+    argnums = (0, 1, 2, 3, 4, 5)
+    vr, gr = jax.value_and_grad(f_ref, argnums=argnums)(rw, rr, r, k, v,
+                                                        ed)
+    vn, gn = jax.value_and_grad(f_new, argnums=argnums)(rw, rr, r, k, v,
+                                                        ed)
+    np.testing.assert_allclose(float(vn), float(vr), rtol=1e-5)
+    for name, a, b in zip(("rw", "rr", "r", "k", "v", "ed"), gr, gn):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=5e-5, err_msg=name)
+
+
+def test_relik_fs_plan_resolution_offtpu():
+    import bert_multimodal_transformer_tpu.ops.fused_attention as fa
+
+    # xlnet-base Q=K=2048 bi geometry: first candidates off-TPU
+    assert fa._resolve_relik_fs_plan(4, 12, 2048, 2048, 4096, 768, 2) \
+        == (2, 256, 512)
+    # P < Q+K (uni position stream) is out of reach by construction
+    assert fa._resolve_relik_fs_plan(4, 12, 2048, 2048, 2049, 768, 2) \
+        is None
+
+
+def test_rel_attention_ingredients_auto_dispatches_past_full_fit():
+    # tier=None must route a geometry whose full-H row cannot fit
+    # scoped VMEM onto the fs kernels (not the full-H kernel) — the
+    # arithmetic gate is fused_rel_attention_fits, mirrored here.
+    import bert_multimodal_transformer_tpu.ops.fused_attention as fa
+
+    assert not fa.fused_rel_attention_fits(12, 2048, 2048, 768, 2, 2)
+    assert fa.fused_rel_attention_ingredients_fits_fs(
+        12, 2048, 2048, 4096, 768, 2)
