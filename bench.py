@@ -99,15 +99,18 @@ def main():
         cfg = XLNetConfig.xlnet_base_cased()
         # Fused Pallas rel-attention kernel is the fastest validated
         # XLNet path; BENCH_ATTN=einsum restores the plain path.
-        # BENCH_REL_BIAS=inkernel assembles the score bias in VMEM
-        # (fused_rel_attention_ingredients) instead of streaming ebias.
+        # BENCH_REL_BIAS picks the score-bias assembly: the "auto"
+        # default streams ebias while the full-H kernel fits (the S=50
+        # headline, measured neutral) and assembles it in VMEM via the
+        # ingredients flash-streamed tier past that fit (long S, ~2x —
+        # BENCHMARKS.md "Ingredients flash-streamed tier");
+        # stream/inkernel force a side.
         attn = os.environ.get("BENCH_ATTN", "fused")
         import dataclasses
         if attn != "einsum":
             cfg = dataclasses.replace(cfg, attention_impl=attn)
-        relb = os.environ.get("BENCH_REL_BIAS", "stream")
-        if relb != "stream":
-            cfg = dataclasses.replace(cfg, rel_bias_impl=relb)
+        relb = os.environ.get("BENCH_REL_BIAS", "auto")
+        cfg = dataclasses.replace(cfg, rel_bias_impl=relb)
         # BENCH_PACK_QKV=1 packs the q/k/v projection into one
         # [D, 3·H·Dh] dot — measured −3.8% at b256 (BENCHMARKS.md),
         # kept opt-in for re-measurement at other geometries.

@@ -174,7 +174,13 @@ class XLNetConfig:
     # "inkernel" applies to the bi-attention content path, incl. under
     # tensor parallelism (shard_map'd wrapper); bi_data and uni attention
     # fall back to "stream" forms (per-example position streams / P < Q+K).
-    rel_bias_impl: str = "stream"
+    # "auto" (default) keeps the long-validated stream assembly wherever
+    # the full-H ebias kernel fits (measured neutral there) and switches
+    # to the ingredients flash-streamed tier past it — the long-S
+    # geometry where host-side rel_shift assembly is ~70% relayout and
+    # the in-VMEM assembly measured ~2x end to end (BENCHMARKS.md
+    # "Ingredients flash-streamed tier").
+    rel_bias_impl: str = "auto"
     # Pack the q/k/v projection into one [D, 3·H·Dh] dot when mems is
     # None and attention is not head-sharded (models/xlnet.py) — same
     # per-element math as the three split dots. Measured NEGATIVE at
@@ -190,10 +196,10 @@ class XLNetConfig:
             raise ValueError(
                 f"unknown attention_impl {self.attention_impl!r} "
                 "(XLNet: einsum | fused)")
-        if self.rel_bias_impl not in ("stream", "inkernel"):
+        if self.rel_bias_impl not in ("auto", "stream", "inkernel"):
             raise ValueError(
                 f"unknown rel_bias_impl {self.rel_bias_impl!r} "
-                "(stream | inkernel)")
+                "(auto | stream | inkernel)")
     # Tensor-parallel attention mesh (see BertConfig.tp_attention_mesh):
     # routes the fused rel-attention kernel through shard_map with heads
     # sharded over the "model" axis. The einsum path needs no mesh here —

@@ -118,12 +118,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(in-VMEM softmax+dropout, fused bwd); "
                         "flash = blockwise kernel for long sequences "
                         "(seq %% 128 == 0)")
-    p.add_argument("--rel_bias_impl", type=str, default="stream",
-                   choices=["stream", "inkernel"],
+    p.add_argument("--rel_bias_impl", type=str, default="auto",
+                   choices=["auto", "stream", "inkernel"],
                    help="XLNet fused-attention score-bias assembly: "
                         "stream the [B,H,Q,K] ebias from XLA, or "
                         "assemble bd/rel-shift/segment/mask in VMEM "
-                        "(inkernel; bi attention, works under TP)")
+                        "(inkernel; bi attention, works under TP). "
+                        "auto = stream while the full-H ebias kernel "
+                        "fits, the in-VMEM ingredients flash-streamed "
+                        "tier past it (~2x at long S)")
     p.add_argument("--mem_len", type=int, default=0,
                    help="XLNet segment recurrence: carry Transformer-XL "
                         "memory of this many positions across the batch "
@@ -459,17 +462,18 @@ def main(argv=None) -> int:
         if args.attention_impl != "einsum":
             cfg = dataclasses.replace(cfg,
                                       attention_impl=args.attention_impl)
-        if args.rel_bias_impl != "stream":
-            if args.attention_impl != "fused":
-                # only the fused rel-attention path reads rel_bias_impl;
-                # erroring beats a run whose logs claim inkernel while
-                # executing einsum attention.
-                print("error: --rel_bias_impl requires "
-                      "--attention_impl fused (the einsum path has no "
-                      "score-bias kernel to select)", file=sys.stderr)
-                return 2
-            cfg = dataclasses.replace(cfg,
-                                      rel_bias_impl=args.rel_bias_impl)
+        if args.rel_bias_impl == "inkernel" and args.attention_impl != \
+                "fused":
+            # only the fused rel-attention path reads rel_bias_impl;
+            # erroring beats a run whose logs claim inkernel while
+            # executing einsum attention. ("auto" composes with any
+            # attention_impl — it only changes the fused dispatch.)
+            print("error: --rel_bias_impl inkernel requires "
+                  "--attention_impl fused (the einsum path has no "
+                  "score-bias kernel to select)", file=sys.stderr)
+            return 2
+        cfg = dataclasses.replace(cfg,
+                                  rel_bias_impl=args.rel_bias_impl)
         if args.qkv_fusion or args.qkv_residual:
             print("error: --qkv_fusion/--qkv_residual apply only to the "
                   "BERT family's packed fused attention", file=sys.stderr)
@@ -499,9 +503,12 @@ def main(argv=None) -> int:
             # fails loudly in the converter, which is the honest outcome.
             cfg = dataclasses.replace(
                 cfg, max_position_embeddings=args.max_seq_length)
-        if args.rel_bias_impl != "stream":
-            print("error: --rel_bias_impl applies only to the XLNet "
-                  "family's fused rel-attention", file=sys.stderr)
+        if args.rel_bias_impl == "inkernel":
+            # "auto"/"stream" are harmless no-ops for BERT (its config
+            # has no such field to select); an explicit inkernel ask is
+            # a user error worth surfacing.
+            print("error: --rel_bias_impl inkernel applies only to the "
+                  "XLNet family's fused rel-attention", file=sys.stderr)
             return 2
         if args.attention_impl != "einsum":
             cfg = dataclasses.replace(cfg,

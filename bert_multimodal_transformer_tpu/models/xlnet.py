@@ -210,7 +210,7 @@ class XLNetRelativeAttention(nn.Module):
         # independently. TP stays on the full-H shard kernels.
         relik_fs_ok = (
             cfg.attention_impl == "fused"
-            and cfg.rel_bias_impl == "inkernel"
+            and cfg.rel_bias_impl in ("inkernel", "auto")
             and cfg.tp_attention_mesh is None
             and head_mask is None
             and not output_attentions
@@ -242,10 +242,15 @@ class XLNetRelativeAttention(nn.Module):
             # materialized for it. Same element pairing as the 4D add.
             rw = (q_head.reshape(bsz, qlen2, h * dh)
                   + self.r_w_bias.reshape(-1)).astype(dt)
-            if (cfg.rel_bias_impl == "inkernel"
-                    and k_head_r.ndim == 3
+            # "auto" takes the ingredients path ONLY via the fs tier
+            # (past the full-H ebias fit, where it measured ~2x);
+            # explicit "inkernel" selects it whenever eligible.
+            if (k_head_r.ndim == 3
                     and k_head_r.shape[0] >= qlen2 + klen
-                    and (rel_fits or relik_fs_ok)):
+                    and ((cfg.rel_bias_impl == "inkernel"
+                          and (rel_fits or relik_fs_ok))
+                         or (cfg.rel_bias_impl == "auto"
+                             and relik_fs_ok))):
                 # Ingredients-fused path: no [B,H,Q,P]/[B,H,Q,K] HBM
                 # tensors at all — bd, rel-shift, segment and mask biases
                 # assemble in VMEM (fused_rel_attention_ingredients).

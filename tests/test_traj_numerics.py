@@ -95,7 +95,7 @@ def test_fused_vs_einsum_bf16_training_trajectory_bound(family):
     assert rel.max() < 5e-3, (rel, fused, einsum)
 
 
-@pytest.mark.parametrize("family", ["bert", "xlnet"])
+@pytest.mark.parametrize("family", ["bert", "xlnet-stream", "xlnet-auto"])
 def test_flash_streamed_tier_trajectory_bound(family, monkeypatch):
     """fs-tier twin of the bound above (VERDICT r3 #7): a training
     trajectory whose attention dispatch routes to the FLASH-STREAMED
@@ -104,7 +104,11 @@ def test_flash_streamed_tier_trajectory_bound(family, monkeypatch):
     einsum math. Geometry: 4 heads x 32 d_head (hb=4 gives the
     128-lane-aligned head block), S=256, with the VMEM budget shrunk so
     the full-H and head-blocked tiers report no-fit and the dispatch
-    lands on fs — asserted as a precondition, not assumed."""
+    lands on fs — asserted as a precondition, not assumed. The xlnet
+    leg runs under both score-bias assemblies: "stream" (host ebias +
+    ebias-fs kernels) and "auto" (which routes this past-full-H
+    geometry onto the ingredients flash-streamed tier — in-VMEM bd
+    assembly, the long-S production default)."""
     import jax.numpy as jnp2
 
     from bert_multimodal_transformer_tpu.ops import fused_attention as fa
@@ -113,6 +117,7 @@ def test_flash_streamed_tier_trajectory_bound(family, monkeypatch):
     H, DH, SEQ = 4, 32, 256
     D = H * DH
     kw = dict(batch=2, rate=0.0, scale=1.0, dtype=jnp2.bfloat16)
+    rel_bias = family.split("-")[1] if "-" in family else None
     if family == "bert":
         assert not fa.fused_attention_fits(H, SEQ, D, 2)
         assert not fa.fused_attention_fits_hb(H, SEQ, D, 2, **kw)
@@ -123,13 +128,18 @@ def test_flash_streamed_tier_trajectory_bound(family, monkeypatch):
             H, SEQ, SEQ, D, 2, 2, eb_dtype=jnp2.bfloat16, **kw)
         assert fa.fused_rel_attention_fits_fs(
             H, SEQ, SEQ, D, 2, 2, eb_dtype=jnp2.bfloat16, **kw)
+        if rel_bias == "auto":
+            assert fa.fused_rel_attention_ingredients_fits_fs(
+                H, SEQ, SEQ, 2 * SEQ, D, 2, batch=2, rate=0.0,
+                scale=1.0, dtype=jnp2.bfloat16)
 
     def run(attn_impl):
-        if family == "xlnet":
+        if family.startswith("xlnet"):
             cfg = dataclasses.replace(
                 XLNetConfig.tiny(vocab_size=64), d_model=D, n_head=H,
                 d_inner=2 * D, n_layer=2, dropout=0.0,
-                summary_last_dropout=0.0, attention_impl=attn_impl)
+                summary_last_dropout=0.0, attention_impl=attn_impl,
+                rel_bias_impl=rel_bias)
             mm = MultimodalConfig(1.0, 0.0, injection_index=1)
             model = MagXLNetForSequenceClassification(
                 cfg, mm, visual_dim=DV, acoustic_dim=DA,
