@@ -396,11 +396,6 @@ def main(argv=None) -> int:
         # --predict_only composes: Predictor(mem_len=N) threads the
         # memory through batch-ordered inference (serving.py).
     use_pp = args.pipeline_parallel > 1
-    if use_pp and args.compiler_options:
-        print("error: --compiler_options applies to the Trainer's jitted "
-              "steps; the pipeline trainer compiles its own shard_map "
-              "program and would silently ignore it", file=sys.stderr)
-        return 2
     if use_pp:
         if args.tp_shard_attention:
             print("error: --pipeline_parallel does not compose with "
@@ -570,7 +565,10 @@ def main(argv=None) -> int:
                 PipelineTrainer as _PT,
             )
         trainer = _PT(model=model, tx=tx, mesh=mesh,
-                      n_micro=args.pp_microbatches)
+                      n_micro=args.pp_microbatches,
+                      compiler_options=(json.loads(args.compiler_options)
+                                        if args.compiler_options
+                                        else None))
     else:
         trainer = Trainer(model=model, tx=tx, mesh=mesh,
                           grad_accum=args.gradient_accumulation_step,

@@ -374,6 +374,15 @@ class PipelineTrainer(Trainer):
 
     n_micro: int = 4
 
+    def _pp_jit(self, fn, **kw):
+        """jax.jit with the Trainer's per-step XLA ``compiler_options``
+        applied — the pipeline's shard_map programs honor the same
+        surface as the jitted SPMD steps (driver --compiler_options,
+        BENCH_COMPILER_OPTIONS)."""
+        if self.compiler_options:
+            kw["compiler_options"] = dict(self.compiler_options)
+        return jax.jit(fn, **kw)
+
     def _pp_common_setup(self, n_layers: int, hidden_size: int):
         """Family-independent validation + boilerplate shared by the
         BERT and XLNet pipeline trainers (parallel/pp_xlnet.py): mesh/
@@ -661,8 +670,8 @@ class PipelineTrainer(Trainer):
         mapped = shard_map(per_device_step, mesh=self.mesh,
                            in_specs=(state_spec, batch_spec),
                            out_specs=(state_spec, P()))
-        return jax.jit(mapped,
-                       donate_argnums=(0,) if self.donate else ())
+        return self._pp_jit(
+            mapped, donate_argnums=(0,) if self.donate else ())
 
     def _build_train_masked(self, state: TrainState, batch: Tuple):
         dp = self._dp
@@ -707,8 +716,8 @@ class PipelineTrainer(Trainer):
         mapped = shard_map(per_device_step, mesh=self.mesh,
                            in_specs=(state_spec, batch_spec, P(DATA_AXIS)),
                            out_specs=(state_spec, P()))
-        return jax.jit(mapped,
-                       donate_argnums=(0,) if self.donate else ())
+        return self._pp_jit(
+            mapped, donate_argnums=(0,) if self.donate else ())
 
     def _pp_logits(self, params, batch):
         """Per-device deterministic pipeline forward → local [b] logits
@@ -739,7 +748,7 @@ class PipelineTrainer(Trainer):
                            in_specs=(params_spec, batch_spec,
                                      P(DATA_AXIS)),
                            out_specs=(P(), P()))
-        jitted = jax.jit(mapped)
+        jitted = self._pp_jit(mapped)
         return lambda state, batch, valid: jitted(state.params, batch,
                                                   valid)
 
@@ -754,7 +763,7 @@ class PipelineTrainer(Trainer):
         mapped = shard_map(per_device_predict, mesh=self.mesh,
                            in_specs=(params_spec, batch_spec),
                            out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
-        jitted = jax.jit(mapped)
+        jitted = self._pp_jit(mapped)
         return lambda state, batch: jitted(state.params, batch)
 
     # The Trainer epoch drivers call these with batches already placed

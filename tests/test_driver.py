@@ -492,17 +492,18 @@ def test_driver_real_data_path_xlnet_spiece_model(tmp_path):
 
 
 def test_driver_compiler_options_flag(tmp_path, capsys):
-    """--compiler_options reaches the Trainer's jits (a benign XLA option
-    trains end-to-end) and is rejected with --pipeline_parallel, whose
-    shard_map program would silently ignore it."""
+    """--compiler_options reaches the Trainer's jits AND (since r5f) the
+    pipeline trainer's shard_map programs (PipelineTrainer._pp_jit) — a
+    benign XLA option trains end-to-end both ways."""
     rc = run_driver(tmp_path, extra=[
         "--compiler_options",
         '{"xla_backend_optimization_level": "2"}'])
     assert rc == 0
 
-    rc = run_driver(tmp_path, extra=[
-        "--pipeline_parallel", "2",
+    # fresh checkpoint dir: the first leg saved a plain-trainer layout
+    # there, which a PP run would (correctly) refuse to resume from
+    rc = run_driver(tmp_path / "pp", extra=[
+        "--pipeline_parallel", "2", "--pp_microbatches", "2",
         "--compiler_options",
         '{"xla_backend_optimization_level": "2"}'])
-    assert rc == 2
-    assert "compiler_options" in capsys.readouterr().err
+    assert rc == 0

@@ -332,3 +332,42 @@ def test_pp_tp_predict_and_masked_step():
     _assert_trees_close(
         model_params_from_pp_params(jax.device_get(new_state.params)),
         jax.device_get(ref_new.params), rtol=2e-5, atol=1e-6)
+
+
+def test_pp_compiler_options_thread_through():
+    """PipelineTrainer honors Trainer's compiler_options surface
+    (r5f: _pp_jit applies it to the shard_map programs): a benign XLA
+    option steps identically to the default; an invalid option name
+    fails loudly instead of being silently dropped."""
+    import pytest
+
+    cfg = _cfg(dropout=0.0)
+    model = _model(cfg, mag_dropout=0.0)
+    batch = _batch(0, 16, 12)
+    mesh = make_pp_mesh(2, data_parallel=1)
+
+    pt = PipelineTrainer(model=model, tx=make_optimizer(1e-3, 10),
+                         mesh=mesh, n_micro=2, donate=False)
+    # build states from the same model params so losses compare exactly
+    params0, _, _ = _ref_step(model, batch, 2)
+    s_plain = pt.create_state_from_model_params(params0,
+                                                jax.random.PRNGKey(3))
+    _, loss_plain = pt.train_step(s_plain, batch)
+
+    pt_opts = PipelineTrainer(model=model, tx=make_optimizer(1e-3, 10),
+                              mesh=mesh, n_micro=2, donate=False,
+                              compiler_options={
+                                  "xla_backend_optimization_level": "2"})
+    s_opts = pt_opts.create_state_from_model_params(
+        params0, jax.random.PRNGKey(3))
+    _, loss_opts = pt_opts.train_step(s_opts, batch)
+    np.testing.assert_allclose(float(loss_plain), float(loss_opts),
+                               rtol=1e-6)
+
+    pt_bad = PipelineTrainer(model=model, tx=make_optimizer(1e-3, 10),
+                             mesh=mesh, n_micro=2, donate=False,
+                             compiler_options={"no_such_xla_option": "1"})
+    s_bad = pt_bad.create_state_from_model_params(params0,
+                                                  jax.random.PRNGKey(3))
+    with pytest.raises(Exception):
+        pt_bad.train_step(s_bad, batch)
