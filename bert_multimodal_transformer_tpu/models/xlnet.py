@@ -207,25 +207,31 @@ class XLNetRelativeAttention(nn.Module):
         # Long-S inkernel: the ingredients flash-streamed tier reaches
         # past both the full-H ingredients fit AND (potentially) the
         # ebias tiers — it has its own compile-probed plan, so gate it
-        # independently. TP stays on the full-H shard kernels.
+        # independently. Under TP the gate evaluates the PER-SHARD
+        # geometry (H/mp local heads): the shard_map'd ingredients
+        # wrapper calls the same auto-tiering entry per shard, so
+        # long-S XLNet composes with tensor parallelism.
+        tp_mp = (cfg.tp_attention_mesh.shape.get("model", 1)
+                 if cfg.tp_attention_mesh is not None else 1)
         relik_fs_ok = (
             cfg.attention_impl == "fused"
             and cfg.rel_bias_impl in ("inkernel", "auto")
-            and cfg.tp_attention_mesh is None
             and head_mask is None
             and not output_attentions
             and k_head_r.ndim == 3
             and k_head_r.shape[0] >= qlen_gate + klen
             and not rel_fits
+            and nh_gate % tp_mp == 0
             and fused_rel_attention_ingredients_fits_fs(
-                nh_gate, qlen_gate, klen, k_head_r.shape[0], d_gate,
-                item, batch=q_head.shape[0],
+                nh_gate // tp_mp, qlen_gate, klen, k_head_r.shape[0],
+                d_gate // tp_mp, item, batch=q_head.shape[0],
                 rate=rel_fit_kwargs["rate"], scale=scale,
                 dtype=jnp.dtype(self.dtype)))
 
         if (cfg.attention_impl == "fused" and head_mask is None
                 and not output_attentions
-                and (rel_fits if cfg.tp_attention_mesh is not None
+                and ((rel_fits or relik_fs_ok)
+                     if cfg.tp_attention_mesh is not None
                      else (rel_fits_any or relik_fs_ok))):
             # Pallas rel-attention kernel (ops/fused_attention.py): the
             # QK dot, softmax, and prob-dropout run in VMEM; only ONE

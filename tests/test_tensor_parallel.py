@@ -478,3 +478,64 @@ def test_tp_fused_attention_dropout_decorrelated_across_data_shards():
         q, k, v, mask, mesh=mesh, scale=dh ** -0.5, dropout_rate=0.5,
         dropout_rng=jax.random.PRNGKey(7), deterministic=True))
     np.testing.assert_array_equal(det[0], det[2])
+
+
+def test_xlnet_ingredients_FS_tier_tp_matches_single_device(monkeypatch):
+    """TP × the ingredients FLASH-STREAMED tier (r5f): the VMEM budget
+    is shrunk so the full-H ingredients fit reports no-fit and the
+    rel_bias "auto"/"inkernel" dispatch routes BOTH the single-device
+    and the per-shard (shard_map'd) calls onto the relik-fs kernels —
+    long-S XLNet composing with tensor parallelism. Geometry picked so
+    the PER-SHARD head block stays 128-lane aligned (H=4, Dh=64, mp=2
+    → 2 local heads × 64 = 128)."""
+    monkeypatch.setenv("FUSED_ATTN_VMEM_BUDGET", "1000000")
+    import bert_multimodal_transformer_tpu.ops.fused_attention as fa
+    import jax.numpy as jnp
+
+    H_, DH_, SEQ = 4, 64, 128
+    D = H_ * DH_
+    # precondition: full-H reports no-fit, per-shard fs plan exists
+    assert not fa.fused_rel_attention_fits(H_, SEQ, SEQ, D, 4, 4)
+    assert fa.fused_rel_attention_ingredients_fits_fs(
+        H_ // 2, SEQ, SEQ, 2 * SEQ, D // 2, 4, batch=8, rate=0.0,
+        scale=1.0 / DH_ ** 0.5, dtype=jnp.float32)
+
+    def cfgs():
+        base = dataclasses.replace(
+            XLNetConfig.tiny(vocab_size=64), d_model=D, n_head=H_,
+            d_inner=2 * D, n_layer=2, dropout=0.0,
+            summary_last_dropout=0.0, attention_impl="fused",
+            rel_bias_impl="auto")
+        return base
+
+    mm = MultimodalConfig(beta_shift=1.0, dropout_prob=0.0,
+                          injection_index=1)
+    rng = np.random.RandomState(5)
+    b = 8
+    batch = (rng.randint(0, 64, (b, SEQ)).astype(np.int32),
+             rng.randn(b, SEQ, DV).astype(np.float32),
+             rng.randn(b, SEQ, DA).astype(np.float32),
+             np.ones((b, SEQ), np.int32),
+             np.zeros((b, SEQ), np.int32),
+             rng.uniform(-3, 3, (b,)).astype(np.float32))
+
+    m_ref = MagXLNetForSequenceClassification(cfgs(), mm, visual_dim=DV,
+                                              acoustic_dim=DA)
+    tr_ref = Trainer(model=m_ref, tx=optax.adam(1e-3),
+                     mesh=make_mesh(MeshConfig(data_parallel=1)),
+                     donate=False)
+    st = tr_ref.init_state(jax.random.PRNGKey(0), batch)
+    st1, l1 = tr_ref._train_step(st, tr_ref._put_batch(batch))
+    _, l2 = tr_ref._train_step(st1, tr_ref._put_batch(batch))
+
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    cfg_tp = dataclasses.replace(cfgs(), tp_attention_mesh=mesh)
+    m_tp = MagXLNetForSequenceClassification(cfg_tp, mm, visual_dim=DV,
+                                             acoustic_dim=DA)
+    tr_tp = Trainer(model=m_tp, tx=optax.adam(1e-3), mesh=mesh,
+                    donate=False, tp_shard_attention=True)
+    stt = tr_tp.init_state(jax.random.PRNGKey(0), batch)
+    stt1, lt1 = tr_tp._train_step(stt, tr_tp._put_batch(batch))
+    _, lt2 = tr_tp._train_step(stt1, tr_tp._put_batch(batch))
+    np.testing.assert_allclose([float(lt1), float(lt2)],
+                               [float(l1), float(l2)], rtol=2e-5)
