@@ -352,3 +352,43 @@ def test_mems_dp8_matches_single_device():
                                    np.asarray(flat8[path]),
                                    rtol=1e-6, atol=1e-7,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+def test_mems_relik_fs_tier_matches_einsum(monkeypatch):
+    """Segment recurrence × the ingredients flash-streamed tier (r5f):
+    a mems geometry past the full-H fit (budget shrunk) must route the
+    fused "auto" dispatch onto the relik-fs kernels — K = qlen + mlen
+    streams in kb blocks, the position window bound P ≥ Q+K holds by
+    construction — and the train step must match the einsum math.
+    Geometry: qlen=mlen=128 (K=256, kb-divisible), H=4 × Dh=32
+    (hb=4 → 128-lane block)."""
+    import bert_multimodal_transformer_tpu.ops.fused_attention as fa
+
+    monkeypatch.setenv("FUSED_ATTN_VMEM_BUDGET", "1000000")
+    H_, DH_, QL, ML = 4, 32, 128, 128
+    D = H_ * DH_
+    assert not fa.fused_rel_attention_fits(H_, QL, QL + ML, D, 4, 4)
+    assert fa.fused_rel_attention_ingredients_fits_fs(
+        H_, QL, QL + ML, 2 * QL + ML, D, 4, batch=4, rate=0.0,
+        scale=1.0 / DH_ ** 0.5, dtype=jnp.float32)
+
+    def run(attn_impl):
+        cfg = dataclasses.replace(
+            _cfg(mem_len=ML), d_model=D, n_head=H_, d_inner=2 * D,
+            n_layer=2, attention_impl=attn_impl, rel_bias_impl="auto")
+        tr = _trainer(cfg)
+        b = _batch(11, b=4, s=QL)
+        st = tr.init_state(jax.random.PRNGKey(0), b)
+        losses = []
+        for i in range(3):
+            st, loss = tr._train_step(st, tr._put_batch(_batch(20 + i,
+                                                               b=4,
+                                                               s=QL)))
+            losses.append(float(jax.device_get(loss)))
+        return np.asarray(losses)
+
+    fused = run("fused")
+    einsum = run("einsum")
+    rel = np.abs(fused - einsum) / np.maximum(np.abs(einsum), 1e-12)
+    assert np.isfinite(fused).all()
+    assert rel.max() < 5e-3, (rel, fused, einsum)
